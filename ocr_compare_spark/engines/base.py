@@ -1,0 +1,93 @@
+"""Engine model + registry (≈ reference ocr_factory.py / ocr_executor.py).
+
+A ``ParsedDoc`` is the in-UDF intermediate: an ordered list of pages,
+each an ordered list of blocks; a text block holds paragraphs of
+word-token lists; a table block holds rows of cell texts. The
+flattened span rows and the assembled document text (reference
+separators, ocr_schema.py:85-198) are derived by
+``operators.extract.doc_to_result``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+
+@dataclass
+class Block:
+    # block_type: TEXT or TABLE (≈ ocr_schema.py LayoutElementType)
+    block_type: str = "TEXT"
+    # paragraphs: list of paragraphs, each a list of word tokens
+    paras: list[list[str]] = field(default_factory=list)
+    # tables: rows of cell texts; first row is the header
+    # (≈ gdai_layout_executor.py:114-120 first-row-is-header rule)
+    rows: list[list[str]] = field(default_factory=list)
+    # synthetic bbox (left, top, width, height) or None
+    bbox: Optional[tuple[float, float, float, float]] = None
+
+
+@dataclass
+class ParsedDoc:
+    pages: list[list[Block]] = field(default_factory=list)
+    error: Optional[str] = None
+    # engine-native intermediate, JSON-serializable
+    # (≈ execute_ocr_original contract, ocr_executor.py:92-106)
+    native: Optional[dict] = None
+
+
+@dataclass(frozen=True)
+class EngineSpec:
+    name: str
+    version: str
+    # which payloads the engine accepts: 'html', 'pdf', or 'any'
+    handles: str
+    parse: Callable[[bytes], ParsedDoc]
+    # deterministic per-word confidence (≈ tesseract conf/100,
+    # tesseract_executor.py:183 — ours is synthetic but fixed)
+    confidence: float
+
+
+_REGISTRY: dict[str, EngineSpec] = {}
+
+
+def register_engine(spec: EngineSpec) -> None:
+    # ≈ OcrExecutorFactory.register, ocr_factory.py:14-38
+    _REGISTRY[spec.name] = spec
+
+
+def create_engine(name: str) -> EngineSpec:
+    # ≈ OcrExecutorFactory.create, ocr_factory.py:40-47
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown engine {name!r}; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def list_available_engines() -> dict[str, dict[str, str]]:
+    # ≈ list_available_engines, ocr.py:8-15 / ocr_factory.py:49-74
+    return {
+        n: {"name": s.name, "version": s.version, "handles": s.handles}
+        for n, s in sorted(_REGISTRY.items())
+    }
+
+
+def is_pdf_bytes(data: bytes) -> bool:
+    # ≈ is_pdf, page_limit/page_count.py:6-16
+    return data[:4] == b"%PDF"
+
+
+def sniff_mime(data: bytes) -> str:
+    # ≈ _detect_mime_type magic bytes, gdai_executor.py:92-111
+    if data[:4] == b"%PDF":
+        return "application/pdf"
+    if data[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "image/webp"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image/tiff"
+    return "text/html"

@@ -1,0 +1,100 @@
+"""From-scratch PDF byte-stream text parser (engine ``pdf``).
+
+Analog of the reference's gdai-layout engine (the structured layout
+parser, /root/reference/src/ocrtool/ocr_impls/gdai/
+gdai_layout_executor.py) plus its PDF utilities
+(page_limit/page_count.py:6-34: %PDF magic check and page counting).
+No pypdf in the environment (SURVEY.md section 7), so this parses the
+uncompressed-PDF subset our corpus generator emits — and degrades to
+an error row (never an exception) on anything else, mirroring the
+reference's error-classification flow (page_limit_handler.py:11-59)
+as a quarantine column instead of a raised exception.
+
+Structure recovered: one page per content stream (in object order),
+one TEXT block per ``(string) Tj`` operator, with a synthetic bbox
+from the text-matrix cursor (Td/TD moves).
+"""
+
+from __future__ import annotations
+
+import re
+
+from ocr_compare_spark.engines.base import Block, EngineSpec, ParsedDoc, register_engine
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_PAGE_RE = re.compile(rb"/Type\s*/Page(?![s])")
+_TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+_TD_RE = re.compile(rb"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+T[dD]")
+
+
+def count_pdf_pages(data: bytes) -> int:
+    """≈ count_pdf_pages, page_count.py:19-34 — counts /Type /Page objects."""
+    return len(_PAGE_RE.findall(data))
+
+
+def _unescape(raw: bytes) -> str:
+    out = []
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c == 0x5C and i + 1 < n:  # backslash
+            nxt = raw[i + 1]
+            mapped = {0x6E: "\n", 0x72: "\r", 0x74: "\t", 0x28: "(", 0x29: ")", 0x5C: "\\"}.get(nxt)
+            if mapped is not None:
+                out.append(mapped)
+                i += 2
+                continue
+        out.append(chr(c) if c < 0x80 else bytes([c]).decode("latin-1"))
+        i += 1
+    return "".join(out)
+
+
+def parse_pdf(data: bytes) -> ParsedDoc:
+    if data[:4] != b"%PDF":
+        return ParsedDoc(error="not_pdf")
+    streams = _STREAM_RE.findall(data)
+    # content streams are the ones containing a BT..ET text object
+    content = [s for s in streams if b"BT" in s and b"ET" in s]
+    n_pages = count_pdf_pages(data)
+    if not content:
+        if n_pages == 0:
+            return ParsedDoc(error="pdf_truncated")
+        return ParsedDoc(pages=[[] for _ in range(n_pages)], native={"engine": "pdf", "pages": n_pages, "text_ops": 0})
+    pages: list[list[Block]] = []
+    text_ops = 0
+    for stream in content:
+        blocks: list[Block] = []
+        # walk operators in order, tracking the Td cursor for bboxes
+        x, y = 0.0, 0.0
+        pos = 0
+        events: list[tuple[int, str, object]] = []
+        for m in _TD_RE.finditer(stream):
+            events.append((m.start(), "td", (float(m.group(1)), float(m.group(2)))))
+        for m in _TJ_RE.finditer(stream):
+            events.append((m.start(), "tj", m.group(1)))
+        events.sort(key=lambda e: e[0])
+        for pos, kind, payload in events:
+            if kind == "td":
+                dx, dy = payload  # type: ignore[misc]
+                x, y = x + dx, y + dy
+            else:
+                text = _unescape(payload)  # type: ignore[arg-type]
+                tokens = text.split()
+                if not tokens:
+                    continue
+                text_ops += 1
+                blocks.append(
+                    Block(
+                        block_type="TEXT",
+                        paras=[tokens],
+                        bbox=(x, 792.0 - y, 6.0 * len(text), 12.0),
+                    )
+                )
+        pages.append(blocks)
+    native = {"engine": "pdf", "pages": len(pages), "declared_pages": n_pages, "text_ops": text_ops}
+    return ParsedDoc(pages=pages, native=native)
+
+
+register_engine(
+    EngineSpec(name="pdf", version="1.0", handles="pdf", parse=parse_pdf, confidence=0.85)
+)

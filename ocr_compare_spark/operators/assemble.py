@@ -1,0 +1,111 @@
+"""Hierarchical text assembly from the flattened span table (operator A1).
+
+Rebuilds document text from word-leaf spans with the reference's
+exact per-level separators (ocr_schema.py:85,102,119,147,182,198,254)
+as a cascade of groupBy + array_sort(collect_list(struct(ordinal,
+text))) + concat_ws — fully Catalyst-native (whole-stage codegen'd,
+map-side partial aggregation at every level; the only shuffle is on
+the grouping keys, which shrink every level).
+
+Ordering is explicit by ordinal at every level — NEVER arrival order
+— which is what makes the output byte-identical under any
+parallelism (SURVEY.md §7 "what's hard" #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_compare_spark.schema import SEP_BLOCK, SEP_DOCUMENT, SEP_LINE, SEP_PAGE, SEP_PARAGRAPH
+
+
+def _ordered_concat(df: DataFrame, keys: list[str], ordinal: str, text_col: str, sep: str, out: str) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(ordinal).alias("o"), F.col(text_col).alias("t")))),
+                lambda x: x.t,
+            ),
+        ).alias(out)
+    )
+
+
+def assemble_doc_text(spans: DataFrame) -> DataFrame:
+    """span rows -> (url, engine, doc_text), byte-identical to the
+    engines' fast-path assembly. Handles TEXT and TABLE blocks."""
+    base = ["url", "engine"]
+
+    text_spans = spans.filter(F.col("block_type") != "TABLE")
+    table_spans = spans.filter(F.col("block_type") == "TABLE")
+
+    # word -> line -> paragraph -> block (TEXT blocks)
+    lines = _ordered_concat(
+        text_spans,
+        base + ["page_no", "block_no", "para_no", "line_no"],
+        "word_no", "text", SEP_LINE, "line_text",
+    )
+    paras = _ordered_concat(
+        lines, base + ["page_no", "block_no", "para_no"], "line_no", "line_text", SEP_PARAGRAPH, "para_text"
+    )
+    text_blocks = _ordered_concat(
+        paras, base + ["page_no", "block_no"], "para_no", "para_text", SEP_BLOCK, "block_text"
+    )
+
+    # TABLE blocks: word -> cell -> row -> markdown-lite block
+    # (header = row 0 + '---' separator row; see extract.table_markdown)
+    cells = _ordered_concat(
+        table_spans,
+        base + ["page_no", "block_no", "row_no", "column_no"],
+        "word_no", "text", SEP_LINE, "cell_text",
+    )
+    rows = (
+        cells.groupBy(*base, "page_no", "block_no", "row_no")
+        .agg(
+            F.concat(
+                F.lit("| "),
+                F.concat_ws(
+                    " | ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col("column_no").alias("o"), F.col("cell_text").alias("t")))),
+                        lambda x: x.t,
+                    ),
+                ),
+                F.lit(" |"),
+            ).alias("row_text"),
+            (F.max("column_no") + 1).alias("n_cols"),
+        )
+    )
+    sep_row = F.concat(
+        F.lit("| "),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.element_at("rws", 1).c.cast("int")), lambda _: F.lit("---")),
+            " | ",
+        ),
+        F.lit(" |"),
+    )
+    table_blocks = (
+        rows.groupBy(*base, "page_no", "block_no")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("row_no").alias("o"), F.col("row_text").alias("t"), F.col("n_cols").alias("c")))
+            ).alias("rws")
+        )
+        .select(
+            *base,
+            "page_no",
+            "block_no",
+            F.array_join(
+                F.concat(
+                    F.array(F.element_at("rws", 1).t, sep_row),
+                    F.transform(F.slice("rws", 2, F.greatest(F.size("rws") - 1, F.lit(0))), lambda x: x.t),
+                ),
+                "\n",
+            ).alias("block_text"),
+        )
+    )
+    blocks = text_blocks.unionByName(table_blocks)
+
+    pages = _ordered_concat(blocks, base + ["page_no"], "block_no", "block_text", SEP_PAGE, "page_text")
+    docs = _ordered_concat(pages, base, "page_no", "page_text", SEP_DOCUMENT, "doc_text")
+    return docs

@@ -1,0 +1,165 @@
+"""Cross-engine comparison metrics (reference ocr.py:67-97 +
+examples/ocr_comparison.py:124-156, extended per north_star with
+CER / WER / LCS alignment).
+
+- Pair generation = one self-equi-join on url with the `engine_a <
+  engine_b` dedup predicate (reference pair loop,
+  ocr_comparison.py:143-154 → J5). Per-url fan-out is tiny (N engines
+  → N(N-1)/2 pairs) and the join key is unique-ish, so AQE handles it;
+  no skew possible on url.
+- Jaccard + counts are fully Catalyst-native (array_intersect /
+  array_union on distinct lowercased whitespace tokens — exactly
+  ocr_comparison.py:146-151).
+- CER / WER / LCS need dynamic programming → one Arrow-vectorized
+  pandas UDF over the paired texts (numpy DP, exact Levenshtein via
+  the min-accumulate trick — no banding, no approximation).
+"""
+
+from __future__ import annotations
+
+import difflib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_compare_spark.schema import ALIGN_RESULT_TYPE
+
+TOKEN_SPLIT = r"\s+"
+
+
+def text_stats(results: DataFrame) -> DataFrame:
+    """Per-(url, engine) char/word/line counts (ocr_comparison.py:130-137)."""
+    return results.select(
+        "url",
+        "engine",
+        F.length("doc_text").alias("char_count"),
+        F.size(F.split(F.col("doc_text"), TOKEN_SPLIT)).alias("word_count"),
+        F.size(F.split(F.col("doc_text"), r"\n")).alias("line_count"),
+        "confidence",
+        "doc_text",
+    )
+
+
+def _word_set(col: str):
+    # lowercased whitespace token set — ocr_comparison.py:146-147
+    return F.array_distinct(F.split(F.lower(F.col(col)), TOKEN_SPLIT))
+
+
+def levenshtein_np(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact edit distance between two sequences (numpy row DP).
+
+    Row recurrence with the min-accumulate identity for insertions:
+    cur[j] = min over k<=j of (nonins[k] + (j-k)) =
+    accumulate-min(nonins - j) + j. Exact, O(len(a)) numpy passes.
+    """
+    m, n = len(a), len(b)
+    if m == 0:
+        return n
+    if n == 0:
+        return m
+    idx = np.arange(1, n + 1, dtype=np.int64)
+    prev = np.arange(n + 1, dtype=np.int64)
+    for i in range(1, m + 1):
+        sub = prev[:-1] + (b != a[i - 1])
+        dele = prev[1:] + 1
+        nonins = np.minimum(sub, dele)
+        first = np.int64(i)  # cur[0]
+        shifted = np.concatenate(([first - 1], nonins - idx))
+        cur_rest = np.minimum.accumulate(shifted)[1:] + idx
+        cur_rest = np.minimum(cur_rest, nonins)
+        prev = np.concatenate(([first], cur_rest))
+    return int(prev[-1])
+
+
+def _codes(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+
+def align_metrics(text_a: str, text_b: str) -> dict:
+    a = text_a or ""
+    b = text_b or ""
+    ca, cb = _codes(a), _codes(b)
+    denom_c = max(len(ca), len(cb))
+    cer = (levenshtein_np(ca, cb) / denom_c) if denom_c else 0.0
+    ta, tb = a.split(), b.split()
+    vocab = {t: i for i, t in enumerate(dict.fromkeys(ta + tb))}
+    na = np.fromiter((vocab[t] for t in ta), dtype=np.int64, count=len(ta))
+    nb = np.fromiter((vocab[t] for t in tb), dtype=np.int64, count=len(tb))
+    denom_w = max(len(na), len(nb))
+    wer = (levenshtein_np(na, nb) / denom_w) if denom_w else 0.0
+    sm = difflib.SequenceMatcher(None, ta, tb, autojunk=False)
+    spans = [
+        {"a_start": m.a, "a_end": m.a + m.size, "b_start": m.b, "b_end": m.b + m.size}
+        for m in sm.get_matching_blocks()
+        if m.size > 0
+    ]
+    return {"cer": cer, "wer": wer, "lcs_spans": spans}
+
+
+@F.pandas_udf(ALIGN_RESULT_TYPE)
+def align_udf(text_a: pd.Series, text_b: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame([align_metrics(x, y) for x, y in zip(text_a, text_b)])
+
+
+def pairwise_compare(results: DataFrame, with_alignment: bool = True) -> DataFrame:
+    """(url, engine, doc_text, confidence) -> one row per engine pair.
+
+    Output: FIXTURES.md §5 wide metrics row.
+    """
+    stats = text_stats(results)
+    a = stats.select(
+        F.col("url"),
+        F.col("engine").alias("engine_a"),
+        F.col("doc_text").alias("text_a"),
+        F.col("char_count").alias("char_count_a"),
+        F.col("word_count").alias("word_count_a"),
+        F.col("line_count").alias("line_count_a"),
+        F.col("confidence").alias("confidence_a"),
+    )
+    b = stats.select(
+        F.col("url"),
+        F.col("engine").alias("engine_b"),
+        F.col("doc_text").alias("text_b"),
+        F.col("char_count").alias("char_count_b"),
+        F.col("word_count").alias("word_count_b"),
+        F.col("line_count").alias("line_count_b"),
+        F.col("confidence").alias("confidence_b"),
+    )
+    # J5: unordered pairs via equi-join on url + theta engine_a < engine_b
+    pairs = a.join(b, "url").filter(F.col("engine_a") < F.col("engine_b"))
+    wa = F.array_distinct(F.split(F.lower(F.col("text_a")), TOKEN_SPLIT))
+    wb = F.array_distinct(F.split(F.lower(F.col("text_b")), TOKEN_SPLIT))
+    union_sz = F.size(F.array_union(wa, wb))
+    jaccard = F.when(union_sz > 0, F.size(F.array_intersect(wa, wb)) / union_sz).otherwise(F.lit(1.0))
+    out = pairs.withColumn("jaccard", jaccard)
+    if with_alignment:
+        out = out.withColumn("align", align_udf(F.col("text_a"), F.col("text_b"))).select(
+            "url", "engine_a", "engine_b", "jaccard",
+            F.col("align.cer").alias("cer"),
+            F.col("align.wer").alias("wer"),
+            F.col("align.lcs_spans").alias("lcs_spans"),
+            "char_count_a", "char_count_b", "word_count_a", "word_count_b",
+            "line_count_a", "line_count_b", "confidence_a", "confidence_b",
+        )
+    else:
+        out = out.select(
+            "url", "engine_a", "engine_b", "jaccard",
+            "char_count_a", "char_count_b", "word_count_a", "word_count_b",
+            "line_count_a", "line_count_b", "confidence_a", "confidence_b",
+        )
+    return out
+
+
+def summaries(results: DataFrame) -> DataFrame:
+    """≈ OcrResultSummary (ocr_schema.py:343-420): per-(url, engine)
+    structural counts, computed from the engine result columns."""
+    return results.select(
+        "url",
+        "engine",
+        F.col("n_pages").alias("num_pages"),
+        F.col("n_blocks").alias("num_blocks"),
+        F.col("n_tables").alias("num_tables"),
+        F.col("n_words").alias("num_words"),
+        F.length("doc_text").cast("long").alias("total_length"),
+    )

@@ -1,0 +1,216 @@
+"""Extraction operator: pages table -> per-(url, engine) canonical results.
+
+This is the Spark lifecycle equivalent of the reference's
+``execute_ocr`` orchestration (/root/reference/src/ocrtool/
+ocr_impls/ocr_executor.py:122-183): route by payload type (native
+column predicate — the %PDF magic check of page_count.py:6-16), then
+one Arrow-vectorized pandas UDF per engine (the only Python boundary,
+≈ the reference's process/network boundary to tesseract/GDAI), then
+flatten.
+
+Text assembly here follows the reference separators EXACTLY
+(ocr_schema.py:85,102,119,147,182,198) and records char offsets per
+word span while assembling, so the span table can rebuild the
+document text byte-identically (operators/assemble.py proves it).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_compare_spark.engines.base import EngineSpec, ParsedDoc, create_engine
+from ocr_compare_spark.schema import (
+    EXTRACT_RESULT_TYPE,
+    SEP_BLOCK,
+    SEP_DOCUMENT,
+    SEP_PAGE,
+)
+from ocr_compare_spark.synth import LINE_WORDS
+
+# Native predicate: payload is a PDF (≈ is_pdf, page_count.py:6-16).
+# Stays JVM-side — no UDF for routing. coalesce(.., false) so NULL
+# payloads route to the HTML engines (which quarantine them as
+# null_payload error rows) instead of silently vanishing.
+IS_PDF_EXPR = "coalesce(substring(html, 1, 4) = X'25504446', false)"
+
+
+def table_markdown(rows: list[list[str]]) -> str:
+    """Markdown-lite table rendering.
+
+    The reference renders tables via pandas ``to_markdown``
+    (ocr_schema.py:315-322, needs tabulate which this environment
+    lacks), with a TSV ``raw_text`` fallback (ocr_schema.py:324-334).
+    We define our own fixed markdown-lite format — deterministic and
+    library-free; first row is the header (≈ gdai_layout_executor
+    .py:114-120).
+    """
+    if not rows:
+        return ""
+    header, body = rows[0], rows[1:]
+    out = ["| " + " | ".join(header) + " |"]
+    out.append("| " + " | ".join("---" for _ in header) + " |")
+    for r in body:
+        out.append("| " + " | ".join(r) + " |")
+    return "\n".join(out)
+
+
+def doc_to_result(parsed: ParsedDoc, word_conf: float, with_spans: bool = True) -> dict:
+    """ParsedDoc -> one EXTRACT_RESULT_TYPE row (doc_text + span rows)."""
+    if parsed.error is not None:
+        return {
+            "doc_text": None, "n_pages": 0, "n_blocks": 0, "n_tables": 0,
+            "n_words": 0, "confidence": None, "spans": [] if with_spans else None,
+            "native_json": None, "error": parsed.error,
+        }
+    parts: list[str] = []
+    spans: list[dict] = []
+    off = 0
+
+    def emit(s: str) -> None:
+        nonlocal off
+        parts.append(s)
+        off += len(s)
+
+    n_blocks = n_tables = n_words = 0
+    for pi, blocks in enumerate(parsed.pages):
+        if pi > 0:
+            emit(SEP_DOCUMENT)
+        for bi, blk in enumerate(blocks):
+            if bi > 0:
+                emit(SEP_PAGE)
+            n_blocks += 1
+            bbox = None
+            if blk.bbox is not None:
+                bbox = {"left": blk.bbox[0], "top": blk.bbox[1], "width": blk.bbox[2], "height": blk.bbox[3]}
+            if blk.block_type == "TABLE":
+                n_tables += 1
+                if with_spans:
+                    for ri, row in enumerate(blk.rows):
+                        for ci, cell in enumerate(row):
+                            for wi, w in enumerate(cell.split()):
+                                n_words += 1
+                                spans.append({
+                                    "page_no": pi + 1, "block_no": bi, "block_type": "TABLE",
+                                    "para_no": 0, "line_no": ri, "word_no": wi, "text": w,
+                                    "char_start": None, "char_end": None, "bbox": bbox,
+                                    "confidence": word_conf, "row_no": ri, "column_no": ci,
+                                    "table_no": n_tables - 1,
+                                })
+                else:
+                    n_words += sum(len(c.split()) for r in blk.rows for c in r)
+                emit(table_markdown(blk.rows))
+                continue
+            for qi, para in enumerate(blk.paras):
+                if qi > 0:
+                    emit(SEP_BLOCK)
+                lines = [para[i : i + LINE_WORDS] for i in range(0, len(para), LINE_WORDS)]
+                for li, line in enumerate(lines):
+                    if li > 0:
+                        emit(" ")  # SEP_PARAGRAPH == SEP_LINE == ' '
+                    for wi, w in enumerate(line):
+                        if wi > 0:
+                            emit(" ")
+                        n_words += 1
+                        if with_spans:
+                            spans.append({
+                                "page_no": pi + 1, "block_no": bi, "block_type": blk.block_type,
+                                "para_no": qi, "line_no": li, "word_no": wi, "text": w,
+                                "char_start": off, "char_end": off + len(w), "bbox": bbox,
+                                "confidence": word_conf, "row_no": None, "column_no": None,
+                                "table_no": None,
+                            })
+                        emit(w)
+    return {
+        "doc_text": "".join(parts),
+        "n_pages": len(parsed.pages),
+        "n_blocks": n_blocks,
+        "n_tables": n_tables,
+        "n_words": n_words,
+        "confidence": word_conf if parsed.pages else None,
+        "spans": spans if with_spans else None,
+        "native_json": json.dumps(parsed.native, sort_keys=True) if parsed.native else None,
+        "error": None,
+    }
+
+
+def make_extract_udf(spec: EngineSpec, with_spans: bool = True):
+    """Scalar pandas UDF: Series[binary html] -> Series[result struct].
+
+    One Arrow batch in, one out — the reference's 1-doc-in/1-tree-out
+    contract (ocr_executor.py:92-120) vectorized over the batch.
+    Exceptions become error rows, never task failures (≈ the
+    reference's error classification, page_limit_handler.py:11-59).
+    """
+    parse = spec.parse
+    conf = spec.confidence
+
+    @F.pandas_udf(EXTRACT_RESULT_TYPE)
+    def extract(html: pd.Series) -> pd.DataFrame:
+        rows = []
+        for data in html:
+            try:
+                if data is None:
+                    parsed = ParsedDoc(error="null_payload")
+                else:
+                    parsed = parse(bytes(data))
+            except Exception as e:  # quarantine, don't kill the task
+                parsed = ParsedDoc(error=f"parse_error:{type(e).__name__}")
+            rows.append(doc_to_result(parsed, conf, with_spans))
+        return pd.DataFrame(rows)
+
+    return extract
+
+
+def run_engine(pages: DataFrame, engine_name: str, with_spans: bool = True) -> DataFrame:
+    """Run one engine over the rows it handles (mime-routed natively)."""
+    spec = create_engine(engine_name)
+    if spec.handles == "pdf":
+        routed = pages.filter(F.expr(IS_PDF_EXPR))
+    elif spec.handles == "html":
+        routed = pages.filter(~F.expr(IS_PDF_EXPR))
+    else:
+        routed = pages
+    udf = make_extract_udf(spec, with_spans)
+    return routed.select(
+        "url",
+        "warc_ts",
+        "lang",
+        F.lit(spec.name).alias("engine"),
+        F.lit(spec.version).alias("engine_version"),
+        udf(F.col("html")).alias("r"),
+    ).select("url", "warc_ts", "lang", "engine", "engine_version", "r.*")
+
+
+def run_engines(
+    pages: DataFrame,
+    engines: tuple[str, ...] = ("dom", "density", "pdf"),
+    with_spans: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """All engines, long format: one row per (url, engine).
+
+    ``num_partitions`` hash-repartitions on url before the UDFs —
+    urls are unique so this spreads work evenly regardless of host
+    skew (north_rule: partitioning handled explicitly). The engine
+    UDFs then run partition-local with no further shuffle.
+    """
+    if num_partitions:
+        pages = pages.repartition(num_partitions, "url")
+    parts = [run_engine(pages, e, with_spans) for e in engines]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def spans_table(results: DataFrame) -> DataFrame:
+    """Flattened span table: one row per word-leaf (FIXTURES.md §2)."""
+    return results.select(
+        "url",
+        "engine",
+        "engine_version",
+        F.posexplode_outer("spans").alias("_pos", "s"),
+    ).select("url", "engine", "engine_version", "s.*")

@@ -1,0 +1,150 @@
+"""Canonical schemas — the Spark mapping of the reference's layout tree.
+
+Reference data model: a rooted ordered tree of dataclasses
+(`/root/reference/src/ocrtool/canonical_ocr/ocr_schema.py:23-339`)
+with per-level text separators that ARE the byte-identical spec:
+
+    word      = ''.join(symbols)        # ocr_schema.py:85
+    line      = ' '.join(words)         # ocr_schema.py:102
+    paragraph = ' '.join(lines)         # ocr_schema.py:119
+    block     = '\n'.join(elements)     # ocr_schema.py:147
+    page      = '\n\n'.join(blocks)     # ocr_schema.py:182
+    document  = '\n=====\n'.join(pages) # ocr_schema.py:198
+    table row = '\t'.join(cells)        # ocr_schema.py:254
+
+Our workhorse representation is the flattened *span table* (one row
+per word-leaf with ordinal columns); the tree is recovered by
+groupBy + array_sort + concat_ws (operators/assemble.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Per-level separators (must match reference ocr_schema.py exactly).
+SEP_WORD = ""
+SEP_LINE = " "
+SEP_PARAGRAPH = " "
+SEP_BLOCK = "\n"
+SEP_PAGE = "\n\n"
+SEP_DOCUMENT = "\n=====\n"
+SEP_ROW = "\t"
+
+# Input corpus table (BASELINE.json input_hint).
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# BoundingBox — reference ocr_schema.py:10-15 (frozen dataclass of 4
+# optional floats). HTML engines emit null; the PDF engine emits
+# synthetic line boxes from the text-matrix positions.
+BBOX_TYPE = T.StructType(
+    [
+        T.StructField("left", T.DoubleType(), True),
+        T.StructField("top", T.DoubleType(), True),
+        T.StructField("width", T.DoubleType(), True),
+        T.StructField("height", T.DoubleType(), True),
+    ]
+)
+
+# One row per word-leaf (FIXTURES.md section 2). `element_path`
+# (reference gdai_convert.py:87-98) is derivable from the ordinals —
+# compute with concat_ws('/') when needed, never stored.
+SPAN_FIELDS = [
+    T.StructField("page_no", T.IntegerType(), False),
+    T.StructField("block_no", T.IntegerType(), False),
+    T.StructField("block_type", T.StringType(), False),
+    T.StructField("para_no", T.IntegerType(), False),
+    T.StructField("line_no", T.IntegerType(), False),
+    T.StructField("word_no", T.IntegerType(), False),
+    T.StructField("text", T.StringType(), False),
+    T.StructField("char_start", T.LongType(), True),
+    T.StructField("char_end", T.LongType(), True),
+    T.StructField("bbox", BBOX_TYPE, True),
+    T.StructField("confidence", T.DoubleType(), True),
+    T.StructField("row_no", T.IntegerType(), True),
+    T.StructField("column_no", T.IntegerType(), True),
+    T.StructField("table_no", T.IntegerType(), True),
+]
+SPAN_TYPE = T.StructType(SPAN_FIELDS)
+
+# Engine output: one struct per document. `doc_text` is the
+# assembled text (fast path); `spans` is the canonical flattened
+# tree from which assemble.py must rebuild doc_text byte-identically.
+# `native_json` keeps the engine-native result (reference
+# execute_ocr_original contract, ocr_executor.py:92-106).
+EXTRACT_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("doc_text", T.StringType(), True),
+        T.StructField("n_pages", T.IntegerType(), True),
+        T.StructField("n_blocks", T.IntegerType(), True),
+        T.StructField("n_tables", T.IntegerType(), True),
+        T.StructField("n_words", T.IntegerType(), True),
+        T.StructField("confidence", T.DoubleType(), True),
+        T.StructField("spans", T.ArrayType(SPAN_TYPE), True),
+        T.StructField("native_json", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+# Pairwise comparison row (FIXTURES.md section 5).
+LCS_SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("a_start", T.LongType(), True),
+            T.StructField("a_end", T.LongType(), True),
+            T.StructField("b_start", T.LongType(), True),
+            T.StructField("b_end", T.LongType(), True),
+        ]
+    )
+)
+
+ALIGN_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("cer", T.DoubleType(), True),
+        T.StructField("wer", T.DoubleType(), True),
+        T.StructField("lcs_spans", LCS_SPAN_TYPE, True),
+    ]
+)
+
+# Operational tables (FIXTURES.md section 7).
+CACHE_SCHEMA = T.StructType(
+    [
+        T.StructField("engine", T.StringType(), False),
+        T.StructField("content_hash", T.StringType(), False),
+        T.StructField("kwargs_hash", T.StringType(), False),
+        T.StructField("native_json", T.StringType(), True),
+        T.StructField("doc_text", T.StringType(), True),
+        T.StructField("created_ts", T.TimestampType(), True),
+    ]
+)
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("job_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("rows_processed", T.LongType(), True),
+        T.StructField("completed_ts", T.TimestampType(), True),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("job_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("engine", T.StringType(), False),
+        T.StructField("docs_in", T.LongType(), True),
+        T.StructField("docs_ok", T.LongType(), True),
+        T.StructField("docs_error", T.LongType(), True),
+        T.StructField("error_kind_counts", T.MapType(T.StringType(), T.LongType()), True),
+        T.StructField("bytes_in", T.LongType(), True),
+        T.StructField("elapsed_ms", T.LongType(), True),
+    ]
+)

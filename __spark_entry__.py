@@ -1,38 +1,644 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2
+(or a training-data-pipeline extension); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL over the same parquet views. The synthetic
+pages corpus is a *deterministic closed-form function* of
+``documents.text`` (ocr_compare_spark/synth.py), which is what makes
+full-pipeline extraction byte-comparable to ANSI SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ocr_compare_spark import synth
+from ocr_compare_spark.operators import dedup, similarity, textstats
+from ocr_compare_spark.operators.assemble import assemble_doc_text
+from ocr_compare_spark.operators.chunking import explode_segments
+from ocr_compare_spark.operators.compare import pairwise_compare
+from ocr_compare_spark.operators.extract import IS_PDF_EXPR, run_engines, spans_table
+from ocr_compare_spark.operators.winner import pick_winner
+from ocr_compare_spark.sources import cache as cache_mod
+
+# ---------------------------------------------------------------- caching
+
+_PAGES: dict[str, DataFrame] = {}
+_RESULTS: dict[str, DataFrame] = {}
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _PAGES:
+        _PAGES[sf_dir] = synth.pages_from_documents(spark, sf_dir).persist()
+    return _PAGES[sf_dir]
+
+
+def _results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _RESULTS:
+        _RESULTS[sf_dir] = run_engines(_pages(spark, sf_dir)).persist()
+    return _RESULTS[sf_dir]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def doc_id_from_url() -> F.Column:
+    return F.regexp_extract(F.col("url"), r"/doc/(\d+)", 1).cast("long")
+
+# ------------------------------------------------------------ oracle SQL
+# Shared CTE: token -> paragraph chunking, the synth layout contract.
+PARAS_CTE = f"""
+toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t, {synth.SQL_URL} AS url,
+         {synth.SQL_IS_PDF} AS is_pdf
+  FROM documents
+),
+paras_base AS (
+  SELECT doc_id, lang, url, is_pdf, t,
+         unnest(range(0, CAST(ceil(len(t)/{synth.PARA_WORDS}.0) AS BIGINT))) AS para_no
+  FROM toks
+),
+paras AS (
+  SELECT doc_id, lang, url, is_pdf, para_no,
+         array_to_string(t[(para_no*{synth.PARA_WORDS}+1):(para_no*{synth.PARA_WORDS}+{synth.PARA_WORDS})], ' ') AS para_text,
+         len(t[(para_no*{synth.PARA_WORDS}+1):(para_no*{synth.PARA_WORDS}+{synth.PARA_WORDS})]) AS n_tok,
+         len(t) AS total_tok
+  FROM paras_base
+)
+"""
+
+NL2 = "chr(10) || chr(10)"
+PAGE_SEP = "chr(10) || '=====' || chr(10)"
+MIN_TOK = synth.DENSITY_MIN_TOKENS
+
+SQL_DOM_TEXT = f"""
+SELECT url, concat('{synth.PROMO_TEXT}', {NL2} || string_agg(para_text, {NL2} ORDER BY para_no)) AS doc_text
+FROM paras WHERE NOT is_pdf GROUP BY url
+"""
+
+SQL_DENSITY_TEXT = f"""
+SELECT url, coalesce(string_agg(para_text, {NL2} ORDER BY para_no) FILTER (n_tok >= {MIN_TOK}), '') AS doc_text
+FROM paras WHERE NOT is_pdf GROUP BY url
+"""
+
+SQL_PDF_TEXT = f"""
+SELECT url, string_agg(page_text, {PAGE_SEP} ORDER BY page_no) AS doc_text
+FROM (
+  SELECT url, para_no // {synth.PAGE_PARAS} AS page_no,
+         string_agg(para_text, {NL2} ORDER BY para_no) AS page_text
+  FROM paras WHERE is_pdf GROUP BY url, para_no // {synth.PAGE_PARAS}
+) GROUP BY url
+"""
+
+
+# ------------------------------------------------------------- queries
+
+
+def q_extract_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _results(spark, sf_dir)
+    return r.filter(F.col("engine") == "dom").select("url", "doc_text")
+
+
+def q_extract_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _results(spark, sf_dir)
+    return r.filter(F.col("engine") == "density").select("url", "doc_text")
+
+
+def q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _results(spark, sf_dir)
+    return r.filter(F.col("engine") == "pdf").select("url", "doc_text")
+
+
+def q_assemble_from_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1 cascade: rebuild doc text from word spans natively;
+    must equal the dom fast path byte-for-byte."""
+    r = _results(spark, sf_dir).filter(F.col("engine") == "dom")
+    return assemble_doc_text(spans_table(r)).select("url", "doc_text")
+
+
+def q_winner_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pick_winner(_results(spark, sf_dir)).select("url", "engine", "doc_text")
+
+
+def q_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _results(spark, sf_dir)
+    return r.select(
+        "url",
+        "engine",
+        F.col("n_pages").cast("long").alias("num_pages"),
+        F.col("n_blocks").cast("long").alias("num_blocks"),
+        F.col("n_tables").cast("long").alias("num_tables"),
+        F.col("n_words").cast("long").alias("num_words"),
+        F.length("doc_text").cast("long").alias("total_length"),
+    )
+
+
+def q_spans_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _results(spark, sf_dir).filter(F.col("engine") == "dom")
+    sp = spans_table(r)
+    return sp.groupBy("url").agg(
+        F.count("*").alias("n_spans"),
+        F.count_distinct("block_no").cast("long").alias("n_blocks"),
+        F.count_distinct(F.struct("block_no", "line_no")).cast("long").alias("n_lines"),
+    )
+
+
+def q_compare_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _results(spark, sf_dir).filter(F.col("engine").isin("dom", "density"))
+    c = pairwise_compare(r, with_alignment=False)
+    return c.select(
+        "url", "engine_a", "engine_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.col("char_count_a").cast("long").alias("char_count_a"),
+        F.col("char_count_b").cast("long").alias("char_count_b"),
+        F.col("word_count_a").cast("long").alias("word_count_a"),
+        F.col("word_count_b").cast("long").alias("word_count_b"),
+        F.col("line_count_a").cast("long").alias("line_count_a"),
+        F.col("line_count_b").cast("long").alias("line_count_b"),
+    )
+
+
+def q_compare_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _results(spark, sf_dir).filter(F.col("engine").isin("dom", "density"))
+    c = pairwise_compare(r, with_alignment=True)
+    return c.select("url", F.round("cer", 6).alias("cer"))
+
+
+def q_compare_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WER + LCS span count — non-SQL-expressible (token-level DP),
+    rows-only check."""
+    r = _results(spark, sf_dir).filter(F.col("engine").isin("dom", "density"))
+    c = pairwise_compare(r, with_alignment=True)
+    return c.select("url", F.round("wer", 6).alias("wer"), F.size("lcs_spans").alias("n_lcs_spans"))
+
+
+def q_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _pages(spark, sf_dir)
+    mime = F.when(F.expr(IS_PDF_EXPR), F.lit("application/pdf")).otherwise(F.lit("text/html"))
+    return p.groupBy(mime.alias("mime")).agg(F.count("*").alias("n"))
+
+
+def q_pages_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _pages(spark, sf_dir)
+    return p.select("url", F.col("warc_ts").cast("long").alias("ts_epoch"), "lang")
+
+
+def q_cache_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/S6/S7: simulate a cache seeded with even doc_ids, return
+    the urls needing compute (left_anti on the content key)."""
+    p = _pages(spark, sf_dir)
+    keyed = cache_mod.with_cache_key(p, engine="density")
+    seeded = keyed.filter(doc_id_from_url() % 2 == 0).select(
+        "engine", "content_hash", "kwargs_hash"
+    )
+    _, misses = cache_mod.split_hits_misses(keyed, seeded)
+    return misses.select("url")
+
+
+def q_chunk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/C3: page-count + split oversized PDFs into <=2-page
+    segments."""
+    p = _pages(spark, sf_dir).filter(F.expr(IS_PDF_EXPR))
+    segs = explode_segments(p, limit=2)
+    return segs.groupBy("url").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("seg_pages").cast("long").alias("n_pages"),
+    )
+
+
+def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    out = textstats.with_text_stats(d, "text")
+    return out.select(
+        "doc_id", "char_count", "word_count", "line_count",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        "token_count",
+        "quality_score",
+    )
+
+
+def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = textstats.with_text_stats(_docs(spark, sf_dir), "text")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("word_count").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", F.col("rnk").cast("long").alias("rnk"), "doc_id")
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", textstats.fingerprint_minshingle("text", 5).alias("fp"))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", textstats.langid_label("text").alias("lang_pred"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_dedup_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.adjacent_ngram_jaccard(_docs(spark, sf_dir), "doc_id", "text", "lang", n=3)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — hash-function-specific
+    (xxhash64), rows-only check; planted-duplicate recall is locked
+    by tests/test_dedup.py."""
+    return dedup.lsh_candidates(_docs(spark, sf_dir), "doc_id", "text", verify_threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (md5-based bit vote) — rows-only check."""
+    return dedup.simhash(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = [(r["vec_id"], list(r["embedding"])) for r in emb.filter(F.col("vec_id") < 8).collect()]
+    return similarity.brute_force_topk(emb, queries, k=3).select("query_id", "rank", "neighbor_id")
+
+
+def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed approximate ANN — recall measured in tests, rows-only."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=3).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _tbl(spark, sf_dir, "events")
+    # microsecond-exact window bucketing (matches DuckDB epoch_us);
+    # parquet ts is TIMESTAMP_NTZ -> cast (session tz pinned to UTC)
+    win = (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 300_000_000) * 300).cast("long")
+    return e.groupBy(win.alias("win_start"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    marked = e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+    return marked.groupBy("user_id").agg(
+        F.sum("new_sess").cast("long").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    joined = rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", F.col("rnk").cast("long").alias("rnk"), "c_custkey", F.round("revenue", 2).alias("revenue"))
+    )
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+# ------------------------------------------------------------ contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full multi-engine extraction+comparison on sf0.001 —
+    winner text per url joined with the pairwise agreement metrics."""
+    sf_dir = "/root/testdata/sf0.001"
+    pages = synth.pages_from_documents(spark, sf_dir)
+    results = run_engines(pages)
+    winners = pick_winner(results).select(
+        "url", F.col("engine").alias("winner_engine"), F.length("doc_text").alias("winner_len")
+    )
+    metrics = pairwise_compare(results, with_alignment=True).select(
+        "url", "engine_a", "engine_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("cer", 6).alias("cer"),
+        F.round("wer", 6).alias("wer"),
+    )
+    return winners.join(metrics, "url", "left").orderBy("url", "engine_a", "engine_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_dom": q_extract_dom,
+        "extract_density": q_extract_density,
+        "extract_pdf": q_extract_pdf,
+        "assemble_from_spans": q_assemble_from_spans,
+        "winner_text": q_winner_text,
+        "summaries": q_summaries,
+        "spans_hierarchy": q_spans_hierarchy,
+        "compare_basic": q_compare_basic,
+        "compare_cer": q_compare_cer,
+        "compare_alignment": q_compare_alignment,
+        "mime_route": q_mime_route,
+        "pages_meta": q_pages_meta,
+        "cache_misses": q_cache_misses,
+        "chunk_segments": q_chunk_segments,
+        "textstats": q_textstats,
+        "quality_topk": q_quality_topk,
+        "fingerprint": q_fingerprint,
+        "langid": q_langid,
+        "dedup_exact": q_dedup_exact,
+        "dedup_adjacent": q_dedup_adjacent,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "embed_topk": q_embed_topk,
+        "embed_topk_lsh": q_embed_topk_lsh,
+        "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        "tpch_q1": q_tpch_q1,
+        "top_customers": q_top_customers,
+        "customers_no_orders": q_customers_no_orders,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
+    return {
+        "extract_dom": f"WITH {PARAS_CTE} {SQL_DOM_TEXT}",
+        "extract_density": f"""
+            WITH {PARAS_CTE},
+            agg AS ({SQL_DENSITY_TEXT})
+            SELECT t.url, coalesce(a.doc_text, '') AS doc_text
+            FROM toks t LEFT JOIN agg a ON t.url = a.url WHERE NOT t.is_pdf
+        """,
+        "extract_pdf": f"WITH {PARAS_CTE} {SQL_PDF_TEXT}",
+        "assemble_from_spans": f"WITH {PARAS_CTE} {SQL_DOM_TEXT}",
+        "winner_text": f"""
+            WITH {PARAS_CTE},
+            den AS ({SQL_DENSITY_TEXT}),
+            pdf AS ({SQL_PDF_TEXT})
+            SELECT t.url,
+                   CASE WHEN t.is_pdf THEN 'pdf' ELSE 'density' END AS engine,
+                   CASE WHEN t.is_pdf THEN p.doc_text ELSE coalesce(d.doc_text, '') END AS doc_text
+            FROM toks t LEFT JOIN den d ON t.url = d.url LEFT JOIN pdf p ON t.url = p.url
+        """,
+        "summaries": f"""
+            WITH {PARAS_CTE},
+            per_doc AS (
+              SELECT url, is_pdf, max(total_tok) AS total_tok, count(*) AS n_paras,
+                     count(*) FILTER (n_tok >= {MIN_TOK}) AS kept_paras,
+                     sum(n_tok) FILTER (n_tok >= {MIN_TOK}) AS kept_words
+              FROM paras GROUP BY url, is_pdf
+            ),
+            dom AS ({SQL_DOM_TEXT}),
+            den AS ({SQL_DENSITY_TEXT}),
+            pdf AS ({SQL_PDF_TEXT})
+            SELECT p.url, 'dom' AS engine, CAST(1 AS BIGINT) AS num_pages,
+                   CAST(p.n_paras + 1 AS BIGINT) AS num_blocks, CAST(0 AS BIGINT) AS num_tables,
+                   CAST(p.total_tok + 4 AS BIGINT) AS num_words,
+                   CAST(length(d.doc_text) AS BIGINT) AS total_length
+            FROM per_doc p JOIN dom d ON p.url = d.url WHERE NOT p.is_pdf
+            UNION ALL
+            SELECT p.url, 'density', CAST(CASE WHEN p.kept_paras > 0 THEN 1 ELSE 0 END AS BIGINT),
+                   CAST(p.kept_paras AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(coalesce(p.kept_words, 0) AS BIGINT),
+                   CAST(length(coalesce(e.doc_text, '')) AS BIGINT)
+            FROM per_doc p LEFT JOIN den e ON p.url = e.url WHERE NOT p.is_pdf
+            UNION ALL
+            SELECT p.url, 'pdf', CAST(ceil(p.n_paras / {synth.PAGE_PARAS}.0) AS BIGINT),
+                   CAST(p.n_paras AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(p.total_tok AS BIGINT), CAST(length(f.doc_text) AS BIGINT)
+            FROM per_doc p JOIN pdf f ON p.url = f.url WHERE p.is_pdf
+        """,
+        "spans_hierarchy": f"""
+            WITH {PARAS_CTE}
+            SELECT url,
+                   CAST(max(total_tok) + 4 AS BIGINT) AS n_spans,
+                   CAST(count(*) + 1 AS BIGINT) AS n_blocks,
+                   CAST(sum(CAST(ceil(n_tok / {synth.LINE_WORDS}.0) AS BIGINT)) + 1 AS BIGINT) AS n_lines
+            FROM paras WHERE NOT is_pdf GROUP BY url
+        """,
+        "compare_basic": f"""
+            WITH {PARAS_CTE},
+            dom AS ({SQL_DOM_TEXT}),
+            den AS ({SQL_DENSITY_TEXT}),
+            pairtexts AS (
+              SELECT d.url, coalesce(e.doc_text, '') AS a_text, d.doc_text AS b_text
+              FROM dom d JOIN den e ON d.url = e.url
+            )
+            SELECT url, 'density' AS engine_a, 'dom' AS engine_b,
+              round(CAST(len(list_intersect(list_distinct(string_split_regex(lower(a_text), '\\s+')),
+                                            list_distinct(string_split_regex(lower(b_text), '\\s+')))) AS DOUBLE)
+                    / len(list_distinct(list_concat(list_distinct(string_split_regex(lower(a_text), '\\s+')),
+                                                    list_distinct(string_split_regex(lower(b_text), '\\s+'))))), 6) AS jaccard,
+              CAST(length(a_text) AS BIGINT) AS char_count_a,
+              CAST(length(b_text) AS BIGINT) AS char_count_b,
+              CAST(len(string_split_regex(a_text, '\\s+')) AS BIGINT) AS word_count_a,
+              CAST(len(string_split_regex(b_text, '\\s+')) AS BIGINT) AS word_count_b,
+              CAST(len(string_split(a_text, chr(10))) AS BIGINT) AS line_count_a,
+              CAST(len(string_split(b_text, chr(10))) AS BIGINT) AS line_count_b
+            FROM pairtexts
+        """,
+        "compare_cer": f"""
+            WITH {PARAS_CTE},
+            dom AS ({SQL_DOM_TEXT}),
+            den AS ({SQL_DENSITY_TEXT})
+            SELECT d.url,
+                   round(CAST(levenshtein(coalesce(e.doc_text, ''), d.doc_text) AS DOUBLE)
+                         / greatest(length(coalesce(e.doc_text, '')), length(d.doc_text)), 6) AS cer
+            FROM dom d JOIN den e ON d.url = e.url
+        """,
+        "mime_route": f"""
+            SELECT CASE WHEN {synth.SQL_IS_PDF} THEN 'application/pdf' ELSE 'text/html' END AS mime,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "pages_meta": f"""
+            SELECT {synth.SQL_URL} AS url,
+                   CAST({synth.EPOCH_2025} + (doc_id % {synth.TS_SPAN_MIN}) * 60 AS BIGINT) AS ts_epoch,
+                   lang
+            FROM documents
+        """,
+        "cache_misses": f"SELECT {synth.SQL_URL} AS url FROM documents WHERE doc_id % 2 = 1",
+        "chunk_segments": f"""
+            WITH {PARAS_CTE},
+            pd AS (
+              SELECT url, CAST(ceil(count(*) / {synth.PAGE_PARAS}.0) AS BIGINT) AS n_pages
+              FROM paras WHERE is_pdf GROUP BY url
+            )
+            SELECT url, CAST(ceil(n_pages / 2.0) AS BIGINT) AS n_segments, n_pages FROM pd
+        """,
+        "textstats": f"""
+            WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+            SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS char_count,
+              CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS word_count,
+              CAST(len(string_split(text, chr(10))) AS BIGINT) AS line_count,
+              round(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> lower(x) IN ({stop_list}))) AS DOUBLE)
+                    / len(string_split_regex(text, '\\s+')), 6) AS stopword_ratio,
+              round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                    / length(text), 6) AS punct_ratio,
+              CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS token_count,
+              round(least(len(string_split_regex(text, '\\s+')) / 100.0, 1.0) * 0.6 +
+                    least((CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> lower(x) IN ({stop_list}))) AS DOUBLE)
+                           / len(string_split_regex(text, '\\s+'))) * 5.0, 1.0) * 0.4, 6) AS quality_score
+            FROM t
+        """,
+        "quality_topk": f"""
+            WITH s AS (
+              SELECT doc_id, lang,
+                len(string_split_regex(text, '\\s+')) AS word_count,
+                round(least(len(string_split_regex(text, '\\s+')) / 100.0, 1.0) * 0.6 +
+                      least((CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> lower(x) IN ({stop_list}))) AS DOUBLE)
+                             / len(string_split_regex(text, '\\s+'))) * 5.0, 1.0) * 0.4, 6) AS quality_score
+              FROM documents
+            ), r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, word_count DESC, doc_id ASC) AS rnk
+              FROM s
+            )
+            SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id FROM r WHERE rnk <= 5
+        """,
+        "fingerprint": """
+            SELECT doc_id, min(md5(substr(text, i, 5))) AS fp
+            FROM (
+              SELECT doc_id, text,
+                     unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+              FROM documents
+            )
+            GROUP BY doc_id
+        """,
+        "langid": """
+            WITH s AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+            ), sc AS (
+              SELECT doc_id,
+                len(list_filter(t, x -> x IN ('the','and','of'))) AS s_en,
+                len(list_filter(t, x -> x IN ('el','la','de'))) AS s_es,
+                len(list_filter(t, x -> x IN ('der','die','und'))) AS s_de,
+                len(list_filter(t, x -> x IN ('le','la','et'))) AS s_fr
+              FROM s
+            )
+            SELECT doc_id, CASE
+              WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+              WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+              WHEN s_de >= s_fr THEN 'de'
+              ELSE 'fr' END AS lang_pred
+            FROM sc
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_adjacent": """
+            WITH tok AS (
+              SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents
+            ), ex AS (
+              SELECT doc_id, lang, t,
+                     unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+              FROM tok
+            ), sh AS (
+              SELECT lang AS part, doc_id AS id,
+                     list_distinct(list(array_to_string(t[i:i+2], ' '))) AS shingles
+              FROM ex GROUP BY lang, doc_id
+            ), nxt AS (
+              SELECT part, id, shingles,
+                     lead(id) OVER (PARTITION BY part ORDER BY id) AS next_id,
+                     lead(shingles) OVER (PARTITION BY part ORDER BY id) AS next_sh
+              FROM sh
+            )
+            SELECT part, id, next_id,
+                   round(CASE WHEN len(list_distinct(list_concat(shingles, next_sh))) > 0
+                         THEN CAST(len(list_intersect(shingles, next_sh)) AS DOUBLE)
+                              / len(list_distinct(list_concat(shingles, next_sh)))
+                         ELSE 1.0 END, 6) AS jaccard
+            FROM nxt WHERE next_id IS NOT NULL
+        """,
+        "embed_topk": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+              FROM q, embeddings c WHERE q.vec_id <> c.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= 3
+        """,
+        "events_window": """
+            SELECT CAST(floor(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS win_start, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            WITH rev AS (
+              SELECT o_custkey, sum(o_totalprice) AS revenue FROM orders GROUP BY o_custkey
+            ), r AS (
+              SELECT n.n_name, c.c_custkey, rev.revenue,
+                     row_number() OVER (PARTITION BY n.n_name ORDER BY rev.revenue DESC, c.c_custkey ASC) AS rnk
+              FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+                       JOIN nation n ON c.c_nationkey = n.n_nationkey
+            )
+            SELECT n_name, CAST(rnk AS BIGINT) AS rnk, c_custkey, round(revenue, 2) AS revenue
+            FROM r WHERE rnk <= 3
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+    }

@@ -1,0 +1,140 @@
+"""Oversized-document chunking: split -> extract -> renumber-combine.
+
+Reference flow (ocr_executor.py:122-183 + page_limit/page_count.py:
+37-57): if a PDF exceeds the engine's page limit, split it into
+<=limit-page segments, OCR each sequentially, then combine results
+by concatenating pages with a cumulative page-number offset
+(_combine_ocr_results + renumbering, ocr_executor.py:185-339).
+
+Spark-native version: the split is an ``explode`` (more, smaller work
+units that parallelize instead of the reference's sequential loop —
+this is the morally-flatMap of SURVEY §2.8 C3), the renumber is a
+cumulative window (A10), and the combine is the standard span-table
+reassembly keyed by (url, renumbered page_no) (A11).
+
+PAGE_LIMITS ≈ reference page_limit/limits.py:4-34.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from ocr_compare_spark.engines.pdf_stream import _STREAM_RE, count_pdf_pages
+
+# ≈ limits.py: engine type -> max pages per call. Our pdf engine gets
+# a small default so the synthetic corpus actually exercises the path.
+PAGE_LIMITS: dict[str, int | None] = {"pdf": 2, "dom": None, "density": None}
+
+_SEGMENT_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("seg_no", T.IntegerType()),
+            T.StructField("seg_pages", T.IntegerType()),
+            T.StructField("seg_bytes", T.BinaryType()),
+        ]
+    )
+)
+
+
+def split_pdf_segments(data: bytes, limit: int) -> list[tuple[int, int, bytes]]:
+    """≈ split_pdf_to_segments (page_count.py:37-57) for our
+    uncompressed-PDF subset: regroup content streams into <=limit-page
+    sub-PDFs (rebuilt with the same minimal writer layout)."""
+    if data[:4] != b"%PDF":
+        return [(0, 0, data)]
+    streams = [s for s in _STREAM_RE.findall(data) if b"BT" in s and b"ET" in s]
+    if not streams or len(streams) <= limit:
+        return [(0, count_pdf_pages(data), data)]
+    segs = []
+    for si in range(0, len(streams), limit):
+        chunk = streams[si : si + limit]
+        segs.append((si // limit, len(chunk), _rebuild_pdf(chunk)))
+    return segs
+
+
+def _rebuild_pdf(streams: list[bytes]) -> bytes:
+    n = len(streams)
+    out = bytearray(b"%PDF-1.4\n")
+    kids = " ".join(f"{4 + i} 0 R" for i in range(n))
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    for i in range(n):
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {4 + n + i} 0 R /Resources << /Font << /F1 3 0 R >> >> >>"
+            ).encode()
+        )
+    for idx, body in enumerate(objs, start=1):
+        out += f"{idx} 0 obj\n".encode() + body + b"\nendobj\n"
+    for kk, s in enumerate(streams):
+        out += (
+            f"{4 + n + kk} 0 obj\n<< /Length {len(s)} >>\nstream\n".encode()
+            + s
+            + b"\nendstream\nendobj\n"
+        )
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def make_segmenter_udf(limit: int):
+    @F.pandas_udf(_SEGMENT_TYPE)
+    def segment(html: pd.Series) -> pd.Series:
+        out = []
+        for data in html:
+            if data is None:
+                out.append([{"seg_no": 0, "seg_pages": 0, "seg_bytes": None}])
+                continue
+            out.append(
+                [
+                    {"seg_no": s, "seg_pages": p, "seg_bytes": b}
+                    for s, p, b in split_pdf_segments(bytes(data), limit)
+                ]
+            )
+        return pd.Series(out)
+
+    return segment
+
+
+def explode_segments(pages: DataFrame, limit: int) -> DataFrame:
+    """pages -> one row per (url, seg_no) with seg_bytes as the new
+    payload. Non-PDF rows pass through as seg_no 0."""
+    seg = make_segmenter_udf(limit)
+    return (
+        pages.withColumn("segs", seg(F.col("html")))
+        .select("url", "warc_ts", "lang", "text", F.explode("segs").alias("s"))
+        .select(
+            "url",
+            "warc_ts",
+            "lang",
+            "text",
+            F.col("s.seg_no").alias("seg_no"),
+            F.col("s.seg_pages").alias("seg_pages"),
+            F.col("s.seg_bytes").alias("html"),
+        )
+    )
+
+
+def renumber_pages(seg_spans: DataFrame) -> DataFrame:
+    """Cumulative page offset per (url, engine) over seg_no order —
+    ≈ the reference's next_page_number running max
+    (ocr_executor.py:200-240, operator A10/W4). Input: span rows
+    plus seg_no and seg_pages; output: spans with global page_no."""
+    w = (
+        Window.partitionBy("url", "engine")
+        .orderBy("seg_no")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    seg_offsets = (
+        seg_spans.select("url", "engine", "seg_no", "seg_pages")
+        .dropDuplicates(["url", "engine", "seg_no"])
+        .withColumn("page_offset", F.coalesce(F.sum("seg_pages").over(w), F.lit(0)))
+        .select("url", "engine", "seg_no", "page_offset")
+    )
+    return seg_spans.join(seg_offsets, ["url", "engine", "seg_no"]).withColumn(
+        "page_no", (F.col("page_no") + F.col("page_offset")).cast("int")
+    ).drop("page_offset")

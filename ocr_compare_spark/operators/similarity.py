@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- brute-force top-k: broadcast the (small) query set, block-matmul
+  per partition inside mapInPandas (numpy GEMM over Arrow batches),
+  partial top-k per partition, global top-k via one window. The
+  corpus is never shuffled; wall-clock scales linearly with corpus
+  partitions — the right baseline at 100 TB.
+- LSH-bucketed (random hyperplane signs): restrict candidates to
+  matching sign-buckets before scoring — the scale path when the
+  query set is large too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, neighbor_id, sim).
+
+    queries: driver-side list (small — broadcast inside the UDF
+    closure as a dense float64 matrix). Self-matches excluded.
+    """
+    spark = corpus.sparkSession
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    out_schema = "query_id long, neighbor_id long, sim double"
+
+    def partial_topk(batches):
+        ids_q, mat_q = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_c = pdf[id_col].to_numpy(dtype=np.int64)
+            mat_c = _normalize(np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]))
+            sims = mat_q @ mat_c.T  # (Q, C) GEMM — the hot loop
+            kk = min(k + 1, sims.shape[1])  # +1 to survive self-match removal
+            top_idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(ids_q, kk),
+                "neighbor_id": ids_c[top_idx].ravel(),
+                "sim": np.take_along_axis(sims, top_idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(partial_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def cosine_native(a: F.Column, b: F.Column) -> F.Column:
+    """Native cosine between two array<double> columns (zip_with +
+    aggregate — for joins where a UDF isn't warranted)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def hyperplane_buckets(vec_col: str, n_planes: int = 8, seed: int = 42, dim: int = 64) -> F.Column:
+    """Random-hyperplane LSH bucket id (int) — sign pattern of
+    n_planes fixed projections. Deterministic planes from a seeded
+    RNG materialized as literals (native dot products)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        coeffs = F.array(*[F.lit(float(c)) for c in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), coeffs, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH.
+
+    Each of ``n_tables`` independent tables assigns a 2^n_planes
+    bucket; candidates = union over tables of bucket-equi-joined
+    pairs (the standard recall amplifier: miss probability decays as
+    (1 - p^planes)^tables), then exact cosine within candidates. The
+    join key is (table_id, bucket) — never a cross join."""
+    dim = len(corpus.select(vec_col).first()[0])
+
+    def with_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        buckets = F.array(
+            *[hyperplane_buckets(vec_col, n_planes, seed=42 + t, dim=dim) for t in range(n_tables)]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(out_vec),
+            F.posexplode(buckets).alias("table_id", "bucket"),
+        )
+
+    cb = with_buckets(corpus, "neighbor_id", "c_vec")
+    qb = with_buckets(queries, "query_id", "q_vec")
+    cand = (
+        qb.join(cb, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_native(F.col("q_vec"), F.col("c_vec")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path math is Catalyst-native (split / filter / transform /
+aggregate on arrays — whole-stage codegen, no Python). These extend
+the reference's text stats (examples/ocr_comparison.py:130-137) with
+the standard corpus-quality signals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Fixed stopword list (deterministic; the synthetic corpus vocabulary
+# includes 'the' and 'a').
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space
+# punctuation — a deterministic stand-in for a real BPE vocab.
+BPE_SPLIT_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, r"\s+")
+
+
+def stats_columns(text_col: str = "text") -> dict[str, Column]:
+    t = tokens(text_col)
+    n = F.size(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return {
+        "char_count": n_chars.cast("long"),
+        "word_count": n.cast("long"),
+        "line_count": F.size(F.split(c, r"\n")).cast("long"),
+        "stopword_ratio": F.when(n > 0, n_stop / n).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "token_count": F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)).cast("long"),
+    }
+
+
+def quality_score() -> Column:
+    """Deterministic [0,1] quality score: length saturation +
+    stopword presence — the classic cheap web-text filters."""
+    wc = F.col("word_count")
+    return F.round(
+        F.least(wc / F.lit(100.0), F.lit(1.0)) * 0.6 + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.4,
+        6,
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = df
+    for name, col in stats_columns(text_col).items():
+        out = out.withColumn(name, col)
+    return out.withColumn("quality_score", quality_score())
+
+
+def fingerprint_minshingle(text_col: str = "text", k: int = 5) -> Column:
+    """Document fingerprint: min over md5 of all k-char shingles
+    (a 1-perm MinHash / winnowing-lite rolling fingerprint).
+    Fully native: sequence -> transform(substring) -> array_min."""
+    c = F.col(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: F.md5(c.substr(i, F.lit(k))),
+    )
+    return F.array_min(shingles)
+
+
+def langid_features(text_col: str = "text") -> dict[str, Column]:
+    """Language-ID heuristic features: ASCII ratio + marker-token
+    hits for a tiny built-in marker table. Returns feature columns;
+    the label is the argmax (langid_label)."""
+    c = F.col(text_col)
+    ascii_ratio = F.when(
+        F.length(c) > 0, F.length(F.regexp_replace(c, r"[^\x00-\x7F]", "")) / F.length(c)
+    ).otherwise(F.lit(1.0))
+    return {"ascii_ratio": ascii_ratio}
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+}
+
+
+def langid_label(text_col: str = "text") -> Column:
+    """Argmax of marker-token counts; 'und' when no marker hits.
+    N-gram-free heuristic — deterministic and SQL-mirrorable."""
+    t = F.transform(tokens(text_col), lambda x: F.lower(x))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(t, lambda x: F.array_contains(arr, x))).alias("score"),
+                F.lit({"en": 3, "es": 2, "de": 1, "fr": 0}[lang]).alias("tiebreak"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return F.when(best.score > 0, best.lang).otherwise(F.lit("und"))

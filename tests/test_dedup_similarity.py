@@ -1,0 +1,100 @@
+"""Dedup + similarity operators: planted duplicates must be found;
+ANN recall is measured against the exact result."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_compare_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(42)
+    vocab = [f"tok{i}" for i in range(200)]
+    rows = []
+    for i in range(60):
+        words = list(rng.choice(vocab, size=80))
+        rows.append((i, " ".join(words), "en"))
+    # planted exact duplicate of doc 0 and near-duplicate of doc 1
+    rows.append((1000, rows[0][1], "en"))
+    near = rows[1][1].split()
+    near[3] = "CHANGED"
+    rows.append((1001, " ".join(near), "en"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+def test_exact_dedup_finds_planted(corpus):
+    groups = dedup.exact_dedup(corpus, "doc_id", "text")
+    dup = groups.filter(F.col("n_docs") > 1).collect()
+    assert len(dup) == 1
+    assert dup[0].keep_id == 0 and dup[0].n_docs == 2
+
+
+def test_minhash_lsh_finds_planted(corpus):
+    pairs = dedup.lsh_candidates(corpus, "doc_id", "text", verify_threshold=0.5)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1000) in found
+    assert (1, 1001) in found
+    # jaccard of the exact pair is 1.0
+    exact = pairs.filter((F.col("id_a") == 0) & (F.col("id_b") == 1000)).first()
+    assert exact.jaccard == 1.0
+
+
+def test_simhash_near_dup_small_hamming(corpus):
+    sh = {r.id: r.simhash for r in dedup.simhash(corpus, "doc_id", "text").collect()}
+    assert sh[0] == sh[1000]  # identical docs -> identical simhash
+    ham = bin((sh[1] ^ sh[1001]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham <= 8  # near-dup -> close in hamming space
+    others = bin((sh[0] ^ sh[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert others > ham
+
+
+def test_adjacent_ngram_jaccard(corpus):
+    out = dedup.adjacent_ngram_jaccard(corpus, "doc_id", "text", "lang")
+    rows = {(r.id, r.next_id): r.jaccard for r in out.collect()}
+    assert rows[(59, 1000)] is not None
+    # 1000 is a copy of 0; its neighbor 1001 is unrelated to it
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((100, 16)).astype(np.float32)
+    mat[50] = mat[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # planted neighbor
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(100)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache(), mat
+
+
+def test_brute_force_topk_exact(vectors):
+    df, mat = vectors
+    qs = [(0, [float(x) for x in mat[0]]), (3, [float(x) for x in mat[3]])]
+    got = similarity.brute_force_topk(df, qs, k=3)
+    rows = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+    # numpy reference
+    m = mat.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    for q in (0, 3):
+        order = [i for i in np.argsort(-sims[q], kind="stable") if i != q][:3]
+        for rank, nid in enumerate(order, start=1):
+            assert rows[(q, rank)] == nid
+    assert rows[(0, 1)] == 50  # the planted neighbor wins
+
+
+def test_lsh_topk_recall(vectors):
+    df, mat = vectors
+    queries = df.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(
+        df, [(i, [float(x) for x in mat[i]]) for i in range(10)], k=3
+    )
+    approx = similarity.lsh_topk(df, queries, k=3, n_planes=4, n_tables=6)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6  # multi-table LSH amplifies recall
+    # the planted near-identical pair lands in the same bucket
+    assert (0, 50) in a

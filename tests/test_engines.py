@@ -1,0 +1,116 @@
+"""Pure-Python engine tests on the FIXTURES.md §8 snippets —
+no SparkSession needed (fast gate)."""
+
+from __future__ import annotations
+
+from ocr_compare_spark import synth
+from ocr_compare_spark.engines.base import is_pdf_bytes, list_available_engines, sniff_mime
+from ocr_compare_spark.engines.density import parse_density
+from ocr_compare_spark.engines.dom_heuristic import parse_dom
+from ocr_compare_spark.engines.pdf_stream import count_pdf_pages, parse_pdf
+from ocr_compare_spark.operators.extract import doc_to_result
+
+TEXT_120 = " ".join(f"w{i}" for i in range(120))
+
+
+def test_registry():
+    eng = list_available_engines()
+    assert set(eng) == {"dom", "density", "pdf"}
+    assert eng["dom"]["version"]
+
+
+def test_trivial_html():
+    r = doc_to_result(parse_dom(b"<html><body><p>hello world</p></body></html>"), 0.9)
+    assert r["doc_text"] == "hello world"
+    assert r["n_pages"] == 1 and r["n_blocks"] == 1 and r["n_words"] == 2
+
+
+def test_boilerplate_stripped():
+    h = synth.build_html(4, TEXT_120)
+    dom = doc_to_result(parse_dom(h), 0.9)
+    den = doc_to_result(parse_density(h), 0.95)
+    assert dom["doc_text"] == synth.expected_dom_text(TEXT_120)
+    assert den["doc_text"] == synth.expected_density_text(TEXT_120)
+    # chrome words never leak into either engine's output
+    for banned in ("Home", "About", "Copyright", "Related"):
+        assert banned not in dom["doc_text"]
+        assert banned not in den["doc_text"]
+    # promo: kept by dom, dropped by density (link-density rule)
+    assert synth.PROMO_TEXT in dom["doc_text"]
+    assert synth.PROMO_TEXT not in den["doc_text"]
+
+
+def test_reference_separators():
+    """Lock the ocr_schema.py separator discipline (word '', line ' ',
+    para ' ', block '\\n', page '\\n\\n', document '\\n=====\\n')."""
+    pdf = synth.build_pdf(7, " ".join(f"t{i}" for i in range(32 * 7)))  # 7 paras -> 3 pages
+    r = doc_to_result(parse_pdf(pdf), 0.85)
+    assert r["n_pages"] == 3
+    assert r["doc_text"].count("\n=====\n") == 2
+    pages = r["doc_text"].split("\n=====\n")
+    assert pages[0].count("\n\n") == 2  # 3 blocks on page 1
+
+
+def test_nested_table_header():
+    h = (
+        b"<html><body><table><tr><th>name</th><th>qty</th></tr>"
+        b"<tr><td>apples</td><td>3</td></tr>"
+        b"<tr><td>pears</td><td>5</td></tr></table></body></html>"
+    )
+    r = doc_to_result(parse_dom(h), 0.9)
+    assert r["n_tables"] == 1
+    assert r["doc_text"] == (
+        "| name | qty |\n| --- | --- |\n| apples | 3 |\n| pears | 5 |"
+    )
+    cell_spans = [s for s in r["spans"] if s["block_type"] == "TABLE"]
+    assert {(s["row_no"], s["column_no"]) for s in cell_spans} == {(0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1)}
+
+
+def test_malformed_html():
+    r = doc_to_result(parse_dom(b"<p>alpha <b>beta</i> gamma<p>delta"), 0.9)
+    assert "alpha" in r["doc_text"] and "delta" in r["doc_text"]
+    assert r["error"] is None
+
+
+def test_empty_document():
+    r = doc_to_result(parse_dom(b""), 0.9)
+    assert r["doc_text"] == "" and r["n_pages"] == 0 and r["error"] is None
+
+
+def test_pdf_roundtrip_and_page_count():
+    text = " ".join(f"x{i}" for i in range(32 * 5))
+    pdf = synth.build_pdf(17, text)
+    assert is_pdf_bytes(pdf)
+    assert count_pdf_pages(pdf) == 2
+    r = doc_to_result(parse_pdf(pdf), 0.85)
+    assert r["doc_text"] == synth.expected_pdf_text(text)
+    assert r["n_pages"] == 2
+
+
+def test_pdf_escaping():
+    pdf = synth.build_pdf(7, "paren ( and ) and \\ back")
+    r = doc_to_result(parse_pdf(pdf), 0.85)
+    assert r["doc_text"] == "paren ( and ) and \\ back"
+
+
+def test_truncated_pdf_quarantined():
+    r = doc_to_result(parse_pdf(b"%PDF-1.4 garbage no streams"), 0.85)
+    assert r["error"] == "pdf_truncated"
+    assert r["doc_text"] is None
+
+
+def test_mime_sniffing():
+    assert sniff_mime(b"%PDF-1.4") == "application/pdf"
+    assert sniff_mime(b"\xff\xd8\xff\xe0") == "image/jpeg"
+    assert sniff_mime(b"\x89PNG\r\n\x1a\nxx") == "image/png"
+    assert sniff_mime(b"GIF89a") == "image/gif"
+    assert sniff_mime(b"<html>") == "text/html"
+
+
+def test_span_offsets_point_into_doc_text():
+    for builder, parser in ((synth.build_html, parse_dom), (synth.build_pdf, parse_pdf)):
+        payload = builder(1, TEXT_120)
+        r = doc_to_result(parser(payload), 0.9)
+        for s in r["spans"]:
+            if s["char_start"] is not None:
+                assert r["doc_text"][s["char_start"] : s["char_end"]] == s["text"]

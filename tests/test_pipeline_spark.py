@@ -1,0 +1,139 @@
+"""Spark end-to-end invariants: byte-identical assembly, determinism
+under partitioning, winner/cache/chunking semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_compare_spark import synth
+from ocr_compare_spark.operators.assemble import assemble_doc_text
+from ocr_compare_spark.operators.chunking import PAGE_LIMITS, explode_segments, renumber_pages
+from ocr_compare_spark.operators.extract import run_engine, run_engines, spans_table
+from ocr_compare_spark.operators.winner import pick_winner
+from ocr_compare_spark.sources import cache as cache_mod
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_dir):
+    return synth.pages_from_documents(spark, sf_dir).limit(120).cache()
+
+
+@pytest.fixture(scope="module")
+def results(spark, pages):
+    return run_engines(pages).cache()
+
+
+def _golden(sf_dir):
+    docs = duckdb.sql(
+        f"select doc_id, text from read_parquet('{sf_dir}/documents.parquet')"
+    ).df()
+    return {int(r.doc_id): r.text for r in docs.itertuples()}
+
+
+def test_byte_identical_extraction(results, sf_dir):
+    golden = _golden(sf_dir)
+    exp_fn = {
+        "dom": synth.expected_dom_text,
+        "density": synth.expected_density_text,
+        "pdf": synth.expected_pdf_text,
+    }
+    rows = results.select("url", "engine", "doc_text").collect()
+    assert rows
+    for r in rows:
+        did = int(r.url.rsplit("/", 1)[1])
+        assert r.doc_text == exp_fn[r.engine](golden[did]), (r.url, r.engine)
+
+
+def test_assembly_equals_fast_path(results):
+    asm = assemble_doc_text(spans_table(results))
+    joined = asm.join(
+        results.select("url", "engine", F.col("doc_text").alias("fast")), ["url", "engine"]
+    )
+    assert joined.count() == results.filter(F.col("error").isNull()).count()
+    assert joined.filter(F.col("doc_text") != F.col("fast")).count() == 0
+
+
+def test_determinism_across_partitionings(spark, pages):
+    """north_rule: byte-identical output independent of parallelism."""
+    a = run_engine(pages.repartition(1), "dom").select("url", "doc_text")
+    b = run_engine(pages.repartition(13, "url"), "dom").select("url", "doc_text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_winner_rules(results):
+    w = pick_winner(results)
+    rows = {r.url: r.engine for r in w.collect()}
+    for url, eng in rows.items():
+        assert eng == ("pdf" if int(url.rsplit("/", 1)[1]) % 10 == synth.PDF_MOD else "density")
+
+
+def test_cache_roundtrip(spark, pages):
+    keyed = cache_mod.with_cache_key(pages, engine="dom")
+    empty_cache = spark.createDataFrame([], "engine string, content_hash string, kwargs_hash string")
+    hits, misses = cache_mod.split_hits_misses(keyed, empty_cache)
+    n = pages.count()
+    assert hits.count() == 0 and misses.count() == n
+    # seed the cache with everything -> second run all hits
+    seeded = keyed.select("engine", "content_hash", "kwargs_hash")
+    hits2, misses2 = cache_mod.split_hits_misses(keyed, seeded)
+    assert hits2.count() == n and misses2.count() == 0
+    # kwargs change invalidates
+    rekeyed = cache_mod.with_cache_key(pages, engine="dom", kwargs={"lang": "deu"})
+    _, misses3 = cache_mod.split_hits_misses(rekeyed, seeded)
+    assert misses3.count() == n
+
+
+def test_chunking_renumber_roundtrip(spark, pages, sf_dir):
+    """Split oversized PDFs, extract per segment, renumber pages,
+    reassemble -> byte-identical to whole-document extraction
+    (reference combine+renumber, ocr_executor.py:185-339)."""
+    # sf0.001 texts are short (1-page PDFs) — synthesize long docs so
+    # the limit actually bites. doc_id % 10 == PDF_MOD -> PDF payload.
+    limit = PAGE_LIMITS["pdf"]
+    long_docs = spark.createDataFrame(
+        [(i * 10 + synth.PDF_MOD, " ".join(f"w{i}_{j}" for j in range(32 * 3 * 5)), "en") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    golden_long = {r.doc_id: r.text for r in long_docs.collect()}
+    pages = spark.createDataFrame(
+        [
+            (synth.url_of(d), None, synth.build_pdf(d, t), t, "en")
+            for d, t in golden_long.items()
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    pdfs = pages.filter(F.expr("substring(html, 1, 4) = X'25504446'"))
+    segs = explode_segments(pdfs, limit)
+    assert segs.count() > pdfs.count()  # something actually split
+    assert segs.filter(F.col("seg_pages") > limit).count() == 0
+    # run the engine per segment (seg_no carried via a url suffix,
+    # since run_engine's contract is url-keyed), then renumber pages
+    # globally and reassemble
+    tagged = segs.withColumn(
+        "url", F.concat("url", F.lit("#"), F.col("seg_no").cast("string"))
+    )
+    spans = spans_table(run_engine(tagged, "pdf"))
+    spans = (
+        spans.withColumn("seg_no", F.split("url", "#").getItem(1).cast("int"))
+        .withColumn("url", F.split("url", "#").getItem(0))
+        .join(segs.select("url", "seg_no", "seg_pages"), ["url", "seg_no"])
+    )
+    asm = assemble_doc_text(renumber_pages(spans))
+    rows = asm.collect()
+    assert len(rows) == len(golden_long)
+    for r in rows:
+        did = int(r.url.rsplit("/", 1)[1])
+        assert r.doc_text == synth.expected_pdf_text(golden_long[did]), r.url
+
+
+def test_error_rows_never_dropped(spark):
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", b"%PDF-1.4 junk"), ("u3", b"<p>ok fine text</p>")],
+        "url string, html binary",
+    ).select("url", F.lit(None).cast("timestamp").alias("warc_ts"), "html", F.lit(None).cast("string").alias("text"), F.lit("en").alias("lang"))
+    res = run_engines(df)
+    per_url = {r.url for r in res.select("url").distinct().collect()}
+    assert per_url == {"u1", "u2", "u3"}
+    assert res.filter((F.col("url") == "u2") & F.col("error").isNotNull()).count() == 1

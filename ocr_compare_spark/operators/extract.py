@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from ocr_compare_spark.engines.base import EngineSpec, ParsedDoc, create_engine
 from ocr_compare_spark.schema import (
@@ -204,6 +204,74 @@ def run_engines(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def make_fused_udf(engine_names: tuple[str, ...], with_spans: bool = True):
+    """One pandas UDF computing ALL engines for a batch — a single
+    Arrow crossing per row instead of one filtered branch scan per
+    engine (3x fewer source scans + Python round-trips on the hot
+    path). Rows are routed to engines by magic bytes inside the
+    batch, mirroring the reference's dispatch (ocr.py:35-64)."""
+    specs = [create_engine(n) for n in engine_names]
+    fused_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("engine", T.StringType(), False),
+                T.StructField("engine_version", T.StringType(), False),
+                T.StructField("r", EXTRACT_RESULT_TYPE, True),
+            ]
+        )
+    )
+
+    @F.pandas_udf(fused_type)
+    def fused(html: pd.Series) -> pd.Series:
+        out = []
+        for data in html:
+            is_pdf = data is not None and bytes(data)[:4] == b"%PDF"
+            row = []
+            for spec in specs:
+                if spec.handles == "pdf" and not is_pdf:
+                    continue
+                if spec.handles == "html" and is_pdf:
+                    continue
+                try:
+                    if data is None:
+                        parsed = ParsedDoc(error="null_payload")
+                    else:
+                        parsed = spec.parse(bytes(data))
+                except Exception as e:
+                    parsed = ParsedDoc(error=f"parse_error:{type(e).__name__}")
+                row.append(
+                    {
+                        "engine": spec.name,
+                        "engine_version": spec.version,
+                        "r": doc_to_result(parsed, spec.confidence, with_spans),
+                    }
+                )
+            out.append(row)
+        return pd.Series(out)
+
+    return fused
+
+
+def run_engines_fused(
+    pages: DataFrame,
+    engines: tuple[str, ...] = ("dom", "density", "pdf"),
+    with_spans: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Hot-path variant of run_engines: one source scan, one Arrow
+    boundary, engines exploded to long format. Identical output."""
+    if num_partitions:
+        pages = pages.repartition(num_partitions, "url")
+    fused = make_fused_udf(engines, with_spans)
+    return (
+        pages.select(
+            "url", "warc_ts", "lang", F.explode(fused(F.col("html"))).alias("e")
+        )
+        .select("url", "warc_ts", "lang", "e.engine", "e.engine_version", "e.r")
+        .select("url", "warc_ts", "lang", "engine", "engine_version", "r.*")
+    )
 
 
 def spans_table(results: DataFrame) -> DataFrame:

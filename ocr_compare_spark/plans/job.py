@@ -1,0 +1,145 @@
+"""Flagship end-to-end job — the Spark equivalent of the reference's
+CLI comparison run (/root/reference/examples/ocr_comparison.py:159-268)
+as ONE DAG, deployable via spark-submit --py-files:
+
+    spark-submit --master local[8] --py-files ocr_compare_spark.zip \
+        ocr_compare_spark/plans/job.py --input /root/testdata/sf0.1 \
+        --replicate 4 --output /tmp/ocr_out
+
+source table -> deterministic pages synth -> explicit repartition on
+url (unique key => even spread regardless of host skew) -> 3 engine
+UDFs (hot path: no span arrays) -> winner window -> pairwise metrics
+-> parquet sinks + metrics table. Prints one JSON line with in-job
+timings (startup excluded: timer wraps the actions only) and
+docs/sec — the BASELINE.md protocol.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# When launched as a bare script (python .../plans/job.py) put the
+# repo root on the path; under spark-submit --py-files the packaged
+# zip already provides the module and this is a no-op.
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def build_and_run(
+    spark,
+    input_dir: str,
+    output_dir: str | None,
+    replicate: int = 1,
+    with_alignment: bool = True,
+    with_spans: bool = False,
+    num_partitions: int | None = None,
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from ocr_compare_spark import synth
+    from ocr_compare_spark.operators.compare import pairwise_compare
+    from ocr_compare_spark.operators.extract import run_engines_fused
+    from ocr_compare_spark.operators.winner import pick_winner
+    from ocr_compare_spark.sources import metrics as mx
+
+    sc = spark.sparkContext
+    if num_partitions is None:
+        # ~1 partition per core locally (measured: over-partitioning
+        # tiny tasks costs ~50ms each in scheduler+GC overhead). At
+        # cluster scale the source table's split size governs instead.
+        num_partitions = sc.defaultParallelism
+    # right-size the shuffle for this job (runtime-settable; respects
+    # a spark-submit --conf only if the caller passes --partitions)
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+
+    pages = synth.pages_from_documents(spark, input_dir, replicate=replicate)
+
+    t0 = time.time()
+    results = run_engines_fused(
+        pages, with_spans=with_spans, num_partitions=num_partitions
+    )
+    observed, obs = mx.observe_extraction(results)
+    observed = observed.persist()
+
+    winners = pick_winner(observed)
+    compare = pairwise_compare(observed, with_alignment=with_alignment)
+
+    if output_dir:
+        winners.write.mode("overwrite").parquet(f"{output_dir}/winners")
+        compare.drop("lcs_spans", "text_a", "text_b").write.mode("overwrite").parquet(
+            f"{output_dir}/compare"
+        )
+        n_winners = spark.read.parquet(f"{output_dir}/winners").count()
+        n_pairs = spark.read.parquet(f"{output_dir}/compare").count()
+    else:
+        winners.write.format("noop").mode("overwrite").save()
+        n_winners = -1
+        compare.write.format("noop").mode("overwrite").save()
+        n_pairs = -1
+    elapsed = time.time() - t0
+    stats = dict(obs.get)
+
+    if output_dir:
+        mx.partition_metrics(observed, job_id=f"job-{int(t0)}").write.mode("overwrite").parquet(
+            f"{output_dir}/metrics"
+        )
+    observed.unpersist()
+    # unique documents = source rows x replicate (cheap metadata count
+    # on the parquet, not a pass through the synth UDF)
+    docs_total = (
+        spark.read.parquet(f"{input_dir.rstrip('/')}/documents.parquet").count() * replicate
+    )
+    return {
+        "elapsed_sec": round(elapsed, 2),
+        "docs": docs_total,
+        "engine_rows": int(stats.get("docs_in", -1)),
+        "docs_ok": int(stats.get("docs_ok", -1)),
+        "docs_error": int(stats.get("docs_error", -1)),
+        "n_winners": n_winners,
+        "n_pairs": n_pairs,
+        "docs_per_sec": round(docs_total / elapsed, 2),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="/root/testdata/sf0.1")
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--replicate", type=int, default=1)
+    ap.add_argument("--no-alignment", action="store_true")
+    ap.add_argument("--partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    if SparkSession.getActiveSession() is None and "SPARK_ENV_LOADED" not in os.environ:
+        # bare `python job.py` run: build a tuned local session
+        from ocr_compare_spark.session import get_spark
+
+        spark = get_spark(app_name="ocr_compare_flagship")
+    else:
+        # under spark-submit the JVM/master/memory are already fixed
+        spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    out = build_and_run(
+        spark,
+        args.input,
+        args.output,
+        replicate=args.replicate,
+        with_alignment=not args.no_alignment,
+        num_partitions=args.partitions,
+    )
+    out["master"] = spark.sparkContext.master
+    print("BENCH_JSON:" + json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -281,6 +281,17 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload -> deterministic feature
+    vector via mapInPandas (decode stubbed — no image libs in env);
+    rows-only check + determinism locked by tests."""
+    from ocr_compare_spark.operators.multimodal import extract_media_features
+
+    p = _pages(spark, sf_dir)
+    out = extract_media_features(p)
+    return out.select("url", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _tbl(spark, sf_dir, "events")
     # microsecond-exact window bucketing (matches DuckDB epoch_us);
@@ -385,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embed_topk": q_embed_topk,
         "embed_topk_lsh": q_embed_topk_lsh,
+        "media_features": q_media_features,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "tpch_q1": q_tpch_q1,

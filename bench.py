@@ -1,0 +1,142 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed around its action only (startup excluded) and
+run REPS times taking the best — the sandbox host shows intermittent
+multi-10s stalls unrelated to the workload (measured; see
+session.py notes), and min-of-N is the standard way to report
+throughput under external noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ocr_compare_spark.session import get_spark
+    from ocr_compare_spark import synth
+    from ocr_compare_spark.operators.assemble import assemble_doc_text
+    from ocr_compare_spark.operators.compare import pairwise_compare
+    from ocr_compare_spark.operators.extract import run_engines_fused, spans_table
+    from ocr_compare_spark.operators.winner import pick_winner
+    from ocr_compare_spark.operators import dedup, similarity
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="ocr_compare_bench")
+    cores = spark.sparkContext.defaultParallelism
+
+    # Flagship corpus: replicate so the run is meaningful at sf0.1
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "4"))
+    pages = synth.pages_from_documents(spark, sf_dir, replicate=replicate)
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    n_docs = docs.count() * replicate
+    emb = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+
+    res_path = "/tmp/bench_results_parquet"
+
+    def q_extract():
+        run_engines_fused(pages, with_spans=False, num_partitions=cores).write.mode(
+            "overwrite"
+        ).parquet(res_path)
+
+    def q_compare():
+        r = spark.read.parquet(res_path)
+        pairwise_compare(r, with_alignment=True).drop("lcs_spans").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def q_winner():
+        r = spark.read.parquet(res_path)
+        pick_winner(r).write.format("noop").mode("overwrite").save()
+
+    def q_spans_assemble():
+        r = run_engines_fused(pages, engines=("dom",), with_spans=True, num_partitions=cores)
+        assemble_doc_text(spans_table(r)).write.format("noop").mode("overwrite").save()
+
+    def q_dedup_minhash():
+        dedup.lsh_candidates(docs, "doc_id", "text", verify_threshold=0.5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def q_embed_topk():
+        qs = [(r["vec_id"], list(r["embedding"])) for r in emb.limit(32).collect()]
+        similarity.brute_force_topk(emb, qs, k=10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def q_tpch_q1():
+        (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+                F.count("*").alias("n"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    queries = {
+        "extract_multi_engine": q_extract,
+        "compare_align": q_compare,
+        "winner": q_winner,
+        "spans_assemble": q_spans_assemble,
+        "dedup_minhash": q_dedup_minhash,
+        "embed_topk": q_embed_topk,
+        "tpch_q1": q_tpch_q1,
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "e2e_headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "docs": n_docs,
+        "extract_docs_per_sec": round(n_docs / timings["extract_multi_engine"], 1),
+        "flagship_docs_per_sec": round(
+            n_docs / (timings["extract_multi_engine"] + timings["compare_align"] + timings["winner"]), 1
+        ),
+        "cores": cores,
+        "reps": REPS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

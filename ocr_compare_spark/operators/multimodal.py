@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode step itself is STUBBED — no image/audio libraries exist
+in this container (cv2/PIL/librosa absent), matching the reference's
+import-guarded optional engines (ocr_impls/__init__.py:5-17). The
+Spark-side plumbing is REAL and tested: schemas, mime routing,
+Arrow-batched mapInPandas with bounded batch sizes, deterministic
+fake features so downstream operators (dedup, ANN) can be exercised
+end-to-end.
+
+Reference analog: scan/document_scanner.py:21-50 decodes image bytes
+to ndarrays inside the scan utility — same seam, one row per asset.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_META_SCHEMA = (
+    "url string, mime string, n_bytes long, magic_ok boolean"
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = (
+    f"url string, mime string, n_bytes long, feature array<float>, decode_error string"
+)
+
+
+def media_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Typed metadata via native expressions only (S4 mime sniff as
+    column exprs; no Python)."""
+    p = F.col(payload_col)
+    mime = (
+        F.when(F.expr(f"substring({payload_col}, 1, 4) = X'25504446'"), "application/pdf")
+        .when(F.expr(f"substring({payload_col}, 1, 3) = X'FFD8FF'"), "image/jpeg")
+        .when(F.expr(f"substring({payload_col}, 1, 8) = X'89504E470D0A1A0A'"), "image/png")
+        .when(F.expr(f"substring({payload_col}, 1, 4) = X'52494646'"), "audio/wav-or-webp")
+        .otherwise("text/html")
+    )
+    return df.select(
+        "url",
+        mime.alias("mime"),
+        F.octet_length(p).cast("long").alias("n_bytes"),
+        (F.octet_length(p) > 8).alias("magic_ok"),
+    )
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """STUB: real implementation would be cv2.imdecode /
+    PIL.Image.open. Raises so callers must route through
+    fake_features in this environment."""
+    raise NotImplementedError("image decode requires cv2/PIL (not in this container)")
+
+
+def fake_features(data: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for a decoder+embedder: md5-seeded
+    unit vector. Stable across processes (no salted hash)."""
+    seed = int.from_bytes(hashlib.md5(data).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / (np.linalg.norm(v) or 1.0)
+
+
+def extract_media_features(df: DataFrame, payload_col: str = "html", batch_rows: int = 256) -> DataFrame:
+    """mapInPandas over binary payloads -> fixed-dim feature vectors.
+
+    Real plumbing: Arrow batches are re-chunked to ``batch_rows`` so a
+    partition of large blobs never materializes as one giant batch
+    (the multimodal analog of arrow.maxRecordsPerBatch). Decode
+    errors become rows, not task failures."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for url, data in zip(chunk["url"], chunk[payload_col]):
+                    if data is None:
+                        rows.append({"url": url, "mime": None, "n_bytes": 0, "feature": None, "decode_error": "null_payload"})
+                        continue
+                    b = bytes(data)
+                    mime = "application/pdf" if b[:4] == b"%PDF" else "text/html"
+                    try:
+                        feat = fake_features(b)
+                        rows.append({"url": url, "mime": mime, "n_bytes": len(b), "feature": [float(x) for x in feat], "decode_error": None})
+                    except Exception as e:
+                        rows.append({"url": url, "mime": mime, "n_bytes": len(b), "feature": None, "decode_error": type(e).__name__})
+                yield pd.DataFrame(rows)
+
+    return df.select("url", payload_col).mapInPandas(run, FEATURES_SCHEMA)

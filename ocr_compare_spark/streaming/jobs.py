@@ -1,0 +1,90 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (SURVEY.md §2.9) — one document per
+call, no watermarks or state. What the north_rule needs is
+*resumability*, which batch-with-manifest covers
+(sources/checkpoint.py). This module adds the streaming expression
+of the same pipeline for incremental ingest, plus the standard
+event-stream operators, because a web-scale crawl table grows
+continuously:
+
+- ``extraction_stream``: file-source stream over the pages table ->
+  the same fused engine UDF -> parquet sink with
+  ``Trigger.AvailableNow`` + checkpointLocation. Exactly-once via
+  Spark's own streaming checkpoints — each micro-batch is committed
+  or re-run as a unit, so a killed job resumes without duplicates
+  (the streaming twin of the per-partition manifest).
+- ``windowed_event_counts``: tumbling event-time window + watermark.
+- ``sessionize_stream``: session windows via ``session_window``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_compare_spark.schema import PAGES_SCHEMA
+from ocr_compare_spark.operators.extract import run_engines_fused
+
+
+def extraction_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    engines: tuple[str, ...] = ("dom", "density", "pdf"),
+):
+    """Incremental extraction over a growing parquet pages table.
+    Returns the started StreamingQuery (AvailableNow: processes all
+    current data then stops — rerun to pick up new files only)."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_path)
+    )
+    results = run_engines_fused(pages, engines=engines, with_spans=False)
+    return (
+        results.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time window aggregation with late-data bound.
+    Works on both batch and streaming DataFrames (same plan)."""
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Gap-based session windows (session_window) — the streaming
+    native form of the batch lag+cumsum sessionization."""
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

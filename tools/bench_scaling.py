@@ -1,0 +1,135 @@
+"""Two-parallelism scaling evidence (BASELINE.md protocol).
+
+Packages ocr_compare_spark into a zip, runs the flagship job via
+`spark-submit --py-files` at local[8] and local[32] on the SAME
+input, asserts byte-identical winner output, and writes
+BENCH/BASELINE.md with docs/sec at both levels and
+scaling_efficiency = (throughput_32 / throughput_8) / 4.
+
+Usage: python tools/bench_scaling.py [--replicate 16] [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_zip(path: str) -> None:
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(ROOT, "ocr_compare_spark")
+        for dirpath, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, ROOT))
+
+
+def run_once(cores: int, zip_path: str, input_dir: str, out_dir: str, replicate: int) -> dict:
+    env = dict(os.environ)
+    env.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    env.setdefault("SPARK_LOCAL_HOSTNAME", "localhost")
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--driver-memory", "16g",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.host=127.0.0.1",
+        "--conf", "spark.driver.bindAddress=127.0.0.1",
+        "--py-files", zip_path,
+        os.path.join(ROOT, "ocr_compare_spark", "plans", "job.py"),
+        "--input", input_dir,
+        "--output", out_dir,
+        "--replicate", str(replicate),
+        "--partitions", str(cores * 2),
+    ]
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    m = re.search(r"BENCH_JSON:(\{.*\})", p.stdout)
+    if not m:
+        sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-4000:])
+        raise RuntimeError(f"no BENCH_JSON from local[{cores}]")
+    return json.loads(m.group(1))
+
+
+def output_hash(out_dir: str) -> str:
+    import duckdb
+
+    return duckdb.sql(
+        f"""
+        SELECT md5(string_agg(url || '|' || engine || '|' || doc_text, chr(10) ORDER BY url))
+        FROM read_parquet('{out_dir}/winners/*.parquet')
+        """
+    ).fetchone()[0]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicate", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    zip_path = "/tmp/ocr_compare_spark.zip"
+    build_zip(zip_path)
+
+    results = {}
+    hashes = {}
+    for cores in (8, 32):
+        best = None
+        for rep in range(args.reps):
+            out_dir = f"/tmp/scaling_out_{cores}"
+            r = run_once(cores, zip_path, args.input, out_dir, args.replicate)
+            print(f"local[{cores}] rep{rep}: {r}", flush=True)
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        results[cores] = best
+        hashes[cores] = output_hash(f"/tmp/scaling_out_{cores}")
+        print(f"local[{cores}] winners hash: {hashes[cores]}", flush=True)
+
+    eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+    identical = hashes[8] == hashes[32]
+
+    md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+Protocol (BASELINE.md): the SAME flagship job (multi-engine
+extraction + pairwise comparison + winner selection) on the SAME
+deterministic corpus, via `spark-submit --py-files
+ocr_compare_spark.zip`, at two parallelism levels on this 32-core
+machine. In-job timers wrap the actions only (startup excluded).
+Best of {args.reps} reps per level (the sandbox host shows
+intermittent external stalls; see session.py notes).
+
+Corpus: `{args.input}` documents x{args.replicate} = {results[8]["docs"]} docs
+(synthesized `input_hint` pages: boilerplate HTML + ~10% PDF byte streams).
+
+| metric | local[8] | local[32] |
+|---|---|---|
+| elapsed (in-job, sec) | {results[8]["elapsed_sec"]} | {results[32]["elapsed_sec"]} |
+| docs/sec | {results[8]["docs_per_sec"]} | {results[32]["docs_per_sec"]} |
+| docs ok / error | {results[8]["docs_ok"]}/{results[8]["docs_error"]} | {results[32]["docs_ok"]}/{results[32]["docs_error"]} |
+
+**scaling efficiency (8 -> 32 cores) = ({results[32]["docs_per_sec"]} / {results[8]["docs_per_sec"]}) / 4 = {eff:.3f}**
+(target >= 0.8 per BASELINE.json north_rule)
+
+Determinism gate: winner-table content hash identical across levels:
+**{identical}** (md5 {hashes[8][:16]}...).
+"""
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+    print(json.dumps({"scaling_efficiency": round(eff, 3), "byte_identical": identical}))
+    return 0 if identical else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

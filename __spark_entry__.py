@@ -292,6 +292,52 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
+def q_report_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: per-url comparison report in the reference fixture shape
+    (examples/ocr_comparison.py:244-259) — rows-only (JSON string
+    shape locked by tests/test_report.py)."""
+    from ocr_compare_spark.plans.report import report_rows
+
+    r = _results(spark, sf_dir)
+    cmp_df = pairwise_compare(r, with_alignment=False)
+    out = report_rows(r, cmp_df)
+    return out.select("url", F.length("report").cast("long").alias("report_len"))
+
+
+def q_bbox_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J3 relational form: PDF block bboxes tested for containment
+    in the upper half of the page media box. Bboxes are deterministic
+    functions of the PDF generator (synth.build_pdf: x=72, y=720-40j,
+    rendered top=792-y), so the oracle reconstructs them in SQL."""
+    r = _results(spark, sf_dir).filter(F.col("engine") == "pdf")
+    sp = spans_table(r)
+    blocks = sp.select("url", "page_no", "block_no", "bbox").dropDuplicates(
+        ["url", "page_no", "block_no"]
+    )
+    # 120pt band: only each page's first block (top=72+40j, h=12)
+    contained = (F.col("bbox.top") >= 0) & (F.col("bbox.top") + F.col("bbox.height") <= 120)
+    return blocks.groupBy("url").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(contained.cast("long")).alias("n_upper_half"),
+    )
+
+
+def q_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: cartesian parameter grid x inputs (reference
+    scan/scan-script.py:227-233). Broadcast nested-loop cross join."""
+    d = _docs(spark, sf_dir)
+    grid = spark.createDataFrame(
+        [(t,) for t in (0.25, 0.5, 0.75)], "threshold double"
+    )
+    crossed = d.select("doc_id", F.size(F.split("text", r"\s+")).alias("n")).crossJoin(
+        F.broadcast(grid)
+    )
+    return crossed.groupBy("threshold").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("n") * F.col("threshold") > 50, 1).otherwise(0)).cast("long").alias("n_over"),
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _tbl(spark, sf_dir, "events")
     # microsecond-exact window bucketing (matches DuckDB epoch_us);
@@ -397,6 +443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embed_topk_lsh": q_embed_topk_lsh,
         "media_features": q_media_features,
+        "report_json": q_report_json,
+        "bbox_containment": q_bbox_containment,
+        "param_grid": q_param_grid,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "tpch_q1": q_tpch_q1,
@@ -611,6 +660,19 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= 3
+        """,
+        "bbox_containment": f"""
+            WITH {PARAS_CTE}
+            SELECT url, count(*) AS n_blocks,
+                   CAST(ceil(count(*) / {synth.PAGE_PARAS}.0) AS BIGINT) AS n_upper_half
+            FROM paras WHERE is_pdf GROUP BY url
+        """,
+        "param_grid": """
+            WITH g AS (SELECT unnest([0.25, 0.5, 0.75]) AS threshold),
+            d AS (SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n FROM documents)
+            SELECT threshold, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN n * threshold > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+            FROM d, g GROUP BY threshold
         """,
         "events_window": """
             SELECT CAST(floor(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS win_start, event_type,

@@ -395,6 +395,18 @@ def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
+def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders with >=1 lineitem (left_semi EXISTS),
+    counted per priority."""
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
 # ------------------------------------------------------------ contract
 
 
@@ -451,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
         "customers_no_orders": q_customers_no_orders,
+        "order_priority_semi": q_order_priority_semi,
     }
 
 
@@ -714,5 +727,11 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_orders": """
             SELECT c_custkey FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "order_priority_semi": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+            GROUP BY o_orderpriority
         """,
     }

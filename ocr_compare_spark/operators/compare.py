@@ -126,28 +126,54 @@ def pairwise_compare(results: DataFrame, with_alignment: bool = True) -> DataFra
     """(url, engine, doc_text, confidence) -> one row per engine pair.
 
     Output: FIXTURES.md §5 wide metrics row.
+
+    Pair generation (J5, the reference's i<j engine loop,
+    ocr_comparison.py:143-154) is a groupBy(url) + native i<j
+    combination explode — NOT a self-join: a self-join either
+    broadcasts the full doc_text column through the driver (measured
+    ~1 GB serial at 320k docs) or reshuffles both sides; the groupBy
+    needs one shuffle that co-locates with the upstream url
+    partitioning, and per-url arrays are tiny (N engines).
     """
     stats = text_stats(results)
-    a = stats.select(
-        F.col("url"),
-        F.col("engine").alias("engine_a"),
-        F.col("doc_text").alias("text_a"),
-        F.col("char_count").alias("char_count_a"),
-        F.col("word_count").alias("word_count_a"),
-        F.col("line_count").alias("line_count_a"),
-        F.col("confidence").alias("confidence_a"),
+    entry = F.struct(
+        F.col("engine"),
+        F.col("doc_text").alias("text"),
+        F.col("char_count"),
+        F.col("word_count"),
+        F.col("line_count"),
+        F.col("confidence"),
     )
-    b = stats.select(
-        F.col("url"),
-        F.col("engine").alias("engine_b"),
-        F.col("doc_text").alias("text_b"),
-        F.col("char_count").alias("char_count_b"),
-        F.col("word_count").alias("word_count_b"),
-        F.col("line_count").alias("line_count_b"),
-        F.col("confidence").alias("confidence_b"),
+    # array_sort on struct is lexicographic by first field (engine),
+    # so slice-based combinations automatically give engine_a < engine_b
+    grouped = stats.groupBy("url").agg(F.array_sort(F.collect_list(entry)).alias("es"))
+    combos = F.flatten(
+        F.transform(
+            F.col("es"),
+            lambda x, i: F.transform(
+                F.slice(F.col("es"), i + 2, F.greatest(F.size(F.col("es")) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
-    # J5: unordered pairs via equi-join on url + theta engine_a < engine_b
-    pairs = a.join(b, "url").filter(F.col("engine_a") < F.col("engine_b"))
+    pairs = (
+        grouped.select("url", F.explode(combos).alias("p"))
+        .select(
+            "url",
+            F.col("p.a.engine").alias("engine_a"),
+            F.col("p.b.engine").alias("engine_b"),
+            F.col("p.a.text").alias("text_a"),
+            F.col("p.b.text").alias("text_b"),
+            F.col("p.a.char_count").alias("char_count_a"),
+            F.col("p.b.char_count").alias("char_count_b"),
+            F.col("p.a.word_count").alias("word_count_a"),
+            F.col("p.b.word_count").alias("word_count_b"),
+            F.col("p.a.line_count").alias("line_count_a"),
+            F.col("p.b.line_count").alias("line_count_b"),
+            F.col("p.a.confidence").alias("confidence_a"),
+            F.col("p.b.confidence").alias("confidence_b"),
+        )
+    )
     wa = F.array_distinct(F.split(F.lower(F.col("text_a")), TOKEN_SPLIT))
     wb = F.array_distinct(F.split(F.lower(F.col("text_b")), TOKEN_SPLIT))
     union_sz = F.size(F.array_union(wa, wb))

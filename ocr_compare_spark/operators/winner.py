@@ -3,13 +3,19 @@
 The reference picks the first registered engine as default
 (ocr.py:57-59); our generalization ranks engines by an explicit
 preference order, then mean confidence, then engine name (total
-order => deterministic under any partitioning). One window, one
-shuffle on url.
+order => deterministic under any partitioning).
+
+Implemented as a groupBy + max_by over a sortable rank key rather
+than a row_number window: the aggregate gets map-side partial
+combine, so the shuffle carries one candidate row per (partition,
+url) instead of every engine row with its full doc_text — the
+difference between shuffling N_engines x corpus text and ~corpus
+text at 10^12 docs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # Lower = preferred. density is the precision engine; pdf rows only
 # exist for PDF payloads so it wins there by being the only engine.
@@ -22,15 +28,17 @@ def pick_winner(results: DataFrame, preference: dict[str, int] | None = None) ->
         *[F.when(F.col("engine") == k, F.lit(v)) for k, v in pref.items()],
         F.lit(len(pref)),
     )
-    ranked = results.filter(F.col("error").isNull()).withColumn("_pref", pref_expr)
-    # empty extractions lose to any engine that got text; then the
-    # explicit preference; confidence + name only break exact ties.
-    empty = (F.coalesce(F.length("doc_text"), F.lit(0)) == 0).cast("int")
-    w = Window.partitionBy("url").orderBy(
-        empty.asc(), F.col("_pref").asc(), F.col("confidence").desc_nulls_last(), F.col("engine").asc()
+    ranked = results.filter(F.col("error").isNull())
+    # rank key (max = winner): non-empty first, then preference,
+    # then confidence; engine-name tiebreak via struct order is moot
+    # because (url, engine) is unique upstream.
+    non_empty = (F.coalesce(F.length("doc_text"), F.lit(0)) > 0).cast("int")
+    key = F.struct(
+        non_empty.alias("k0"),
+        (F.lit(1000) - pref_expr).alias("k1"),
+        F.coalesce(F.col("confidence"), F.lit(-1.0)).alias("k2"),
     )
-    return (
-        ranked.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("url", "engine", "doc_text", "confidence")
+    best = ranked.groupBy("url").agg(
+        F.max_by(F.struct(F.col("engine"), F.col("doc_text"), F.col("confidence")), key).alias("w")
     )
+    return best.select("url", "w.engine", "w.doc_text", "w.confidence")

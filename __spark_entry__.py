@@ -338,6 +338,25 @@ def q_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe host aggregation (50% of urls share one hot host):
+    two-phase salted agg, oracle = plain GROUP BY host."""
+    from ocr_compare_spark.functions.skew import host_of_url, salted_agg
+
+    p = _pages(spark, sf_dir).select(
+        host_of_url().alias("host"), F.length("text").cast("long").alias("n_chars")
+    )
+    return salted_agg(
+        p,
+        "host",
+        {
+            "n_docs": ("sum", F.count("*")),
+            "total_chars": ("sum", F.sum("n_chars")),
+            "max_chars": ("max", F.max("n_chars")),
+        },
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _tbl(spark, sf_dir, "events")
     # microsecond-exact window bucketing (matches DuckDB epoch_us);
@@ -458,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "report_json": q_report_json,
         "bbox_containment": q_bbox_containment,
         "param_grid": q_param_grid,
+        "host_stats_salted": q_host_stats_salted,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "tpch_q1": q_tpch_q1,
@@ -686,6 +706,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT threshold, count(*) AS n_rows,
                    CAST(sum(CASE WHEN n * threshold > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
             FROM d, g GROUP BY threshold
+        """,
+        "host_stats_salted": """
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
+                        WHEN doc_id % 4 = 1 THEN 'warm.example.com'
+                        ELSE concat('tail', CAST(doc_id % 37 AS VARCHAR), '.example.com') END AS host,
+                   count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(max(length(text)) AS BIGINT) AS max_chars
+            FROM documents GROUP BY 1
         """,
         "events_window": """
             SELECT CAST(floor(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS win_start, event_type,

@@ -42,8 +42,7 @@ def keep_block(rb: RawBlock) -> bool:
     return True
 
 
-def parse_density(data: bytes) -> ParsedDoc:
-    raws = segment_html(data)
+def density_from_raws(raws) -> ParsedDoc:
     blocks: list[Block] = []
     dropped = 0
     for rb in raws:
@@ -61,6 +60,10 @@ def parse_density(data: bytes) -> ParsedDoc:
         "blocks_dropped": dropped,
     }
     return ParsedDoc(pages=[blocks] if blocks else [], native=native)
+
+
+def parse_density(data: bytes) -> ParsedDoc:
+    return density_from_raws(segment_html(data))
 
 
 register_engine(

@@ -17,8 +17,7 @@ from ocr_compare_spark.engines.base import Block, EngineSpec, ParsedDoc, registe
 from ocr_compare_spark.engines.html_tree import segment_html
 
 
-def parse_dom(data: bytes) -> ParsedDoc:
-    raws = segment_html(data)
+def dom_from_raws(raws) -> ParsedDoc:
     blocks: list[Block] = []
     kept = dropped = 0
     for rb in raws:
@@ -37,6 +36,10 @@ def parse_dom(data: bytes) -> ParsedDoc:
         "blocks_dropped_chrome": dropped,
     }
     return ParsedDoc(pages=[blocks] if blocks else [], native=native)
+
+
+def parse_dom(data: bytes) -> ParsedDoc:
+    return dom_from_raws(segment_html(data))
 
 
 register_engine(

@@ -213,6 +213,9 @@ def make_fused_udf(engine_names: tuple[str, ...], with_spans: bool = True):
     path). Rows are routed to engines by magic bytes inside the
     batch, mirroring the reference's dispatch (ocr.py:35-64)."""
     specs = [create_engine(n) for n in engine_names]
+    # dom + density share the HTML segmentation — parse once per doc
+    # and hand both engines the same raw blocks (2x on the hot path).
+    shared_html = {s.name for s in specs if s.handles == "html"} >= {"dom", "density"}
     fused_type = T.ArrayType(
         T.StructType(
             [
@@ -225,10 +228,22 @@ def make_fused_udf(engine_names: tuple[str, ...], with_spans: bool = True):
 
     @F.pandas_udf(fused_type)
     def fused(html: pd.Series) -> pd.Series:
+        from ocr_compare_spark.engines.density import density_from_raws
+        from ocr_compare_spark.engines.dom_heuristic import dom_from_raws
+        from ocr_compare_spark.engines.html_tree import segment_html
+
+        shared_parsers = {"dom": dom_from_raws, "density": density_from_raws}
+
         out = []
         for data in html:
             is_pdf = data is not None and bytes(data)[:4] == b"%PDF"
             row = []
+            raws = None
+            if shared_html and not is_pdf and data is not None:
+                try:
+                    raws = segment_html(bytes(data))
+                except Exception:
+                    raws = None  # fall back to per-engine parse path
             for spec in specs:
                 if spec.handles == "pdf" and not is_pdf:
                     continue
@@ -237,6 +252,8 @@ def make_fused_udf(engine_names: tuple[str, ...], with_spans: bool = True):
                 try:
                     if data is None:
                         parsed = ParsedDoc(error="null_payload")
+                    elif raws is not None and spec.name in shared_parsers:
+                        parsed = shared_parsers[spec.name](raws)
                     else:
                         parsed = spec.parse(bytes(data))
                 except Exception as e:

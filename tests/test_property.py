@@ -1,0 +1,62 @@
+"""Property-based tests (hypothesis): the pure-Python kernels hold
+for arbitrary inputs, not just fixtures."""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from ocr_compare_spark import synth
+from ocr_compare_spark.engines.density import parse_density
+from ocr_compare_spark.engines.dom_heuristic import parse_dom
+from ocr_compare_spark.engines.html_tree import segment_html
+from ocr_compare_spark.engines.pdf_stream import parse_pdf
+from ocr_compare_spark.operators.compare import _codes, levenshtein_np
+from ocr_compare_spark.operators.extract import doc_to_result
+
+from tests.test_metrics import lev_ref
+
+TOKEN = st.text(alphabet="abcdefghij0123456789", min_size=1, max_size=8)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=40), st.text(max_size=40))
+def test_levenshtein_matches_reference_any_unicode(a, b):
+    assert levenshtein_np(_codes(a), _codes(b)) == lev_ref(a, b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TOKEN, min_size=0, max_size=200))
+def test_html_roundtrip_any_token_text(tokens):
+    text = " ".join(tokens)
+    h = synth.build_html(12, text)
+    r = doc_to_result(parse_dom(h), 0.9)
+    assert r["doc_text"] == synth.expected_dom_text(text)
+    rd = doc_to_result(parse_density(h), 0.95)
+    assert rd["doc_text"] == synth.expected_density_text(text)
+    for s in r["spans"]:
+        assert r["doc_text"][s["char_start"] : s["char_end"]] == s["text"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TOKEN, min_size=1, max_size=300))
+def test_pdf_roundtrip_any_token_text(tokens):
+    text = " ".join(tokens)
+    p = synth.build_pdf(7, text)
+    r = doc_to_result(parse_pdf(p), 0.85)
+    assert r["doc_text"] == synth.expected_pdf_text(text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400))
+def test_segment_html_never_crashes(data):
+    blocks = segment_html(data)
+    for b in blocks:
+        assert isinstance(b.text, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400))
+def test_pdf_parser_never_crashes(data):
+    r = parse_pdf(b"%PDF" + data)
+    assert r.error is not None or isinstance(r.pages, list)

@@ -59,37 +59,51 @@ def build_and_run(
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
 
     pages = synth.pages_from_documents(spark, input_dir, replicate=replicate)
+    staging = (output_dir or "/tmp/ocr_job_staging") + "/results"
 
+    phases: dict[str, float] = {}
     t0 = time.time()
-    results = run_engines_fused(
-        pages, with_spans=with_spans, num_partitions=num_partitions
-    )
+
+    # Phase 1: extraction -> staged parquet table (the scale
+    # architecture: stage outputs are tables, giving downstream
+    # phases a columnar, pushdown-friendly source instead of a
+    # recompute-through-UDF lineage or an in-memory cache).
+    t = time.time()
+    results = run_engines_fused(pages, with_spans=with_spans, num_partitions=num_partitions)
     observed, obs = mx.observe_extraction(results)
-    observed = observed.persist()
+    observed.write.mode("overwrite").parquet(staging)
+    phases["extract"] = round(time.time() - t, 2)
+    stats = dict(obs.get)
+    staged = spark.read.parquet(staging)
 
-    winners = pick_winner(observed)
-    compare = pairwise_compare(observed, with_alignment=with_alignment)
-
+    t = time.time()
+    winners = pick_winner(staged)
     if output_dir:
         winners.write.mode("overwrite").parquet(f"{output_dir}/winners")
-        compare.drop("lcs_spans", "text_a", "text_b").write.mode("overwrite").parquet(
-            f"{output_dir}/compare"
-        )
         n_winners = spark.read.parquet(f"{output_dir}/winners").count()
-        n_pairs = spark.read.parquet(f"{output_dir}/compare").count()
     else:
         winners.write.format("noop").mode("overwrite").save()
         n_winners = -1
+    phases["winner"] = round(time.time() - t, 2)
+
+    t = time.time()
+    compare = pairwise_compare(staged, with_alignment=with_alignment)
+    compare = compare.drop("lcs_spans", "text_a", "text_b")
+    if output_dir:
+        compare.write.mode("overwrite").parquet(f"{output_dir}/compare")
+        n_pairs = spark.read.parquet(f"{output_dir}/compare").count()
+    else:
         compare.write.format("noop").mode("overwrite").save()
         n_pairs = -1
-    elapsed = time.time() - t0
-    stats = dict(obs.get)
+    phases["compare"] = round(time.time() - t, 2)
 
     if output_dir:
-        mx.partition_metrics(observed, job_id=f"job-{int(t0)}").write.mode("overwrite").parquet(
+        t = time.time()
+        mx.partition_metrics(staged, job_id=f"job-{int(t0)}").write.mode("overwrite").parquet(
             f"{output_dir}/metrics"
         )
-    observed.unpersist()
+        phases["metrics"] = round(time.time() - t, 2)
+    elapsed = time.time() - t0
     # unique documents = source rows x replicate (cheap metadata count
     # on the parquet, not a pass through the synth UDF)
     docs_total = (
@@ -103,6 +117,7 @@ def build_and_run(
         "docs_error": int(stats.get("docs_error", -1)),
         "n_winners": n_winners,
         "n_pairs": n_pairs,
+        "phases": phases,
         "docs_per_sec": round(docs_total / elapsed, 2),
     }
 

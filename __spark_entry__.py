@@ -19,7 +19,7 @@ from ocr_compare_spark.operators import dedup, similarity, textstats
 from ocr_compare_spark.operators.assemble import assemble_doc_text
 from ocr_compare_spark.operators.chunking import explode_segments
 from ocr_compare_spark.operators.compare import pairwise_compare
-from ocr_compare_spark.operators.extract import IS_PDF_EXPR, run_engines, spans_table
+from ocr_compare_spark.operators.extract import IS_PDF_EXPR, run_engines_fused, spans_table
 from ocr_compare_spark.operators.winner import pick_winner
 from ocr_compare_spark.sources import cache as cache_mod
 
@@ -37,7 +37,7 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _results(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _RESULTS:
-        _RESULTS[sf_dir] = run_engines(_pages(spark, sf_dir)).persist()
+        _RESULTS[sf_dir] = run_engines_fused(_pages(spark, sf_dir)).persist()
     return _RESULTS[sf_dir]
 
 
@@ -460,7 +460,7 @@ def entry(spark: SparkSession) -> DataFrame:
     winner text per url joined with the pairwise agreement metrics."""
     sf_dir = "/root/testdata/sf0.001"
     pages = synth.pages_from_documents(spark, sf_dir)
-    results = run_engines(pages)
+    results = run_engines_fused(pages)
     winners = pick_winner(results).select(
         "url", F.col("engine").alias("winner_engine"), F.length("doc_text").alias("winner_len")
     )

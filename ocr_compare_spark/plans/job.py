@@ -86,6 +86,8 @@ def build_and_run(
     # recompute-through-UDF lineage or an in-memory cache).
     t = time.time()
     results = run_engines_fused(pages, with_spans=with_spans, num_partitions=num_partitions)
+    if not with_spans:
+        results = results.drop("spans")  # all-null column: don't stage it
     observed, obs = mx.observe_extraction(results)
     observed.write.mode("overwrite").parquet(staging)
     phases["extract"] = round(time.time() - t, 2)

@@ -61,6 +61,53 @@ def run_once(cores: int, zip_path: str, input_dir: str, out_dir: str, replicate:
     return json.loads(m.group(1))
 
 
+def _burn(q) -> None:
+    import sys as _sys
+    import time as _time
+
+    _sys.path.insert(0, ROOT)
+    import duckdb
+
+    from ocr_compare_spark import synth
+    from ocr_compare_spark.engines.density import density_from_raws
+    from ocr_compare_spark.engines.dom_heuristic import dom_from_raws
+    from ocr_compare_spark.engines.html_tree import segment_html
+    from ocr_compare_spark.operators.extract import doc_to_result
+
+    docs = duckdb.sql(
+        "select doc_id, text from read_parquet('/root/testdata/sf0.1/documents.parquet') limit 1000"
+    ).df()
+    payloads = [synth.build_html(int(r.doc_id), r.text) for r in docs.itertuples()]
+    t0 = _time.time()
+    n = 0
+    while _time.time() - t0 < 10:
+        raws = segment_html(payloads[n % len(payloads)])
+        doc_to_result(dom_from_raws(raws), 0.9, with_spans=False)
+        doc_to_result(density_from_raws(raws), 0.95, with_spans=False)
+        n += 1
+    q.put(n / (_time.time() - t0))
+
+
+def host_ceiling(lo: int, hi: int) -> float:
+    """Measured parallel-efficiency ceiling of THIS host for the
+    extraction workload, Spark removed: N pure-python processes
+    doing the same parse. Shared memory bandwidth / SMT on the
+    sandbox VM caps per-core throughput as concurrency rises; a real
+    multi-node cluster does not share these resources."""
+    import multiprocessing as mp
+
+    rates = {}
+    for nproc in (lo, hi):
+        q = mp.Queue()
+        ps = [mp.Process(target=_burn, args=(q,)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        rates[nproc] = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+    return (rates[hi] / rates[lo]) / (hi / lo)
+
+
 def output_hash(out_dir: str) -> str:
     import duckdb
 
@@ -104,6 +151,8 @@ def main() -> int:
 
     eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
     identical = hashes[lo] == hashes[hi]
+    ceiling = host_ceiling(lo, hi)
+    normalized = eff / ceiling if ceiling else float("nan")
 
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
@@ -132,6 +181,13 @@ Corpus: `{args.input}` documents x{args.replicate} = {results[lo]["docs"]} docs
 **scaling efficiency ({lo} -> {hi} cores) = ({results[hi]["docs_per_sec"]} / {results[lo]["docs_per_sec"]}) / {hi // lo} = {eff:.3f}**
 (target >= 0.8 per BASELINE.json north_rule)
 
+Host ceiling: the SAME extraction workload as plain Python processes
+(no Spark) scales at **{ceiling:.3f}** efficiency on this VM
+({lo} -> {hi} processes) — the sandbox's cores share memory
+bandwidth, which a real multi-node cluster would not. Normalized to
+the host ceiling, the pipeline's scaling efficiency is
+**{normalized:.3f}**.
+
 Determinism gate: winner-table content hash identical across levels:
 **{identical}** (md5 {hashes[lo][:16]}...).
 """
@@ -139,7 +195,12 @@ Determinism gate: winner-table content hash identical across levels:
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)
-    print(json.dumps({"scaling_efficiency": round(eff, 3), "byte_identical": identical}))
+    print(json.dumps({
+        "scaling_efficiency": round(eff, 3),
+        "host_ceiling": round(ceiling, 3),
+        "normalized_efficiency": round(normalized, 3),
+        "byte_identical": identical,
+    }))
     return 0 if identical else 1
 
 

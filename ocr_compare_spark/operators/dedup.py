@@ -48,7 +48,14 @@ def jaccard_arrays(a: F.Column, b: F.Column) -> F.Column:
 
 def adjacent_ngram_jaccard(df: DataFrame, id_col: str, text_col: str, part_col: str, n: int = 3) -> DataFrame:
     """N-gram Jaccard between each doc and its successor within a
-    partition column — a cheap sorted-neighborhood dedup pass."""
+    partition column — a cheap sorted-neighborhood dedup pass.
+
+    Scale note: the lead() window puts one part_col value per task,
+    so a low-cardinality partition column (e.g. lang) does NOT scale
+    to 100 TB — there, sub-bucket the sort key first (part, id_range)
+    and stitch bucket boundaries, or prefer lsh_candidates, which has
+    no per-key serialization point. Kept simple here because its role
+    is the cheap first-pass screen."""
     w = Window.partitionBy("part").orderBy("id")
     sh = word_shingles(text_col, n)
     with_next = (

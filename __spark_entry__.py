@@ -530,11 +530,22 @@ def oracle_sql() -> dict[str, str]:
         "winner_text": f"""
             WITH {PARAS_CTE},
             den AS ({SQL_DENSITY_TEXT}),
+            dom AS ({SQL_DOM_TEXT}),
             pdf AS ({SQL_PDF_TEXT})
+            -- pick_winner ranks non-empty text FIRST, then preference:
+            -- density wins unless its text is empty (all paragraphs
+            -- under DENSITY_MIN_TOKENS), in which case dom wins with
+            -- promo(+paras) text; PDFs have a single engine.
             SELECT t.url,
-                   CASE WHEN t.is_pdf THEN 'pdf' ELSE 'density' END AS engine,
-                   CASE WHEN t.is_pdf THEN p.doc_text ELSE coalesce(d.doc_text, '') END AS doc_text
-            FROM toks t LEFT JOIN den d ON t.url = d.url LEFT JOIN pdf p ON t.url = p.url
+                   CASE WHEN t.is_pdf THEN 'pdf'
+                        WHEN coalesce(d.doc_text, '') = '' THEN 'dom'
+                        ELSE 'density' END AS engine,
+                   CASE WHEN t.is_pdf THEN coalesce(p.doc_text, '')
+                        WHEN coalesce(d.doc_text, '') = '' THEN coalesce(m.doc_text, '{synth.PROMO_TEXT}')
+                        ELSE d.doc_text END AS doc_text
+            FROM toks t LEFT JOIN den d ON t.url = d.url
+                        LEFT JOIN dom m ON t.url = m.url
+                        LEFT JOIN pdf p ON t.url = p.url
         """,
         "summaries": f"""
             WITH {PARAS_CTE},

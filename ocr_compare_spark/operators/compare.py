@@ -134,7 +134,15 @@ def pairwise_compare(results: DataFrame, with_alignment: bool = True) -> DataFra
     ~1 GB serial at 320k docs) or reshuffles both sides; the groupBy
     needs one shuffle that co-locates with the upstream url
     partitioning, and per-url arrays are tiny (N engines).
+
+    Error rows (doc_text NULL) are excluded from pairing — a failed
+    extraction must not report metrics against a successful one
+    (the reference only compares successful results,
+    ocr_comparison.py:124-129). As a second guard the jaccard is
+    NULL (not 1.0) if either text is still NULL.
     """
+    if "error" in results.columns:
+        results = results.filter(F.col("error").isNull())
     stats = text_stats(results)
     entry = F.struct(
         F.col("engine"),
@@ -177,7 +185,11 @@ def pairwise_compare(results: DataFrame, with_alignment: bool = True) -> DataFra
     wa = F.array_distinct(F.split(F.lower(F.col("text_a")), TOKEN_SPLIT))
     wb = F.array_distinct(F.split(F.lower(F.col("text_b")), TOKEN_SPLIT))
     union_sz = F.size(F.array_union(wa, wb))
-    jaccard = F.when(union_sz > 0, F.size(F.array_intersect(wa, wb)) / union_sz).otherwise(F.lit(1.0))
+    jaccard = (
+        F.when(F.col("text_a").isNull() | F.col("text_b").isNull(), F.lit(None).cast("double"))
+        .when(union_sz > 0, F.size(F.array_intersect(wa, wb)) / union_sz)
+        .otherwise(F.lit(1.0))
+    )
     out = pairs.withColumn("jaccard", jaccard)
     if with_alignment:
         out = out.withColumn("align", align_udf(F.col("text_a"), F.col("text_b"))).select(

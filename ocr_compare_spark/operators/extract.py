@@ -90,8 +90,17 @@ def doc_to_result(parsed: ParsedDoc, word_conf: float, with_spans: bool = True) 
                 if with_spans:
                     for ri, row in enumerate(blk.rows):
                         for ci, cell in enumerate(row):
-                            for wi, w in enumerate(cell.split()):
-                                n_words += 1
+                            words = cell.split()
+                            if not words:
+                                # Empty cell: placeholder span so the
+                                # assemble cascade keeps the column and
+                                # sizes the '---' separator row from the
+                                # true header width (byte-identical
+                                # round-trip for <td></td>).
+                                words = [""]
+                            for wi, w in enumerate(words):
+                                if w:
+                                    n_words += 1
                                 spans.append({
                                     "page_no": pi + 1, "block_no": bi, "block_type": "TABLE",
                                     "para_no": 0, "line_no": ri, "word_no": wi, "text": w,

@@ -15,6 +15,11 @@ Layout contract (the single source of truth — engines and oracles
 both depend on these constants):
 
 - tokens         = text.split(' ')
+  (CONTRACT: documents.text contains no non-space whitespace — the
+  engines tokenize on ALL whitespace while this contract and every
+  oracle split on ' ' only, so a '\\n' or '\\t' inside a token would
+  silently diverge. tests/test_property.py asserts the invariant
+  over the driver testdata at every SF.)
 - paragraphs     = consecutive chunks of PARA_WORDS tokens
 - HTML documents = single page; blocks = [promo] + paragraphs,
   wrapped in nav/header/aside/footer boilerplate that the DOM engine

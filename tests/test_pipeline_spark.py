@@ -137,3 +137,56 @@ def test_error_rows_never_dropped(spark):
     per_url = {r.url for r in res.select("url").distinct().collect()}
     assert per_url == {"u1", "u2", "u3"}
     assert res.filter((F.col("url") == "u2") & F.col("error").isNotNull()).count() == 1
+
+
+def _mini_pages(spark, rows):
+    """rows: [(url, html_bytes)] -> a minimal pages table."""
+    return spark.createDataFrame(
+        [(u, None, h, None, "en") for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def test_empty_cell_table_roundtrip(spark):
+    """ADVICE r1 #2: <td></td> must survive the spans->doc_text
+    round-trip byte-identically (placeholder spans keep the column
+    and the header-derived '---' separator width)."""
+    html = (
+        b"<table><tr><th>h1</th><th>h2</th><th>h3</th></tr>"
+        b"<tr><td>a</td><td></td><td>c d</td></tr>"
+        b"<tr><td></td><td>b</td><td></td></tr></table>"
+    )
+    pages = _mini_pages(spark, [("t1", html)])
+    res = run_engine(pages, "dom")
+    fast = res.select("url", "doc_text").collect()[0].doc_text
+    assert fast == "| h1 | h2 | h3 |\n| --- | --- | --- |\n| a |  | c d |\n|  | b |  |"
+    asm = assemble_doc_text(spans_table(res)).collect()[0].doc_text
+    assert asm == fast
+
+
+def test_winner_empty_density_falls_back_to_dom(spark):
+    """ADVICE r1 #1: a 2-word document yields empty density text, so
+    pick_winner's non-empty-first rank hands the win to dom — and the
+    winner_text oracle encodes the same CASE."""
+    html = synth.build_html(3, "xx yy")
+    pages = _mini_pages(spark, [(synth.url_of(3), html)])
+    res = run_engines(pages, engines=("dom", "density"))
+    texts = {r.engine: r.doc_text for r in res.collect()}
+    assert texts["density"] == ""
+    assert texts["dom"] == synth.PROMO_TEXT + "\n\nxx yy"
+    w = pick_winner(res).collect()[0]
+    assert (w.engine, w.doc_text) == ("dom", texts["dom"])
+
+
+def test_pairwise_excludes_error_rows(spark):
+    """ADVICE r1 #4: error rows must not pair up as jaccard=1.0."""
+    from ocr_compare_spark.operators.compare import pairwise_compare
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "dom", "alpha beta", None),
+            ("u1", "density", None, "parse_error:Boom"),
+        ],
+        "url string, engine string, doc_text string, error string",
+    ).withColumn("confidence", F.lit(0.9))
+    assert pairwise_compare(df, with_alignment=False).count() == 0

@@ -60,3 +60,19 @@ def test_segment_html_never_crashes(data):
 def test_pdf_parser_never_crashes(data):
     r = parse_pdf(b"%PDF" + data)
     assert r.error is not None or isinstance(r.pages, list)
+
+
+def test_testdata_whitespace_contract():
+    """ADVICE r1 #3: the synth layout contract tokenizes on ' ' while
+    the engines tokenize on all whitespace — sound only when
+    documents.text has no non-space whitespace. Assert it per SF."""
+    import glob
+
+    import duckdb
+
+    for p in sorted(glob.glob("/root/testdata/sf*/documents.parquet")):
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{p}') "
+            "WHERE regexp_matches(text, '[\\t\\n\\r\\x0b\\x0c]')"
+        ).fetchone()[0]
+        assert n == 0, f"{p}: {n} docs with non-space whitespace"

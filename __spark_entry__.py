@@ -263,8 +263,34 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (md5-based bit vote) — rows-only check."""
+    """Native 64-bit SimHash as two unsigned-32 halves (md5 hex bit
+    votes — exactly mirrorable in ANSI SQL)."""
     return dedup.simhash(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _simhash_oracle() -> str:
+    votes, packs = [], {"hi": [], "lo": []}
+    for half in ("hi", "lo"):
+        for b in range(32):
+            votes.append(
+                f"sum(CASE WHEN (h_{half} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{half}_{b}"
+            )
+            packs[half].append(f"CASE WHEN v_{half}_{b} > 0 THEN {1 << b} ELSE 0 END")
+    vote_sql = ", ".join(votes)
+    return f"""
+        WITH ex AS (
+          SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents
+        ), h AS (
+          SELECT id,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_hi,
+                 ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
+          FROM ex
+        ), v AS (SELECT id, {vote_sql} FROM h GROUP BY id)
+        SELECT id, {" + ".join(packs["hi"])} AS sim_hi,
+                   {" + ".join(packs["lo"])} AS sim_lo
+        FROM v
+    """
 
 
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,6 +722,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_docs
             FROM documents GROUP BY md5(text)
         """,
+        "simhash": _simhash_oracle(),
         "dedup_adjacent": """
             WITH tok AS (
               SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents

@@ -6,7 +6,8 @@ Four tiers, cheapest first — all shuffle-minimal by construction:
 - ngram:      n-gram Jaccard between candidate pairs (native arrays)
 - minhash:    MinHash + LSH banding (native xxhash64 — NO Python),
               candidates = band-bucket self-join, verified natively
-- simhash:    64-bit SimHash via one Arrow UDF (bit-vote needs numpy)
+- simhash:    64-bit SimHash via native bit-vote aggregation (md5
+              halves + 64 codegen'd conditional sums — NO Python)
 
 At 100 TB the only all-pairs step is the LSH bucket join, whose
 cardinality is controlled by the band count — never a cross join.
@@ -14,9 +15,7 @@ cardinality is controlled by the band count — never a cross join.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -150,34 +149,46 @@ def lsh_candidates(
 
 # --------------------------------------------------------------- SimHash
 
-_SIMHASH_TYPE = T.LongType()
-
-
-@F.pandas_udf(_SIMHASH_TYPE)
-def simhash64_udf(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash over token arrays (bit-vote needs numpy —
-    the one dedup op that earns an Arrow UDF)."""
-    import hashlib
-
-    def stable64(t: str) -> int:
-        # process-salted builtin hash() would break determinism
-        # across executors; md5 prefix is stable everywhere.
-        return int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
-
-    out = np.zeros(len(tokens), dtype=np.int64)
-    for i, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
-            continue
-        hs = np.array([np.uint64(stable64(t)) for t in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sim |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sim.astype(np.int64))
-    return pd.Series(out)
-
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    return df.select(F.col(id_col).alias("id"), simhash64_udf(toks).alias("simhash"))
+    """64-bit SimHash, fully Catalyst-native (r1 perf-weak fix: the
+    previous Arrow UDF ran an interpreted per-token Python md5 loop —
+    the hot cost at 100 TB).
+
+    Per token the 64 hash bits come from md5(token) hex, parsed as two
+    unsigned-32 halves — md5 is the hash both Spark and the ANSI-SQL
+    oracle share, and 32-bit halves avoid signed-64 overflow on either
+    side. Plan: explode tokens -> 64 codegen'd conditional-sum bit
+    votes (map-side partial aggregation, one shuffle on id) -> pack
+    sign bits natively. Output ``(id, sim_hi, sim_lo)``; hamming
+    distance = ``hamming64(a_hi, a_lo, b_hi, b_lo)``.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).select("id", F.md5(F.col("tok")).alias("m"))
+    halves = ex.select(
+        "id",
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h_lo"),
+    )
+    aggs = []
+    for half in ("hi", "lo"):
+        for b in range(32):
+            bit = F.shiftright(F.col(f"h_{half}"), b).bitwiseAND(F.lit(1))
+            aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v_{half}_{b}"))
+    votes = halves.groupBy("id").agg(*aggs)
+
+    def pack(half: str) -> F.Column:
+        acc = F.lit(0).cast("long")
+        for b in range(31, -1, -1):
+            sign = F.when(F.col(f"v_{half}_{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            acc = F.shiftleft(acc, 1).bitwiseOR(sign)
+        return acc
+
+    return votes.select("id", pack("hi").alias("sim_hi"), pack("lo").alias("sim_lo"))
+
+
+def hamming64(a_hi: F.Column, a_lo: F.Column, b_hi: F.Column, b_lo: F.Column) -> F.Column:
+    """Hamming distance between two simhashes in split-half form."""
+    return F.bit_count(a_hi.bitwiseXOR(b_hi)) + F.bit_count(a_lo.bitwiseXOR(b_lo))

@@ -44,12 +44,36 @@ def test_minhash_lsh_finds_planted(corpus):
 
 
 def test_simhash_near_dup_small_hamming(corpus):
-    sh = {r.id: r.simhash for r in dedup.simhash(corpus, "doc_id", "text").collect()}
+    sh = {r.id: (r.sim_hi, r.sim_lo) for r in dedup.simhash(corpus, "doc_id", "text").collect()}
+    assert all(0 <= hi < 2**32 and 0 <= lo < 2**32 for hi, lo in sh.values())
     assert sh[0] == sh[1000]  # identical docs -> identical simhash
-    ham = bin((sh[1] ^ sh[1001]) & 0xFFFFFFFFFFFFFFFF).count("1")
-    assert ham <= 8  # near-dup -> close in hamming space
-    others = bin((sh[0] ^ sh[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
-    assert others > ham
+
+    def ham(a, b):
+        return bin((a[0] ^ b[0]) | ((a[1] ^ b[1]) << 32)).count("1")
+
+    assert ham(sh[1], sh[1001]) <= 8  # near-dup -> close in hamming space
+    assert ham(sh[0], sh[2]) > ham(sh[1], sh[1001])
+
+
+def test_simhash_hamming_column_matches_python(corpus):
+    sh = dedup.simhash(corpus, "doc_id", "text")
+    a = sh.filter(F.col("id").isin(1, 1001)).collect()
+    pairs = (
+        sh.alias("l")
+        .join(sh.alias("r"), F.col("l.id") < F.col("r.id"))
+        .filter(F.col("l.id").isin(1) & F.col("r.id").isin(1001))
+        .select(
+            dedup.hamming64(
+                F.col("l.sim_hi"), F.col("l.sim_lo"), F.col("r.sim_hi"), F.col("r.sim_lo")
+            ).alias("ham")
+        )
+        .collect()
+    )
+    by_id = {r.id: (r.sim_hi, r.sim_lo) for r in a}
+    expect = bin(
+        (by_id[1][0] ^ by_id[1001][0]) | ((by_id[1][1] ^ by_id[1001][1]) << 32)
+    ).count("1")
+    assert pairs[0].ham == expect
 
 
 def test_adjacent_ngram_jaccard(corpus):

@@ -172,11 +172,29 @@ def q_compare_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_compare_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WER + LCS span count — non-SQL-expressible (token-level DP),
-    rows-only check."""
+    """Word error rate from the alignment UDF. Oracle: map each
+    distinct token of the pair to one codepoint, then DuckDB's
+    character levenshtein IS the token-level edit distance. (The LCS
+    spans from the same UDF stay pytest-locked — difflib matching
+    blocks are not SQL.)"""
     r = _results(spark, sf_dir).filter(F.col("engine").isin("dom", "density"))
     c = pairwise_compare(r, with_alignment=True)
-    return c.select("url", F.round("wer", 6).alias("wer"), F.size("lcs_spans").alias("n_lcs_spans"))
+    return c.select("url", F.round("wer", 6).alias("wer"))
+
+
+def q_confidences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3: document confidence as the reference's mean-of-means
+    (word -> line -> paragraph -> block -> page -> document,
+    tesseract_executor.py:210-325). Per-word confidence is the
+    closed-form word_confidence(base, ordinal), so every level is
+    recomputable in SQL."""
+    r = _results(spark, sf_dir)
+    return r.select(
+        "url",
+        "engine",
+        F.round("confidence", 6).alias("doc_confidence"),
+        F.col("n_words").cast("long").alias("n_words"),
+    )
 
 
 def q_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,9 +274,14 @@ def q_dedup_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs — hash-function-specific
-    (xxhash64), rows-only check; planted-duplicate recall is locked
-    by tests/test_dedup.py."""
+    """MinHash+LSH near-dup pairs. Oracle = the EXACT shingle-jaccard
+    pair set at the same threshold via an inverted-index join (shared
+    shingle -> intersection count). LSH is probabilistic in general,
+    but at this corpus every true pair has jaccard >= 0.89 (measured;
+    none in [0.35, 0.89)), where the 16x4 banding miss probability is
+    (1 - 0.89^4)^16 ~ 1e-7 — so finding exactly the exact set is the
+    correct answer, and the verify step's jaccard values must match
+    to 6 decimals."""
     return dedup.lsh_candidates(_docs(spark, sf_dir), "doc_id", "text", verify_threshold=0.5)
 
 
@@ -300,7 +323,13 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed approximate ANN — recall measured in tests, rows-only."""
+    """Bucketed approximate ANN — genuinely non-SQL-reproducible
+    (rows-only). The testdata embeddings are isotropic (max pairwise
+    cosine ~0.5, measured), so any honest LSH bucketing samples the
+    candidate space and the output is hash-specific by construction;
+    an exact oracle would require the cross join the operator exists
+    to avoid. Recall against exact top-k is locked on a planted-
+    neighbor corpus in tests/test_dedup_similarity.py."""
     emb = _tbl(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=3).select(
         "query_id", "rank", "neighbor_id"
@@ -308,43 +337,93 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload -> deterministic feature
-    vector via mapInPandas (decode stubbed — no image libs in env);
-    rows-only check + determinism locked by tests."""
+    """Multimodal plumbing: binary payload -> feature vector via
+    mapInPandas (decode stubbed — no image libs in env; the Arrow
+    re-chunking, error rows and schema are real). The payload here is
+    encode(text) so the oracle can recompute n_bytes and the closed-
+    form feature[0] (= first 4 md5 bytes / 2^32) from the same bytes
+    in SQL; real html-payload routing is locked by pytest."""
     from ocr_compare_spark.operators.multimodal import extract_media_features
 
-    p = _pages(spark, sf_dir)
-    out = extract_media_features(p)
+    p = _pages(spark, sf_dir).select("url", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    out = extract_media_features(p, payload_col="payload")
     return out.select("url", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
 def q_report_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: per-url comparison report in the reference fixture shape
-    (examples/ocr_comparison.py:244-259) — rows-only (JSON string
-    shape locked by tests/test_report.py)."""
+    (examples/ocr_comparison.py:244-259). The oracle checks the
+    report CONTENT: key fields are parsed back out of the emitted
+    JSON string and must equal ground truth recomputed in SQL (stat
+    counts, the density_vs_dom jaccard, and the 1000-char+'...'
+    sample-truncation rule); the full JSON shape is pytest-locked."""
     from ocr_compare_spark.plans.report import report_rows
 
     r = _results(spark, sf_dir)
     cmp_df = pairwise_compare(r, with_alignment=False)
     out = report_rows(r, cmp_df)
-    return out.select("url", F.length("report").cast("long").alias("report_len"))
+
+    def g(path: str) -> F.Column:
+        return F.get_json_object("report", path)
+
+    return out.select(
+        "url",
+        g("$.text_analysis.stats.dom.char_count").cast("long").alias("dom_chars"),
+        g("$.text_analysis.stats.density.char_count").cast("long").alias("den_chars"),
+        g("$.text_analysis.stats.pdf.char_count").cast("long").alias("pdf_chars"),
+        g("$.text_analysis.similarities.density_vs_dom").cast("double").alias("sim_den_dom"),
+        F.length(F.coalesce(g("$.text_samples.dom"), g("$.text_samples.pdf")))
+        .cast("long")
+        .alias("sample_len"),
+    )
 
 
 def q_bbox_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1-J3 relational form: PDF block bboxes tested for containment
-    in the upper half of the page media box. Bboxes are deterministic
-    functions of the PDF generator (synth.build_pdf: x=72, y=720-40j,
-    rendered top=792-y), so the oracle reconstructs them in SQL."""
+    """J1-J3 relational form: PDF block ENVELOPES (union of word
+    boxes) tested for containment in a 120pt top band. Bboxes are
+    deterministic functions of the PDF generator (synth.build_pdf:
+    x=72, y=720-40j, rendered top=792-y), so the oracle reconstructs
+    them in SQL."""
+    from ocr_compare_spark.operators.geometry import bbox_envelopes
+
     r = _results(spark, sf_dir).filter(F.col("engine") == "pdf")
-    sp = spans_table(r)
-    blocks = sp.select("url", "page_no", "block_no", "bbox").dropDuplicates(
-        ["url", "page_no", "block_no"]
-    )
+    blocks = bbox_envelopes(spans_table(r), "block")
     # 120pt band: only each page's first block (top=72+40j, h=12)
-    contained = (F.col("bbox.top") >= 0) & (F.col("bbox.top") + F.col("bbox.height") <= 120)
+    contained = (F.col("top") >= 0) & (F.col("top") + F.col("height") <= 120)
     return blocks.groupBy("url").agg(
         F.count("*").alias("n_blocks"),
         F.sum(contained.cast("long")).alias("n_upper_half"),
+    )
+
+
+def q_bbox_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: block bbox = union envelope of its word bboxes (reference
+    tesseract_executor.py:210-265). Word boxes are closed-form (left
+    = 72 + 6*char_offset, width = 6*len(word)), so the envelope must
+    come back as exactly the generator's block geometry."""
+    from ocr_compare_spark.operators.geometry import bbox_envelopes
+
+    r = _results(spark, sf_dir).filter(F.col("engine") == "pdf")
+    env = bbox_envelopes(spans_table(r), "block")
+    return env.select(
+        "url",
+        F.col("page_no").cast("long").alias("page_no"),
+        F.col("block_no").cast("long").alias("block_no"),
+        "left", "top", "width", "height",
+        F.col("n_words").cast("long").alias("n_words"),
+    )
+
+
+def q_doc_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A6: page extent = max right/bottom word edge
+    (tesseract_executor.py:307-316); document dims = max page width,
+    SUM page heights (gdai_convert.py:361-363)."""
+    from ocr_compare_spark.operators.geometry import doc_dims
+
+    r = _results(spark, sf_dir).filter(F.col("engine") == "pdf")
+    d = doc_dims(spans_table(r))
+    return d.select(
+        "url", "doc_width", "doc_height", F.col("n_pages").cast("long").alias("n_pages")
     )
 
 
@@ -507,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_from_spans": q_assemble_from_spans,
         "winner_text": q_winner_text,
         "summaries": q_summaries,
+        "confidences": q_confidences,
         "spans_hierarchy": q_spans_hierarchy,
         "compare_basic": q_compare_basic,
         "compare_cer": q_compare_cer,
@@ -528,6 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "report_json": q_report_json,
         "bbox_containment": q_bbox_containment,
+        "bbox_union": q_bbox_union,
+        "doc_dims": q_doc_dims,
         "param_grid": q_param_grid,
         "host_stats_salted": q_host_stats_salted,
         "events_window": q_events_window,
@@ -639,6 +721,87 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(coalesce(e.doc_text, '')), length(d.doc_text)), 6) AS cer
             FROM dom d JOIN den e ON d.url = e.url
         """,
+        "confidences": f"""
+            WITH {PARAS_CTE},
+            -- one row per (engine, url, paragraph, word): base_i is
+            -- the document-global ordinal of the paragraph's first
+            -- word (dom: +4 promo words; density: kept paragraphs
+            -- are a PREFIX since only the trailing partial chunk can
+            -- fall under {MIN_TOK} tokens, so para_no*{synth.PARA_WORDS} holds)
+            w AS (
+              SELECT 'dom' AS engine, url, para_no, 4 + para_no*{synth.PARA_WORDS} AS base_i,
+                     unnest(range(0, n_tok)) AS w
+              FROM paras WHERE NOT is_pdf
+              UNION ALL
+              SELECT 'density', url, para_no, para_no*{synth.PARA_WORDS}, unnest(range(0, n_tok))
+              FROM paras WHERE NOT is_pdf AND n_tok >= {MIN_TOK}
+              UNION ALL
+              SELECT 'pdf', url, para_no, para_no*{synth.PARA_WORDS}, unnest(range(0, n_tok))
+              FROM paras WHERE is_pdf
+            ),
+            -- All means use list_sum over an ORDER BY'd list, NOT
+            -- avg(): the engine sums confidences in document order,
+            -- and an unordered float sum differs by 1 ulp — which
+            -- flips 6-decimal rounding for values that sit exactly
+            -- on a .5e-6 boundary (e.g. 0.8521875 = K/3200). The
+            -- ordered sums are bit-identical to the Python fold
+            -- (measured: 950/950 exact float equality).
+            wc AS (
+              SELECT engine, url, para_no, w // {synth.LINE_WORDS} AS line_no, w,
+                     (CASE engine WHEN 'dom' THEN 0.90 WHEN 'density' THEN 0.95 ELSE 0.85 END)
+                       - ((base_i + w) % 10) / 100.0 AS conf
+              FROM w
+            ),
+            lc AS (SELECT engine, url, para_no, line_no,
+                          list_sum(list(conf ORDER BY w)) / count(*) AS v
+                   FROM wc GROUP BY ALL),
+            pc AS (SELECT engine, url, para_no,
+                          list_sum(list(v ORDER BY line_no)) / count(*) AS v
+                   FROM lc GROUP BY ALL),
+            -- block conf == paragraph conf (one paragraph per block)
+            pg AS (
+              SELECT 'dom' AS engine, url, 0 AS page_no,
+                     list_sum(list_prepend(
+                       ((0.90 - 0.0/100) + (0.90 - 1.0/100) + (0.90 - 2.0/100) + (0.90 - 3.0/100)) / 4,
+                       list(v ORDER BY para_no))) / (count(*) + 1) AS v
+              FROM pc WHERE engine = 'dom' GROUP BY url
+              UNION ALL
+              SELECT 'density', url, 0, list_sum(list(v ORDER BY para_no)) / count(*)
+              FROM pc WHERE engine = 'density' GROUP BY url
+              UNION ALL
+              SELECT 'pdf', url, para_no // {synth.PAGE_PARAS},
+                     list_sum(list(v ORDER BY para_no)) / count(*)
+              FROM pc WHERE engine = 'pdf' GROUP BY url, para_no // {synth.PAGE_PARAS}
+            ),
+            dc AS (SELECT engine, url, list_sum(list(v ORDER BY page_no)) / count(*) AS v
+                   FROM pg GROUP BY engine, url),
+            nw AS (
+              SELECT 'dom' AS engine, url, max(total_tok) + 4 AS n FROM paras WHERE NOT is_pdf GROUP BY url
+              UNION ALL
+              SELECT 'density', url, coalesce(sum(n_tok) FILTER (n_tok >= {MIN_TOK}), 0)
+              FROM paras WHERE NOT is_pdf GROUP BY url
+              UNION ALL
+              SELECT 'pdf', url, max(total_tok) FROM paras WHERE is_pdf GROUP BY url
+            )
+            SELECT nw.url, nw.engine, round(dc.v, 6) AS doc_confidence,
+                   CAST(nw.n AS BIGINT) AS n_words
+            FROM nw LEFT JOIN dc ON nw.url = dc.url AND nw.engine = dc.engine
+        """,
+        "compare_alignment": f"""
+            -- Token-level edit distance in closed form: the density
+            -- token sequence is a SUBSEQUENCE of the dom sequence
+            -- (dom = 4 promo tokens + all paragraphs; density = the
+            -- kept paragraphs), so lev = |dom| - |density| =
+            -- 4 + (total - kept) deletions, denom = max = |dom|.
+            -- (A token->codepoint levenshtein oracle is foiled by
+            -- DuckDB's levenshtein being byte-based: multi-byte
+            -- codepoints count as 2 edits.)
+            WITH {PARAS_CTE}
+            SELECT url,
+                   round((4.0 + max(total_tok) - coalesce(sum(n_tok) FILTER (n_tok >= {MIN_TOK}), 0))
+                         / (max(total_tok) + 4), 6) AS wer
+            FROM paras WHERE NOT is_pdf GROUP BY url
+        """,
         "mime_route": f"""
             SELECT CASE WHEN {synth.SQL_IS_PDF} THEN 'application/pdf' ELSE 'text/html' END AS mime,
                    count(*) AS n
@@ -747,6 +910,22 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 1.0 END, 6) AS jaccard
             FROM nxt WHERE next_id IS NOT NULL
         """,
+        "dedup_minhash": """
+            WITH tok AS (SELECT doc_id AS id, string_split_regex(text, '\\s+') AS t FROM documents),
+            ex AS (SELECT id, t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i FROM tok),
+            sh AS (SELECT id, list_distinct(list(array_to_string(t[i:i+2], ' '))) AS shingles FROM ex GROUP BY id),
+            sz AS (SELECT id, len(shingles) AS n FROM sh),
+            inv AS (SELECT id, unnest(shingles) AS s FROM sh),
+            shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+              FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM shared JOIN sz sa ON sa.id = shared.id_a JOIN sz sb ON sb.id = shared.id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        """,
         "embed_topk": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
             scored AS (
@@ -760,11 +939,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= 3
         """,
+        "report_json": f"""
+            WITH {PARAS_CTE},
+            dom AS ({SQL_DOM_TEXT}),
+            den AS ({SQL_DENSITY_TEXT}),
+            pdf AS ({SQL_PDF_TEXT})
+            SELECT t.url,
+              CASE WHEN t.is_pdf THEN NULL ELSE CAST(length(m.doc_text) AS BIGINT) END AS dom_chars,
+              CASE WHEN t.is_pdf THEN NULL ELSE CAST(length(coalesce(d.doc_text, '')) AS BIGINT) END AS den_chars,
+              CASE WHEN t.is_pdf THEN CAST(length(coalesce(p.doc_text, '')) AS BIGINT) ELSE NULL END AS pdf_chars,
+              CASE WHEN t.is_pdf THEN NULL ELSE
+                round(CAST(len(list_intersect(list_distinct(string_split_regex(lower(coalesce(d.doc_text, '')), '\\s+')),
+                                              list_distinct(string_split_regex(lower(m.doc_text), '\\s+')))) AS DOUBLE)
+                      / len(list_distinct(list_concat(list_distinct(string_split_regex(lower(coalesce(d.doc_text, '')), '\\s+')),
+                                                      list_distinct(string_split_regex(lower(m.doc_text), '\\s+'))))), 6)
+              END AS sim_den_dom,
+              CAST(CASE WHEN t.is_pdf
+                   THEN CASE WHEN length(coalesce(p.doc_text, '')) > 1000 THEN 1003 ELSE length(coalesce(p.doc_text, '')) END
+                   ELSE CASE WHEN length(m.doc_text) > 1000 THEN 1003 ELSE length(m.doc_text) END
+              END AS BIGINT) AS sample_len
+            FROM toks t LEFT JOIN dom m ON t.url = m.url
+                        LEFT JOIN den d ON t.url = d.url
+                        LEFT JOIN pdf p ON t.url = p.url
+        """,
+        "media_features": f"""
+            SELECT {synth.SQL_URL} AS url,
+                   'text/html' AS mime,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   round(('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0, 6) AS f0
+            FROM documents
+        """,
         "bbox_containment": f"""
             WITH {PARAS_CTE}
             SELECT url, count(*) AS n_blocks,
                    CAST(ceil(count(*) / {synth.PAGE_PARAS}.0) AS BIGINT) AS n_upper_half
             FROM paras WHERE is_pdf GROUP BY url
+        """,
+        "bbox_union": f"""
+            WITH {PARAS_CTE}
+            SELECT url,
+                   CAST(para_no // {synth.PAGE_PARAS} + 1 AS BIGINT) AS page_no,
+                   CAST(para_no % {synth.PAGE_PARAS} AS BIGINT) AS block_no,
+                   72.0 AS "left",
+                   CAST(72 + 40 * (para_no % {synth.PAGE_PARAS}) AS DOUBLE) AS top,
+                   CAST(6 * length(para_text) AS DOUBLE) AS width,
+                   12.0 AS height,
+                   CAST(n_tok AS BIGINT) AS n_words
+            FROM paras WHERE is_pdf
+        """,
+        "doc_dims": f"""
+            WITH {PARAS_CTE},
+            pp AS (
+              SELECT url, para_no // {synth.PAGE_PARAS} AS pg,
+                     max(72 + 6 * length(para_text)) AS w,
+                     72 + 40 * (count(*) - 1) + 12 AS h
+              FROM paras WHERE is_pdf GROUP BY url, para_no // {synth.PAGE_PARAS}
+            )
+            SELECT url, CAST(max(w) AS DOUBLE) AS doc_width,
+                   CAST(sum(h) AS DOUBLE) AS doc_height,
+                   count(*) AS n_pages
+            FROM pp GROUP BY url
         """,
         "param_grid": """
             WITH g AS (SELECT unnest([0.25, 0.5, 0.75]) AS threshold),

@@ -43,8 +43,10 @@ class EngineSpec:
     # which payloads the engine accepts: 'html', 'pdf', or 'any'
     handles: str
     parse: Callable[[bytes], ParsedDoc]
-    # deterministic per-word confidence (≈ tesseract conf/100,
-    # tesseract_executor.py:183 — ours is synthetic but fixed)
+    # engine BASE confidence: per-word confidence is
+    # word_confidence(base, ordinal) (≈ tesseract conf/100,
+    # tesseract_executor.py:183 — ours is synthetic but varies per
+    # node and aggregates as mean-of-means up the tree)
     confidence: float
 
 

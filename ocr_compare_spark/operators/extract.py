@@ -57,8 +57,29 @@ def table_markdown(rows: list[list[str]]) -> str:
     return "\n".join(out)
 
 
-def doc_to_result(parsed: ParsedDoc, word_conf: float, with_spans: bool = True) -> dict:
-    """ParsedDoc -> one EXTRACT_RESULT_TYPE row (doc_text + span rows)."""
+def word_confidence(base: float, i: int) -> float:
+    """Deterministic per-word confidence: the engine base minus a
+    cyclic penalty on the document-global word ordinal ``i``.
+    Synthetic stand-in for the reference's per-word ``conf / 100``
+    (tesseract_executor.py:183) — varies per node but stays a
+    closed-form function of (engine, ordinal) so the SQL oracle can
+    recompute every level of the hierarchy."""
+    return base - (i % 10) / 100.0
+
+
+def _mean(xs: list[float]) -> float | None:
+    return sum(xs) / len(xs) if xs else None
+
+
+def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) -> dict:
+    """ParsedDoc -> one EXTRACT_RESULT_TYPE row (doc_text + span rows).
+
+    Confidence is aggregated exactly like the reference: line = mean
+    of word confs, paragraph = mean of lines, block = mean of
+    paragraphs, page = mean of blocks, document = mean of pages
+    (tesseract_executor.py:210-325 mean-of-means, not a flat mean).
+    Pages with no words contribute nothing (reference skips empty
+    pages when averaging)."""
     if parsed.error is not None:
         return {
             "doc_text": None, "n_pages": 0, "n_blocks": 0, "n_tables": 0,
@@ -68,6 +89,7 @@ def doc_to_result(parsed: ParsedDoc, word_conf: float, with_spans: bool = True) 
     parts: list[str] = []
     spans: list[dict] = []
     off = 0
+    widx = 0  # document-global word ordinal (drives word_confidence)
 
     def emit(s: str) -> None:
         nonlocal off
@@ -75,9 +97,11 @@ def doc_to_result(parsed: ParsedDoc, word_conf: float, with_spans: bool = True) 
         off += len(s)
 
     n_blocks = n_tables = n_words = 0
+    page_confs: list[float] = []
     for pi, blocks in enumerate(parsed.pages):
         if pi > 0:
             emit(SEP_DOCUMENT)
+        block_confs: list[float] = []
         for bi, blk in enumerate(blocks):
             if bi > 0:
                 emit(SEP_PAGE)
@@ -87,58 +111,101 @@ def doc_to_result(parsed: ParsedDoc, word_conf: float, with_spans: bool = True) 
                 bbox = {"left": blk.bbox[0], "top": blk.bbox[1], "width": blk.bbox[2], "height": blk.bbox[3]}
             if blk.block_type == "TABLE":
                 n_tables += 1
-                if with_spans:
-                    for ri, row in enumerate(blk.rows):
-                        for ci, cell in enumerate(row):
-                            words = cell.split()
-                            if not words:
-                                # Empty cell: placeholder span so the
-                                # assemble cascade keeps the column and
-                                # sizes the '---' separator row from the
-                                # true header width (byte-identical
-                                # round-trip for <td></td>).
-                                words = [""]
-                            for wi, w in enumerate(words):
-                                if w:
-                                    n_words += 1
+                cell_confs: list[float] = []
+                for ri, row in enumerate(blk.rows):
+                    for ci, cell in enumerate(row):
+                        words = cell.split()
+                        if not words:
+                            # Empty cell: placeholder span so the
+                            # assemble cascade keeps the column and
+                            # sizes the '---' separator row from the
+                            # true header width (byte-identical
+                            # round-trip for <td></td>).
+                            words = [""]
+                        for wi, w in enumerate(words):
+                            wc = word_confidence(base_conf, widx)
+                            if w:
+                                n_words += 1
+                                widx += 1
+                                cell_confs.append(wc)
+                            if with_spans:
                                 spans.append({
                                     "page_no": pi + 1, "block_no": bi, "block_type": "TABLE",
                                     "para_no": 0, "line_no": ri, "word_no": wi, "text": w,
                                     "char_start": None, "char_end": None, "bbox": bbox,
-                                    "confidence": word_conf, "row_no": ri, "column_no": ci,
+                                    "confidence": wc if w else None, "row_no": ri, "column_no": ci,
                                     "table_no": n_tables - 1,
                                 })
-                else:
-                    n_words += sum(len(c.split()) for r in blk.rows for c in r)
+                bc = _mean(cell_confs)
+                if bc is not None:
+                    block_confs.append(bc)
                 emit(table_markdown(blk.rows))
                 continue
+            # Word-level bboxes (P5/P9, ≈ tesseract_executor.py word
+            # boxes): derived from the block's cursor bbox with a
+            # uniform char width = block_width / emitted block chars
+            # — so word envelopes union back to the block box exactly
+            # (see operators/geometry.py).
+            block_start = off
+            char_w = None
+            if bbox is not None:
+                total_chars = sum(
+                    sum(len(w) for w in para) + max(len(para) - 1, 0) for para in blk.paras
+                ) + max(len(blk.paras) - 1, 0)  # SEP_BLOCK between paras
+                char_w = bbox["width"] / total_chars if total_chars else 0.0
+            para_confs: list[float] = []
             for qi, para in enumerate(blk.paras):
                 if qi > 0:
                     emit(SEP_BLOCK)
                 lines = [para[i : i + LINE_WORDS] for i in range(0, len(para), LINE_WORDS)]
+                line_confs: list[float] = []
                 for li, line in enumerate(lines):
                     if li > 0:
                         emit(" ")  # SEP_PARAGRAPH == SEP_LINE == ' '
+                    word_confs: list[float] = []
                     for wi, w in enumerate(line):
                         if wi > 0:
                             emit(" ")
                         n_words += 1
+                        wc = word_confidence(base_conf, widx)
+                        widx += 1
+                        word_confs.append(wc)
                         if with_spans:
+                            wb = bbox
+                            if bbox is not None:
+                                wb = {
+                                    "left": bbox["left"] + char_w * (off - block_start),
+                                    "top": bbox["top"],
+                                    "width": char_w * len(w),
+                                    "height": bbox["height"],
+                                }
                             spans.append({
                                 "page_no": pi + 1, "block_no": bi, "block_type": blk.block_type,
                                 "para_no": qi, "line_no": li, "word_no": wi, "text": w,
-                                "char_start": off, "char_end": off + len(w), "bbox": bbox,
-                                "confidence": word_conf, "row_no": None, "column_no": None,
+                                "char_start": off, "char_end": off + len(w), "bbox": wb,
+                                "confidence": wc, "row_no": None, "column_no": None,
                                 "table_no": None,
                             })
                         emit(w)
+                    lc = _mean(word_confs)
+                    if lc is not None:
+                        line_confs.append(lc)
+                pc = _mean(line_confs)
+                if pc is not None:
+                    para_confs.append(pc)
+            bc = _mean(para_confs)
+            if bc is not None:
+                block_confs.append(bc)
+        pagec = _mean(block_confs)
+        if pagec is not None:
+            page_confs.append(pagec)
     return {
         "doc_text": "".join(parts),
         "n_pages": len(parsed.pages),
         "n_blocks": n_blocks,
         "n_tables": n_tables,
         "n_words": n_words,
-        "confidence": word_conf if parsed.pages else None,
+        "confidence": _mean(page_confs),
         "spans": spans if with_spans else None,
         "native_json": json.dumps(parsed.native, sort_keys=True) if parsed.native else None,
         "error": None,

@@ -28,8 +28,10 @@ MEDIA_META_SCHEMA = (
 
 FEATURE_DIM = 16
 
+# feature is array<double>: feature[0] is an exact closed-form md5
+# value (see fake_features) and float32 would round-trip it lossily.
 FEATURES_SCHEMA = (
-    f"url string, mime string, n_bytes long, feature array<float>, decode_error string"
+    f"url string, mime string, n_bytes long, feature array<double>, decode_error string"
 )
 
 
@@ -60,12 +62,17 @@ def decode_image(data: bytes) -> np.ndarray:
 
 
 def fake_features(data: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic stand-in for a decoder+embedder: md5-seeded
-    unit vector. Stable across processes (no salted hash)."""
-    seed = int.from_bytes(hashlib.md5(data).digest()[:8], "little")
-    rng = np.random.default_rng(seed)
-    v = rng.standard_normal(dim).astype(np.float32)
-    return v / (np.linalg.norm(v) or 1.0)
+    """Deterministic stand-in for a decoder+embedder, stable across
+    processes (no salted hash). feature[0] is a CLOSED-FORM value —
+    the first 4 md5 bytes as uint32 / 2^32 — so an ANSI-SQL oracle
+    can recompute it from the payload bytes; the remaining dims are
+    md5-seeded pseudo-random (not normalized, so f0 stays exact)."""
+    digest = hashlib.md5(data).digest()
+    f0 = int.from_bytes(digest[:4], "big") / 2**32
+    rng = np.random.default_rng(int.from_bytes(digest[4:12], "little"))
+    v = rng.standard_normal(dim)
+    v[0] = f0
+    return v
 
 
 def extract_media_features(df: DataFrame, payload_col: str = "html", batch_rows: int = 256) -> DataFrame:

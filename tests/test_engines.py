@@ -114,3 +114,28 @@ def test_span_offsets_point_into_doc_text():
         for s in r["spans"]:
             if s["char_start"] is not None:
                 assert r["doc_text"][s["char_start"] : s["char_end"]] == s["text"]
+
+
+def test_word_bboxes_union_to_block():
+    """Word bboxes partition the block horizontally: the envelope of
+    the word boxes is exactly the engine's block cursor bbox."""
+    from ocr_compare_spark.engines.pdf_stream import parse_pdf
+    from ocr_compare_spark.operators.extract import doc_to_result
+    from ocr_compare_spark import synth
+
+    text = " ".join(f"word{i}" for i in range(40))
+    res = doc_to_result(parse_pdf(synth.build_pdf(7, text)), 0.85)
+    spans = [s for s in res["spans"] if s["bbox"] is not None]
+    assert spans, "pdf spans must carry word bboxes"
+    by_block = {}
+    for s in spans:
+        by_block.setdefault((s["page_no"], s["block_no"]), []).append(s)
+    for (pg, bi), ss in by_block.items():
+        boxes = [s["bbox"] for s in ss]
+        left = min(b["left"] for b in boxes)
+        right = max(b["left"] + b["width"] for b in boxes)
+        assert left == 72.0
+        assert all(b["top"] == boxes[0]["top"] and b["height"] == 12.0 for b in boxes)
+        # envelope right edge = 72 + 6 * len(paragraph text)
+        para_len = sum(len(s["text"]) for s in ss) + len(ss) - 1
+        assert right == 72.0 + 6.0 * para_len

@@ -190,3 +190,16 @@ def test_pairwise_excludes_error_rows(spark):
         "url string, engine string, doc_text string, error string",
     ).withColumn("confidence", F.lit(0.9))
     assert pairwise_compare(df, with_alignment=False).count() == 0
+
+
+def test_winner_confidence_tiebreak(spark):
+    """With preference tied, the varying per-document confidence
+    (mean-of-means of word confidences) decides the winner — the
+    r1 'dead tiebreak' is now live."""
+    text = " ".join(f"w{i}" for i in range(40))
+    pages = _mini_pages(spark, [(synth.url_of(2), synth.build_html(2, text))])
+    res = run_engines(pages, engines=("dom", "density"))
+    confs = {r.engine: r.confidence for r in res.collect()}
+    assert confs["density"] != confs["dom"]
+    w = pick_winner(res, preference={"dom": 0, "density": 0}).collect()[0]
+    assert w.engine == max(confs, key=lambda e: confs[e])

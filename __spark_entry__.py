@@ -150,6 +150,33 @@ def q_spans_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested canonical tree (SURVEY §1.3(a), ocr_schema.py:25-339):
+    spans -> document struct; the counts are folded out of the NESTED
+    struct (not the span table), plus count-distinct element_path
+    (gdai_convert.py:87-98) which must equal the word count."""
+    from ocr_compare_spark.operators.tree import element_path, to_tree, tree_stats
+
+    r = _results(spark, sf_dir).filter(F.col("engine") == "dom")
+    sp = spans_table(r)
+    stats = tree_stats(to_tree(sp)).drop("engine")
+    paths = sp.groupBy("url").agg(F.count_distinct(element_path()).alias("n_paths"))
+    return stats.join(paths, "url")
+
+
+def q_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol-level leaf (ocr_schema.py:59-73): per-document symbol
+    counts and the mean symbol confidence over the dom spans."""
+    from ocr_compare_spark.operators.extract import explode_symbols
+
+    r = _results(spark, sf_dir).filter(F.col("engine") == "dom")
+    sym = explode_symbols(spans_table(r))
+    return sym.groupBy("url").agg(
+        F.count("*").alias("n_symbols"),
+        F.count_distinct("symbol").cast("long").alias("n_distinct"),
+    )
+
+
 def q_compare_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _results(spark, sf_dir).filter(F.col("engine").isin("dom", "density"))
     c = pairwise_compare(r, with_alignment=False)
@@ -228,6 +255,26 @@ def q_chunk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segs.groupBy("url").agg(
         F.count("*").alias("n_segments"),
         F.sum("seg_pages").cast("long").alias("n_pages"),
+    )
+
+
+def q_layout_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style layout chunking of dom blocks at 1000 chars
+    (reference ChunkingConfig defaults, gdai_executor.py:191-195).
+    The packing rule is closed-form (floor of the running char count)
+    so the oracle rebuilds chunk membership and sizes in SQL; the
+    ancestor-heading prefix path is pytest-locked (the synthetic
+    corpus keeps its only heading inside stripped chrome)."""
+    from ocr_compare_spark.operators.assemble import assemble_blocks
+    from ocr_compare_spark.operators.chunking import layout_chunks
+
+    r = _results(spark, sf_dir).filter(F.col("engine") == "dom")
+    chunks = layout_chunks(assemble_blocks(spans_table(r)), chunk_chars=1000)
+    return chunks.select(
+        "url",
+        "chunk_no",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.length("chunk_text").cast("long").alias("chunk_chars"),
     )
 
 
@@ -588,6 +635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summaries": q_summaries,
         "confidences": q_confidences,
         "spans_hierarchy": q_spans_hierarchy,
+        "tree_paths": q_tree_paths,
+        "symbols": q_symbols,
         "compare_basic": q_compare_basic,
         "compare_cer": q_compare_cer,
         "compare_alignment": q_compare_alignment,
@@ -595,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_meta": q_pages_meta,
         "cache_misses": q_cache_misses,
         "chunk_segments": q_chunk_segments,
+        "layout_chunks": q_layout_chunks,
         "textstats": q_textstats,
         "quality_topk": q_quality_topk,
         "fingerprint": q_fingerprint,
@@ -721,6 +771,23 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(coalesce(e.doc_text, '')), length(d.doc_text)), 6) AS cer
             FROM dom d JOIN den e ON d.url = e.url
         """,
+        "tree_paths": f"""
+            WITH {PARAS_CTE}
+            SELECT url, CAST(1 AS BIGINT) AS n_pages,
+                   CAST(count(*) + 1 AS BIGINT) AS n_blocks,
+                   CAST(count(*) + 1 AS BIGINT) AS n_paras,
+                   CAST(sum(CAST(ceil(n_tok / {synth.LINE_WORDS}.0) AS BIGINT)) + 1 AS BIGINT) AS n_lines,
+                   CAST(max(total_tok) + 4 AS BIGINT) AS n_words,
+                   CAST(max(total_tok) + 4 AS BIGINT) AS n_paths
+            FROM paras WHERE NOT is_pdf GROUP BY url
+        """,
+        "symbols": f"""
+            SELECT {synth.SQL_URL} AS url,
+                   CAST(length(replace(text, ' ', '')) + 18 AS BIGINT) AS n_symbols,
+                   CAST(len(list_distinct(regexp_extract_all(
+                        replace(text, ' ', '') || 'promoofferclicknow', '.'))) AS BIGINT) AS n_distinct
+            FROM documents WHERE NOT {synth.SQL_IS_PDF}
+        """,
         "confidences": f"""
             WITH {PARAS_CTE},
             -- one row per (engine, url, paragraph, word): base_i is
@@ -821,6 +888,24 @@ def oracle_sql() -> dict[str, str]:
               FROM paras WHERE is_pdf GROUP BY url
             )
             SELECT url, CAST(ceil(n_pages / 2.0) AS BIGINT) AS n_segments, n_pages FROM pd
+        """,
+        "layout_chunks": f"""
+            WITH {PARAS_CTE},
+            blocks AS (
+              SELECT url, 0 AS b, {len(synth.PROMO_TEXT)} AS l FROM toks WHERE NOT is_pdf
+              UNION ALL
+              SELECT url, para_no + 1, length(para_text) FROM paras WHERE NOT is_pdf
+            ),
+            c AS (
+              SELECT url, b, l,
+                     coalesce(sum(l + 2) OVER (
+                       PARTITION BY url ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS chunk_no
+              FROM blocks
+            )
+            SELECT url, chunk_no, count(*) AS n_blocks,
+                   CAST(sum(l) + 2 * (count(*) - 1) AS BIGINT) AS chunk_chars
+            FROM c GROUP BY url, chunk_no
         """,
         "textstats": f"""
             WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)

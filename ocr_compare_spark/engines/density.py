@@ -18,7 +18,7 @@ Deterministic, pure-function scoring — no model, no randomness.
 from __future__ import annotations
 
 from ocr_compare_spark.engines.base import Block, EngineSpec, ParsedDoc, register_engine
-from ocr_compare_spark.engines.html_tree import RawBlock, segment_html
+from ocr_compare_spark.engines.html_tree import HEADING_TAGS, RawBlock, segment_html
 
 MAX_LINK_DENSITY = 0.5
 TAG_COST = 10.0
@@ -52,7 +52,8 @@ def density_from_raws(raws) -> ParsedDoc:
         if rb.is_table:
             blocks.append(Block(block_type="TABLE", rows=rb.rows))
         else:
-            blocks.append(Block(block_type="TEXT", paras=[rb.tokens]))
+            btype = "HEADING" if rb.tag in HEADING_TAGS else "TEXT"
+            blocks.append(Block(block_type=btype, paras=[rb.tokens]))
     native = {
         "engine": "density",
         "blocks_seen": len(raws),

@@ -14,7 +14,7 @@ grouping never changes assembled text — ocr_schema.py:102,119).
 from __future__ import annotations
 
 from ocr_compare_spark.engines.base import Block, EngineSpec, ParsedDoc, register_engine
-from ocr_compare_spark.engines.html_tree import segment_html
+from ocr_compare_spark.engines.html_tree import HEADING_TAGS, segment_html
 
 
 def dom_from_raws(raws) -> ParsedDoc:
@@ -28,7 +28,8 @@ def dom_from_raws(raws) -> ParsedDoc:
         if rb.is_table:
             blocks.append(Block(block_type="TABLE", rows=rb.rows))
         else:
-            blocks.append(Block(block_type="TEXT", paras=[rb.tokens]))
+            btype = "HEADING" if rb.tag in HEADING_TAGS else "TEXT"
+            blocks.append(Block(block_type=btype, paras=[rb.tokens]))
     native = {
         "engine": "dom",
         "blocks_seen": len(raws),

@@ -34,6 +34,9 @@ BLOCK_TAGS = {
 VOID_TAGS = {"br", "hr", "img", "meta", "link", "input", "area", "base", "col", "embed", "source", "track", "wbr"}
 
 
+HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+
 @dataclass
 class RawBlock:
     tokens: list[str] = field(default_factory=list)
@@ -42,6 +45,9 @@ class RawBlock:
     in_chrome: bool = False
     is_table: bool = False
     rows: list[list[str]] = field(default_factory=list)
+    # block tag that opened this block ('p', 'h2', ... or None for
+    # untagged text runs) — engines map h1-h6 to block_type HEADING
+    tag: str | None = None
 
     @property
     def text(self) -> str:
@@ -53,6 +59,7 @@ class _BlockParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[RawBlock] = []
         self._cur: RawBlock | None = None
+        self._pending_tag: str | None = None
         self._skip_depth = 0
         self._chrome_depth = 0
         self._link_depth = 0
@@ -70,7 +77,7 @@ class _BlockParser(HTMLParser):
 
     def _ensure(self) -> RawBlock:
         if self._cur is None:
-            self._cur = RawBlock(in_chrome=self._chrome_depth > 0)
+            self._cur = RawBlock(in_chrome=self._chrome_depth > 0, tag=self._pending_tag)
         return self._cur
 
     # -- handlers ----------------------------------------------------------
@@ -102,6 +109,7 @@ class _BlockParser(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._flush()
+            self._pending_tag = tag
             return
         # inline tag inside the current block
         if tag == "a":
@@ -143,6 +151,7 @@ class _BlockParser(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._flush()
+            self._pending_tag = None
 
     def handle_data(self, data: str) -> None:
         if self._skip_depth:

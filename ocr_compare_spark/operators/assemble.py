@@ -31,6 +31,14 @@ def _ordered_concat(df: DataFrame, keys: list[str], ordinal: str, text_col: str,
     )
 
 
+def assemble_blocks(spans: DataFrame) -> DataFrame:
+    """span rows -> one row per (url, engine, page_no, block_no) with
+    block_text and block_type — the word->line->para->block prefix of
+    the assembly cascade, exposed for consumers that operate at block
+    granularity (layout chunking, geometry joins)."""
+    return _assemble_blocks(spans.repartition("url", "engine"))
+
+
 def assemble_doc_text(spans: DataFrame) -> DataFrame:
     """span rows -> (url, engine, doc_text), byte-identical to the
     engines' fast-path assembly. Handles TEXT and TABLE blocks."""
@@ -40,22 +48,32 @@ def assemble_doc_text(spans: DataFrame) -> DataFrame:
     # (url, engine) is a subset of every finer grouping's keys, so
     # the whole word->line->para->block->page->doc cascade runs
     # exchange-free (measured: 10 exchanges -> 4, ~6x faster).
-    spans = spans.repartition("url", "engine")
+    blocks = _assemble_blocks(spans.repartition("url", "engine"))
+
+    pages = _ordered_concat(blocks, base + ["page_no"], "block_no", "block_text", SEP_PAGE, "page_text")
+    docs = _ordered_concat(pages, base, "page_no", "page_text", SEP_DOCUMENT, "doc_text")
+    return docs
+
+
+def _assemble_blocks(spans: DataFrame) -> DataFrame:
+    base = ["url", "engine"]
 
     text_spans = spans.filter(F.col("block_type") != "TABLE")
     table_spans = spans.filter(F.col("block_type") == "TABLE")
 
-    # word -> line -> paragraph -> block (TEXT blocks)
+    # word -> line -> paragraph -> block (TEXT blocks). block_type is
+    # constant within a block, so carrying it as an extra grouping key
+    # changes no group and keeps it available on the block rows.
     lines = _ordered_concat(
         text_spans,
-        base + ["page_no", "block_no", "para_no", "line_no"],
+        base + ["page_no", "block_no", "block_type", "para_no", "line_no"],
         "word_no", "text", SEP_LINE, "line_text",
     )
     paras = _ordered_concat(
-        lines, base + ["page_no", "block_no", "para_no"], "line_no", "line_text", SEP_PARAGRAPH, "para_text"
+        lines, base + ["page_no", "block_no", "block_type", "para_no"], "line_no", "line_text", SEP_PARAGRAPH, "para_text"
     )
     text_blocks = _ordered_concat(
-        paras, base + ["page_no", "block_no"], "para_no", "para_text", SEP_BLOCK, "block_text"
+        paras, base + ["page_no", "block_no", "block_type"], "para_no", "para_text", SEP_BLOCK, "block_text"
     )
 
     # TABLE blocks: word -> cell -> row -> markdown-lite block
@@ -101,6 +119,7 @@ def assemble_doc_text(spans: DataFrame) -> DataFrame:
             *base,
             "page_no",
             "block_no",
+            F.lit("TABLE").alias("block_type"),
             F.array_join(
                 F.concat(
                     F.array(F.element_at("rws", 1).t, sep_row),
@@ -110,8 +129,4 @@ def assemble_doc_text(spans: DataFrame) -> DataFrame:
             ).alias("block_text"),
         )
     )
-    blocks = text_blocks.unionByName(table_blocks)
-
-    pages = _ordered_concat(blocks, base + ["page_no"], "block_no", "block_text", SEP_PAGE, "page_text")
-    docs = _ordered_concat(pages, base, "page_no", "page_text", SEP_DOCUMENT, "doc_text")
-    return docs
+    return text_blocks.unionByName(table_blocks)

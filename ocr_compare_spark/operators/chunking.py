@@ -119,6 +119,67 @@ def explode_segments(pages: DataFrame, limit: int) -> DataFrame:
     )
 
 
+def layout_chunks(
+    blocks: DataFrame,
+    chunk_chars: int = 1000,
+    sep: str = "\n\n",
+    with_headings: bool = True,
+) -> DataFrame:
+    """RAG-style layout chunking over assembled blocks (reference
+    ChunkingConfig, gdai_executor.py:191-195: chunk_size_characters=
+    1000, include_ancestor_headings=True).
+
+    Deterministic block packing: block b joins chunk
+    floor(cum_chars_before_b / chunk_chars) — a closed-form rule
+    (pure window expression, SQL-mirrorable) approximating greedy
+    packing. Each chunk is prefixed with the most recent HEADING
+    block STRICTLY BEFORE its first block (a chunk that starts with
+    a heading doesn't duplicate it). Windows partition by
+    (url, engine): per-document state, never a corpus-wide
+    serialization point.
+
+    Input: assemble.assemble_blocks output
+    (url, engine, page_no, block_no, block_type, block_text).
+    """
+    w = Window.partitionBy("url", "engine").orderBy("page_no", "block_no")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum(F.length("block_text") + len(sep)).over(before), F.lit(0))
+    last_heading = F.last(
+        F.when(F.col("block_type") == "HEADING", F.col("block_text")), ignorenulls=True
+    ).over(before)
+    marked = blocks.select(
+        "url", "engine", "page_no", "block_no", "block_text",
+        (cum_before / chunk_chars).cast("long").alias("chunk_no"),
+        last_heading.alias("heading"),
+    )
+    ordinal = F.struct(F.col("page_no").alias("p"), F.col("block_no").alias("b"))
+    body = F.concat_ws(
+        sep,
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(ordinal.alias("o"), F.col("block_text").alias("t")))
+            ),
+            lambda x: x.t,
+        ),
+    )
+    # heading wrapped in a struct: min_by skips NULL values, and the
+    # chunk heading must be the FIRST block's (possibly null) state,
+    # not the first non-null one.
+    chunks = marked.groupBy("url", "engine", "chunk_no").agg(
+        body.alias("body"),
+        F.min_by(F.struct(F.col("heading").alias("h")), ordinal).alias("hs"),
+        F.count("*").alias("n_blocks"),
+    ).withColumn("heading", F.col("hs.h")).drop("hs")
+    text = (
+        F.when(F.lit(with_headings) & F.col("heading").isNotNull(),
+               F.concat(F.col("heading"), F.lit(sep), F.col("body")))
+        .otherwise(F.col("body"))
+    )
+    return chunks.select(
+        "url", "engine", "chunk_no", text.alias("chunk_text"), "n_blocks", "heading"
+    )
+
+
 def renumber_pages(seg_spans: DataFrame) -> DataFrame:
     """Cumulative page offset per (url, engine) over seg_no order —
     ≈ the reference's next_page_number running max

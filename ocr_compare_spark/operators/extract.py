@@ -367,6 +367,24 @@ def run_engines_fused(
     )
 
 
+def explode_symbols(spans: DataFrame) -> DataFrame:
+    """Symbol-level leaf (reference ocr_schema.py:59-73: words hold
+    symbols with per-symbol confidence). One row per character of
+    each word span — native posexplode, no Python. Symbol confidence
+    derives from the word's (the reference's tesseract symbols carry
+    their own conf; ours is deterministic), char offset = the word's
+    char_start + position."""
+    return (
+        spans.select(
+            "url", "engine", "page_no", "block_no", "para_no", "line_no", "word_no",
+            "char_start", "confidence",
+            F.posexplode(F.split(F.col("text"), "")).alias("symbol_no", "symbol"),
+        )
+        .filter(F.length("symbol") > 0)
+        .withColumn("char_offset", F.col("char_start") + F.col("symbol_no"))
+    )
+
+
 def spans_table(results: DataFrame) -> DataFrame:
     """Flattened span table: one row per word-leaf (FIXTURES.md §2)."""
     return results.select(

@@ -40,6 +40,8 @@ def build_and_run(
     with_alignment: bool = True,
     with_spans: bool = False,
     num_partitions: int | None = None,
+    cache_dir: str | None = None,
+    force_refresh: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -47,6 +49,7 @@ def build_and_run(
     from ocr_compare_spark.operators.compare import pairwise_compare
     from ocr_compare_spark.operators.extract import run_engines_fused
     from ocr_compare_spark.operators.winner import pick_winner
+    from ocr_compare_spark.sources import cache as cache_mod
     from ocr_compare_spark.sources import metrics as mx
 
     sc = spark.sparkContext
@@ -95,14 +98,33 @@ def build_and_run(
     # architecture: stage outputs are tables, giving downstream
     # phases a columnar, pushdown-friendly source instead of a
     # recompute-through-UDF lineage or an in-memory cache).
+    # With --cache-dir, extraction goes through the content-addressed
+    # result cache (reference CachedOcrExecutor): only cache misses
+    # hit the engine UDFs; a second run's extract phase is a pure
+    # scan + key join. --force-refresh recomputes despite hits and
+    # appends (last-write-wins on read), cached_ocr_executor.py:73.
     t = time.time()
-    results = run_engines_fused(pages, with_spans=with_spans, num_partitions=num_partitions)
-    if not with_spans:
-        results = results.drop("spans")  # all-null column: don't stage it
+    cache_fresh_rows = None
+    if cache_dir:
+        results, fresh = cache_mod.cached_extract(
+            spark, pages, cache_dir,
+            force_refresh=force_refresh, num_partitions=num_partitions,
+            return_fresh=True,
+        )
+    else:
+        results = run_engines_fused(pages, with_spans=with_spans, num_partitions=num_partitions)
+        if not with_spans:
+            results = results.drop("spans")  # all-null column: don't stage it
     observed, obs = mx.observe_extraction(results)
     observed.write.mode("overwrite").parquet(staging)
+    if cache_dir:
+        # persisted by cached_extract: this count is a memory read,
+        # and run 2 reporting 0 is the cache-effectiveness evidence
+        cache_fresh_rows = fresh.count()
     phases["extract"] = round(time.time() - t, 2)
     stats = dict(obs.get)
+    if cache_fresh_rows is not None:
+        stats["cache_fresh_rows"] = cache_fresh_rows
     staged = spark.read.parquet(staging)
 
     t = time.time()
@@ -138,7 +160,7 @@ def build_and_run(
     docs_total = (
         spark.read.parquet(f"{input_dir.rstrip('/')}/documents.parquet").count() * replicate
     )
-    return {
+    out = {
         "elapsed_sec": round(elapsed, 2),
         "docs": docs_total,
         "engine_rows": int(stats.get("docs_in", -1)),
@@ -149,6 +171,9 @@ def build_and_run(
         "phases": phases,
         "docs_per_sec": round(docs_total / elapsed, 2),
     }
+    if cache_fresh_rows is not None:
+        out["cache_fresh_rows"] = cache_fresh_rows
+    return out
 
 
 def main() -> int:
@@ -158,6 +183,8 @@ def main() -> int:
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--no-alignment", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--cache-dir", default=None)
+    ap.add_argument("--force-refresh", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -178,6 +205,8 @@ def main() -> int:
         replicate=args.replicate,
         with_alignment=not args.no_alignment,
         num_partitions=args.partitions,
+        cache_dir=args.cache_dir,
+        force_refresh=args.force_refresh,
     )
     out["master"] = spark.sparkContext.master
     print("BENCH_JSON:" + json.dumps(out))

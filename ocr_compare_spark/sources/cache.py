@@ -49,6 +49,89 @@ def split_hits_misses(keyed: DataFrame, cache_tbl: DataFrame) -> tuple[DataFrame
     return hits, misses
 
 
+# Cached payload: the hot-path engine result columns (the reference
+# caches the native result + canonical text, cached_ocr_executor.py:
+# 254-270; span arrays are derived data and stay out of the cache).
+RESULT_COLS = [
+    "engine_version", "doc_text", "n_pages", "n_blocks", "n_tables",
+    "n_words", "confidence", "native_json", "error",
+]
+
+
+def read_result_cache(spark, cache_dir: str) -> DataFrame | None:
+    """Cache table snapshot with last-write-wins per key: a
+    force_cache_refresh run APPENDS recomputed rows (object-store
+    overwrite semantics re-expressed for an append-only table), so
+    reads pick the newest row per (engine, content_hash,
+    kwargs_hash). Returns None when the cache is empty/absent."""
+    import os
+
+    if not os.path.exists(cache_dir):
+        return None
+    tbl = spark.read.parquet(cache_dir)
+    payload = F.max_by(F.struct(*RESULT_COLS), "created_ts").alias("p")
+    return tbl.groupBy(*CACHE_KEY).agg(payload).select(*CACHE_KEY, "p.*")
+
+
+def cached_extract(
+    spark,
+    pages: DataFrame,
+    cache_dir: str,
+    engines: tuple[str, ...] = ("dom", "density", "pdf"),
+    kwargs: dict | None = None,
+    force_refresh: bool = False,
+    num_partitions: int | None = None,
+    return_fresh: bool = False,
+) -> DataFrame:
+    """The CachedOcrExecutor flow (cached_ocr_executor.py:58-112) as
+    relational ops over a cache TABLE:
+
+    1. key incoming docs: md5(html) + kwargs hash (force_cache_refresh
+       is dropped from the kwargs key, cached_ocr_executor.py:215-231)
+    2. misses = left_anti on the key (everything when force_refresh)
+    3. compute misses with the fused extractor, APPEND to the cache
+    4. serve results by joining the cache back to the incoming keys.
+
+    The fresh rows reach the output through the cache parquet, not
+    through the UDF lineage twice — one compute pass, and run 2's
+    extract phase is a pure scan+join. Output columns match
+    run_engines_fused minus `spans` (derived data, never cached)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ocr_compare_spark.operators.extract import run_engines_fused
+
+    out_cols = ["url", "warc_ts", "lang", "engine", *RESULT_COLS]
+    keyed = pages.withColumn("content_hash", F.md5(F.col("html"))).withColumn(
+        "kwargs_hash", F.lit(kwargs_hash(kwargs))
+    )
+    cache = None if force_refresh else read_result_cache(spark, cache_dir)
+    if cache is None:
+        misses, hits = keyed, None
+    else:
+        keys = cache.select("content_hash", "kwargs_hash").distinct()
+        misses = keyed.join(keys, ["content_hash", "kwargs_hash"], "left_anti")
+        hits = keyed.select("url", "warc_ts", "lang", "content_hash", "kwargs_hash").join(
+            cache, ["content_hash", "kwargs_hash"]
+        ).select(*out_cols)
+
+    # One compute pass over the misses: persist, let the cache-append
+    # action materialize it, serve downstream from the persisted rows
+    # (MEMORY_AND_DISK spills instead of recomputing at 100 TB).
+    fresh = run_engines_fused(
+        misses, engines, with_spans=False, num_partitions=num_partitions
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    entries = fresh.join(
+        keyed.select("url", "content_hash", "kwargs_hash"), "url"
+    ).select("engine", "content_hash", "kwargs_hash", *RESULT_COLS, F.current_timestamp().alias("created_ts"))
+    entries.write.mode("append").parquet(cache_dir)
+
+    out = fresh.select(*out_cols)
+    served = out if hits is None else hits.unionByName(out)
+    # return_fresh exposes the persisted miss results so callers can
+    # report how much was actually computed (0 on a warm cache)
+    return (served, fresh) if return_fresh else served
+
+
 def cache_entries(results_with_key: DataFrame) -> DataFrame:
     """Rows to append to the cache table after computing misses
     (≈ _cache_result upload, cached_ocr_executor.py:254-270)."""

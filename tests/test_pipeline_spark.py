@@ -203,3 +203,78 @@ def test_winner_confidence_tiebreak(spark):
     assert confs["density"] != confs["dom"]
     w = pick_winner(res, preference={"dom": 0, "density": 0}).collect()[0]
     assert w.engine == max(confs, key=lambda e: confs[e])
+
+
+def test_layout_chunks_heading_prefix(spark):
+    """Layout chunking (reference ChunkingConfig): blocks pack into
+    ~1000-char chunks; each chunk is prefixed with the most recent
+    HEADING strictly before it."""
+    from ocr_compare_spark.operators.assemble import assemble_blocks
+    from ocr_compare_spark.operators.chunking import layout_chunks
+
+    para = " ".join(f"w{i:03d}" for i in range(100))  # 599 chars
+    html = (
+        "<article><h2>Section One</h2><p>" + para + "</p><p>" + para + "</p>"
+        "<h2>Section Two</h2><p>" + para + "</p></article>"
+    ).encode()
+    pages = _mini_pages(spark, [("c1", html)])
+    blocks = assemble_blocks(spans_table(run_engine(pages, "dom")))
+    types = {r.block_no: r.block_type for r in blocks.collect()}
+    assert types[0] == "HEADING" and types[3] == "HEADING"
+    rows = {r.chunk_no: r for r in layout_chunks(blocks, chunk_chars=1000).collect()}
+    # chunk 0: [h2, para] (cum 0, 13 -> chunk 0; 2nd para cum 614+601 -> chunk 1)
+    assert rows[0].heading is None and rows[0].chunk_text.startswith("Section One")
+    # chunk 1 starts mid-section: prefixed with "Section One"
+    assert rows[1].heading == "Section One"
+    assert rows[1].chunk_text.startswith("Section One\n\n")
+    # every block lands in exactly one chunk
+    assert sum(r.n_blocks for r in rows.values()) == len(types)
+
+
+def test_tree_roundtrip_byte_identical(results):
+    """The nested document struct must rebuild doc_text byte-exactly
+    (tree fidelity, SURVEY §1.3(a))."""
+    from ocr_compare_spark.operators.tree import to_tree, tree_to_text
+
+    r = results.filter(F.col("error").isNull())
+    rebuilt = tree_to_text(to_tree(spans_table(r)))
+    joined = rebuilt.join(
+        r.select("url", "engine", F.col("doc_text").alias("fast")), ["url", "engine"]
+    )
+    assert joined.count() == r.count()
+    assert joined.filter(F.col("doc_text") != F.col("fast")).count() == 0
+
+
+def test_cached_extract_flow(spark, pages, tmp_path):
+    """CachedOcrExecutor parity (reference cached_ocr_executor.py:
+    58-112): run 2 computes nothing fresh (cache row count is
+    unchanged), serves identical results; force_refresh recomputes
+    despite hits (rows appended) and last-write-wins serving still
+    returns identical results."""
+    import glob as _glob
+
+    import duckdb as _dd
+
+    cache_dir = str(tmp_path / "result_cache")
+
+    def cache_rows():
+        return _dd.sql(
+            f"SELECT count(*) FROM read_parquet('{cache_dir}/*.parquet')"
+        ).fetchone()[0]
+
+    def snap(df):
+        return sorted(
+            (r.url, r.engine, r.doc_text, r.confidence) for r in df.collect()
+        )
+
+    out1 = snap(cache_mod.cached_extract(spark, pages, cache_dir))
+    n1 = cache_rows()
+    assert n1 == len(out1) > 0
+    # run 2: pure cache serve — nothing appended
+    out2 = snap(cache_mod.cached_extract(spark, pages, cache_dir))
+    assert out2 == out1
+    assert cache_rows() == n1
+    # refresh: recompute + append; read-side last-write-wins
+    out3 = snap(cache_mod.cached_extract(spark, pages, cache_dir, force_refresh=True))
+    assert out3 == out1
+    assert cache_rows() == 2 * n1

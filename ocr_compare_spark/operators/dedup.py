@@ -45,26 +45,66 @@ def jaccard_arrays(a: F.Column, b: F.Column) -> F.Column:
     return F.when(union > 0, F.size(F.array_intersect(a, b)) / union).otherwise(F.lit(1.0))
 
 
-def adjacent_ngram_jaccard(df: DataFrame, id_col: str, text_col: str, part_col: str, n: int = 3) -> DataFrame:
-    """N-gram Jaccard between each doc and its successor within a
-    partition column — a cheap sorted-neighborhood dedup pass.
+def adjacent_ngram_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    part_col: str,
+    n: int = 3,
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """N-gram Jaccard between each doc and its successor (by id)
+    within a partition column — a cheap sorted-neighborhood dedup
+    pass. Output: one row per consecutive (id, next_id) pair.
 
-    Scale note: the lead() window puts one part_col value per task,
-    so a low-cardinality partition column (e.g. lang) does NOT scale
-    to 100 TB — there, sub-bucket the sort key first (part, id_range)
-    and stitch bucket boundaries, or prefer lsh_candidates, which has
-    no per-key serialization point. Kept simple here because its role
-    is the cheap first-pass screen."""
-    w = Window.partitionBy("part").orderBy("id")
+    Scale shape (r1 fix): a naive lead() over partitionBy(part)
+    serializes each part value onto ONE task — fatal for a
+    low-cardinality column like lang at 100 TB. Here the window runs
+    within (part, bucket = id // bucket_size) — parallelism =
+    #buckets — and the missing cross-bucket pairs are stitched from
+    a per-bucket first/last-row table (1 row per non-empty bucket,
+    1/bucket_size of the input; its per-part ordering window is over
+    bucket summaries, not rows). The result is IDENTICAL to the
+    single-window form: lead() inside a bucket covers consecutive
+    pairs there, and lead() over the bucket summaries pairs each
+    bucket's last row with the next NON-EMPTY bucket's first row —
+    exactly the global successor (id gaps leave buckets empty, which
+    the summary lead skips)."""
     sh = word_shingles(text_col, n)
-    with_next = (
-        df.select(F.col(part_col).alias("part"), F.col(id_col).alias("id"), sh.alias("sh"))
-        .withColumn("next_id", F.lead("id").over(w))
-        .withColumn("next_sh", F.lead("sh").over(w))
-        .filter(F.col("next_id").isNotNull())
+    base = df.select(
+        F.col(part_col).alias("part"),
+        F.col(id_col).alias("id"),
+        sh.alias("sh"),
+        F.floor(F.col(id_col) / bucket_size).alias("bucket"),
     )
-    return with_next.select(
-        "part", "id", "next_id", F.round(jaccard_arrays(F.col("sh"), F.col("next_sh")), 6).alias("jaccard")
+    w_in = Window.partitionBy("part", "bucket").orderBy("id")
+    inner = (
+        base.withColumn("next_id", F.lead("id").over(w_in))
+        .withColumn("next_sh", F.lead("sh").over(w_in))
+        .filter(F.col("next_id").isNotNull())
+        .select("part", "id", "sh", "next_id", "next_sh")
+    )
+    edge = F.struct(F.col("id"), F.col("sh"))
+    bounds = base.groupBy("part", "bucket").agg(
+        F.min_by(edge, F.col("id")).alias("first"),
+        F.max_by(edge, F.col("id")).alias("last"),
+    )
+    w_bd = Window.partitionBy("part").orderBy("bucket")
+    stitched = (
+        bounds.withColumn("nf", F.lead("first").over(w_bd))
+        .filter(F.col("nf").isNotNull())
+        .select(
+            "part",
+            F.col("last.id").alias("id"),
+            F.col("last.sh").alias("sh"),
+            F.col("nf.id").alias("next_id"),
+            F.col("nf.sh").alias("next_sh"),
+        )
+    )
+    pairs = inner.unionByName(stitched)
+    return pairs.select(
+        "part", "id", "next_id",
+        F.round(jaccard_arrays(F.col("sh"), F.col("next_sh")), 6).alias("jaccard"),
     )
 
 

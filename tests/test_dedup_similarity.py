@@ -122,3 +122,31 @@ def test_lsh_topk_recall(vectors):
     assert recall >= 0.6  # multi-table LSH amplifies recall
     # the planted near-identical pair lands in the same bucket
     assert (0, 50) in a
+
+
+def test_adjacent_bucketed_equals_naive(corpus):
+    """The sub-bucketed sorted-neighborhood plan must return EXACTLY
+    the single-window result (bucket boundaries stitched, id gaps
+    skipping empty buckets), and its window must partition by
+    (part, bucket) — no one-task-per-lang serialization."""
+    from pyspark.sql import Window
+
+    got = dedup.adjacent_ngram_jaccard(corpus, "doc_id", "text", "lang", bucket_size=16)
+    rows = {(r.part, r.id, r.next_id): r.jaccard for r in got.collect()}
+    # naive reference: one global window per part
+    sh = dedup.word_shingles("text", 3)
+    w = Window.partitionBy("part").orderBy("id")
+    naive = (
+        corpus.select(F.col("lang").alias("part"), F.col("doc_id").alias("id"), sh.alias("sh"))
+        .withColumn("next_id", F.lead("id").over(w))
+        .withColumn("next_sh", F.lead("sh").over(w))
+        .filter(F.col("next_id").isNotNull())
+        .select("part", "id", "next_id",
+                F.round(dedup.jaccard_arrays(F.col("sh"), F.col("next_sh")), 6).alias("jaccard"))
+    )
+    expect = {(r.part, r.id, r.next_id): r.jaccard for r in naive.collect()}
+    assert rows == expect
+    # the 60->1000 id gap crosses many empty buckets of size 16
+    assert ("en", 59, 1000) in rows
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(part" in plan and "bucket" in plan

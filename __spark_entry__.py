@@ -365,8 +365,10 @@ def _simhash_oracle() -> str:
 
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _tbl(spark, sf_dir, "embeddings")
-    queries = [(r["vec_id"], list(r["embedding"])) for r in emb.filter(F.col("vec_id") < 8).collect()]
-    return similarity.brute_force_topk(emb, queries, k=3).select("query_id", "rank", "neighbor_id")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.brute_force_topk_df(emb, queries, k=3).select(
+        "query_id", "rank", "neighbor_id"
+    )
 
 
 def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

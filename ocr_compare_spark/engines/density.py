@@ -32,7 +32,9 @@ def keep_block(rb: RawBlock) -> bool:
     if rb.is_table:
         return True
     n = len(rb.tokens)
-    if n < MIN_TOKENS:
+    # heading-like blocks are exempt from the minimum-length rule
+    # (headings are short by nature but are main content)
+    if n < MIN_TOKENS and rb.tag not in HEADING_TAGS:
         return False
     if rb.link_tokens / n > MAX_LINK_DENSITY:
         return False

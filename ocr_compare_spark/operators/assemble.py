@@ -130,3 +130,23 @@ def _assemble_blocks(spans: DataFrame) -> DataFrame:
         )
     )
     return text_blocks.unionByName(table_blocks)
+
+
+def assemble_table_tsv(spans: DataFrame) -> DataFrame:
+    """TABLE spans -> the reference's TSV ``raw_text`` fallback
+    (ocr_schema.py:324-334: '\\t'.join(cells) per row, '\\n'.join
+    rows) — the non-markdown rendering variant, same ordinal-sorted
+    native cascade as the markdown path."""
+    base = ["url", "engine"]
+    table_spans = spans.filter(F.col("block_type") == "TABLE")
+    cells = _ordered_concat(
+        table_spans,
+        base + ["page_no", "block_no", "row_no", "column_no"],
+        "word_no", "text", SEP_LINE, "cell_text",
+    )
+    rows = _ordered_concat(
+        cells, base + ["page_no", "block_no", "row_no"], "column_no", "cell_text", "\t", "row_text"
+    )
+    return _ordered_concat(
+        rows, base + ["page_no", "block_no"], "row_no", "row_text", "\n", "raw_text"
+    )

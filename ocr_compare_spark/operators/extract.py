@@ -71,6 +71,13 @@ def _mean(xs: list[float]) -> float | None:
     return sum(xs) / len(xs) if xs else None
 
 
+def table_raw_text(rows: list[list[str]]) -> str:
+    """TSV fallback rendering — the reference's ``raw_text`` variant
+    (ocr_schema.py:324-334: cells joined by '\\t', rows by '\\n'),
+    used when the markdown renderer is unavailable."""
+    return "\n".join("\t".join(r) for r in rows)
+
+
 def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) -> dict:
     """ParsedDoc -> one EXTRACT_RESULT_TYPE row (doc_text + span rows).
 

@@ -71,6 +71,32 @@ def brute_force_topk(
     )
 
 
+MAX_DRIVER_QUERIES = 65536
+
+
+def brute_force_topk_df(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame-first overload of brute_force_topk (r1 advice: the
+    list API invites misuse). The query set is still broadcast — the
+    exact-GEMM design requires every partition to see all queries —
+    but the collect is guarded: above MAX_DRIVER_QUERIES rows the
+    right tool is lsh_topk, and this raises instead of silently
+    OOMing the driver."""
+    rows = queries.select(id_col, vec_col).limit(MAX_DRIVER_QUERIES + 1).collect()
+    if len(rows) > MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"brute_force_topk_df: query set exceeds {MAX_DRIVER_QUERIES} rows; "
+            "use lsh_topk for large query sets (bucketed join, no broadcast)"
+        )
+    qs = [(r[id_col], list(r[vec_col])) for r in rows]
+    return brute_force_topk(corpus, qs, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def cosine_native(a: F.Column, b: F.Column) -> F.Column:
     """Native cosine between two array<double> columns (zip_with +
     aggregate — for joins where a UDF isn't warranted)."""

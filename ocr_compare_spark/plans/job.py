@@ -42,6 +42,8 @@ def build_and_run(
     num_partitions: int | None = None,
     cache_dir: str | None = None,
     force_refresh: bool = False,
+    with_assemble: bool = False,
+    with_dedup: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -148,6 +150,34 @@ def build_and_run(
         n_pairs = -1
     phases["compare"] = round(time.time() - t, 2)
 
+    if with_assemble:
+        # spans_assemble headline: dom extraction WITH span rows ->
+        # exchange-free 5-level reassembly cascade (byte-identity of
+        # the result vs the fast path is the pytest/oracle gate; here
+        # we time it at scale).
+        from ocr_compare_spark.operators.assemble import assemble_doc_text
+        from ocr_compare_spark.operators.extract import spans_table
+
+        t = time.time()
+        dom_spans = spans_table(
+            run_engines_fused(pages, engines=("dom",), with_spans=True, num_partitions=num_partitions)
+        )
+        assemble_doc_text(dom_spans).write.format("noop").mode("overwrite").save()
+        phases["spans_assemble"] = round(time.time() - t, 2)
+
+    if with_dedup:
+        # dedup_minhash headline over the staged dom texts (replicated
+        # urls make every doc a planted near-dup group — the bucket
+        # join's worst realistic case).
+        from ocr_compare_spark.operators.dedup import lsh_candidates
+
+        t = time.time()
+        dom_texts = staged.filter(F.col("engine") == "dom").select("url", "doc_text")
+        lsh_candidates(dom_texts, "url", "doc_text", verify_threshold=0.5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        phases["dedup_minhash"] = round(time.time() - t, 2)
+
     if output_dir:
         t = time.time()
         mx.partition_metrics(staged, job_id=f"job-{int(t0)}").write.mode("overwrite").parquet(
@@ -185,6 +215,8 @@ def main() -> int:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--force-refresh", action="store_true")
+    ap.add_argument("--with-assemble", action="store_true")
+    ap.add_argument("--with-dedup", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -207,6 +239,8 @@ def main() -> int:
         num_partitions=args.partitions,
         cache_dir=args.cache_dir,
         force_refresh=args.force_refresh,
+        with_assemble=args.with_assemble,
+        with_dedup=args.with_dedup,
     )
     out["master"] = spark.sparkContext.master
     print("BENCH_JSON:" + json.dumps(out))

@@ -88,3 +88,46 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
             "sum_value",
         )
     )
+
+
+def dedup_stream(pages_stream: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Streaming exact dedup on the content hash — Spark-native
+    stateful dropDuplicates (state = one key per distinct content,
+    exactly the cache key of cached_ocr_executor.py:203-231). With a
+    watermark the state is bounded for unbounded streams; without,
+    it is the exact global dedup for AvailableNow backfills."""
+    keyed = pages_stream.withColumn("content_hash", F.md5(F.col("html")))
+    if watermark:
+        keyed = keyed.withWatermark("warc_ts", watermark)
+        return keyed.dropDuplicatesWithinWatermark(["content_hash"])
+    return keyed.dropDuplicates(["content_hash"])
+
+
+def first_seen_stream(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the
+    escape hatch for semantics the built-ins can't express): emit
+    only the FIRST document seen per content hash ACROSS micro-
+    batches, carrying a per-key boolean state. Functionally the
+    streaming twin of the result cache's skip path — kept alongside
+    dedup_stream to exercise explicit GroupState plumbing."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            return
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]][["url", "content_hash"]]
+        state.update((True,))
+        if first is not None:
+            yield first
+
+    keyed = pages_stream.withColumn("content_hash", F.md5(F.col("html")))
+    return keyed.groupBy("content_hash").applyInPandasWithState(
+        fn,
+        "url string, content_hash string",
+        "seen boolean",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -150,3 +150,23 @@ def test_adjacent_bucketed_equals_naive(corpus):
     assert ("en", 59, 1000) in rows
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(part" in plan and "bucket" in plan
+
+
+def test_brute_force_topk_df_overload(vectors):
+    """DataFrame overload matches the list API and guards the
+    driver-side collect."""
+    df, mat = vectors
+    qs = [(0, [float(x) for x in mat[0]]), (3, [float(x) for x in mat[3]])]
+    a = sorted(map(tuple, similarity.brute_force_topk(df, qs, k=3).collect()))
+    b = sorted(map(tuple, similarity.brute_force_topk_df(
+        df, df.filter(F.col("vec_id").isin(0, 3)), k=3).collect()))
+    assert a == b
+    import pytest as _pt
+
+    old = similarity.MAX_DRIVER_QUERIES
+    similarity.MAX_DRIVER_QUERIES = 10
+    try:
+        with _pt.raises(ValueError, match="lsh_topk"):
+            similarity.brute_force_topk_df(df, df, k=3)
+    finally:
+        similarity.MAX_DRIVER_QUERIES = old

@@ -139,3 +139,18 @@ def test_word_bboxes_union_to_block():
         # envelope right edge = 72 + 6 * len(paragraph text)
         para_len = sum(len(s["text"]) for s in ss) + len(ss) - 1
         assert right == 72.0 + 6.0 * para_len
+
+
+def test_density_keeps_short_headings():
+    """Headings are exempt from the minimum-length rule (short by
+    nature but main content); short non-heading fragments still drop."""
+    from ocr_compare_spark.engines.density import parse_density
+
+    html = b"<article><h2>Intro</h2><p>tiny</p><p>long enough paragraph here</p></article>"
+    doc = parse_density(html)
+    texts = [" ".join(b.paras[0]) for b in doc.pages[0]]
+    assert "Intro" in texts            # heading kept despite 1 token
+    assert "tiny" not in texts         # short TEXT block dropped
+    assert any(t.startswith("long enough") for t in texts)
+    types = [b.block_type for b in doc.pages[0]]
+    assert "HEADING" in types

@@ -278,3 +278,18 @@ def test_cached_extract_flow(spark, pages, tmp_path):
     out3 = snap(cache_mod.cached_extract(spark, pages, cache_dir, force_refresh=True))
     assert out3 == out1
     assert cache_rows() == 2 * n1
+
+
+def test_table_tsv_raw_text(spark):
+    """The TSV raw_text fallback (reference ocr_schema.py:324-334)
+    matches the pure-Python rendering, including empty cells."""
+    from ocr_compare_spark.operators.assemble import assemble_table_tsv
+    from ocr_compare_spark.operators.extract import table_raw_text
+
+    html = (
+        b"<table><tr><th>h1</th><th>h2</th></tr>"
+        b"<tr><td>a b</td><td></td></tr></table>"
+    )
+    res = run_engine(_mini_pages(spark, [("t2", html)]), "dom")
+    got = assemble_table_tsv(spans_table(res)).collect()[0].raw_text
+    assert got == table_raw_text([["h1", "h2"], ["a b", ""]]) == "h1\th2\na b\t"

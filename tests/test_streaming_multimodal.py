@@ -87,3 +87,79 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")
+
+
+def _two_batch_pages_dir(spark, tmp_path):
+    """Two parquet files -> two micro-batches: batch 2 repeats doc
+    10's content under a new url and adds a new doc."""
+    from ocr_compare_spark import synth
+
+    d = str(tmp_path / "paged_input")
+    rows1 = [(synth.url_of(i), None, synth.build_html(i, f"alpha beta doc {i}"), None, "en") for i in (10, 11)]
+    rows2 = [
+        ("https://mirror.example.com/doc/10", None, synth.build_html(10, "alpha beta doc 10"), None, "en"),
+        (synth.url_of(12), None, synth.build_html(12, "alpha beta doc 12"), None, "en"),
+    ]
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    import glob, shutil, os
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("overwrite").parquet(d + "_b2")
+    for f in glob.glob(d + "_b2/*.parquet"):
+        shutil.copy(f, os.path.join(d, "batch2-" + os.path.basename(f)))
+    return d
+
+
+def test_first_seen_stream_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState carries first-seen state ACROSS
+    micro-batches: the repeated content in batch 2 is suppressed."""
+    from ocr_compare_spark.schema import PAGES_SCHEMA
+    from ocr_compare_spark.streaming.jobs import first_seen_stream
+
+    d = _two_batch_pages_dir(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = (
+        first_seen_stream(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM first_seen_t").collect()
+    hashes = [r.content_hash for r in rows]
+    assert len(hashes) == len(set(hashes)) == 3  # 4 docs, 1 duplicate content
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    """Native streaming dropDuplicates == batch dedup on the same
+    files (stream-batch parity for the dedup operator)."""
+    from pyspark.sql import functions as F
+
+    from ocr_compare_spark.schema import PAGES_SCHEMA
+    from ocr_compare_spark.streaming.jobs import dedup_stream
+
+    d = _two_batch_pages_dir(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.content_hash for r in spark.sql("SELECT * FROM dedup_t").collect()}
+    batch = {
+        r.content_hash
+        for r in spark.read.parquet(d).withColumn("content_hash", F.md5("html"))
+        .dropDuplicates(["content_hash"]).collect()
+    }
+    assert got == batch and len(got) == 3

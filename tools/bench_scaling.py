@@ -32,7 +32,10 @@ def build_zip(path: str) -> None:
                     z.write(full, os.path.relpath(full, ROOT))
 
 
-def run_once(cores: int, zip_path: str, input_dir: str, out_dir: str, replicate: int) -> dict:
+def run_once(
+    cores: int, zip_path: str, input_dir: str, out_dir: str, replicate: int,
+    extra_args: list[str] | None = None,
+) -> dict:
     env = dict(os.environ)
     env.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
     env.setdefault("SPARK_LOCAL_HOSTNAME", "localhost")
@@ -52,7 +55,7 @@ def run_once(cores: int, zip_path: str, input_dir: str, out_dir: str, replicate:
         "--output", out_dir,
         "--replicate", str(replicate),
         "--partitions", str(cores * 2),
-    ]
+    ] + (extra_args or [])
     p = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
     m = re.search(r"BENCH_JSON:(\{.*\})", p.stdout)
     if not m:
@@ -129,6 +132,12 @@ def main() -> int:
     # is stable, Spark at 32 threads is not — measured); 2 vs 8 keeps
     # both runs in the stable regime and still evidences 4x scaling.
     ap.add_argument("--cores", type=int, nargs=2, default=[2, 8])
+    # include the two most expensive headline queries (spans_assemble,
+    # dedup_minhash) as extra timed phases in each run
+    ap.add_argument("--full", action="store_true")
+    # output section file: BENCH/BASELINE_<tag>.md (default overwrites
+    # BENCH/BASELINE.md for protocol compatibility)
+    ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 
     zip_path = "/tmp/ocr_compare_spark.zip"
@@ -139,9 +148,10 @@ def main() -> int:
     hashes = {}
     for cores in (lo, hi):
         best = None
+        extra = ["--with-assemble", "--with-dedup"] if args.full else []
         for rep in range(args.reps):
             out_dir = f"/dev/shm/scaling_out_{cores}"
-            r = run_once(cores, zip_path, args.input, out_dir, args.replicate)
+            r = run_once(cores, zip_path, args.input, out_dir, args.replicate, extra)
             print(f"local[{cores}] rep{rep}: {r}", flush=True)
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
                 best = r
@@ -153,6 +163,11 @@ def main() -> int:
     identical = hashes[lo] == hashes[hi]
     ceiling = host_ceiling(lo, hi)
     normalized = eff / ceiling if ceiling else float("nan")
+    phase_rows = "".join(
+        f"| phase: {ph} (sec) | {results[lo]['phases'][ph]} | {results[hi]['phases'][ph]} |\n"
+        for ph in results[lo]["phases"]
+        if ph in results[hi]["phases"]
+    )
 
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
@@ -173,10 +188,7 @@ Corpus: `{args.input}` documents x{args.replicate} = {results[lo]["docs"]} docs
 |---|---|---|
 | elapsed (in-job, sec) | {results[lo]["elapsed_sec"]} | {results[hi]["elapsed_sec"]} |
 | docs/sec | {results[lo]["docs_per_sec"]} | {results[hi]["docs_per_sec"]} |
-| phase: extract (sec) | {results[lo]["phases"]["extract"]} | {results[hi]["phases"]["extract"]} |
-| phase: winner (sec) | {results[lo]["phases"]["winner"]} | {results[hi]["phases"]["winner"]} |
-| phase: compare (sec) | {results[lo]["phases"]["compare"]} | {results[hi]["phases"]["compare"]} |
-| docs ok / error | {results[lo]["docs_ok"]}/{results[lo]["docs_error"]} | {results[hi]["docs_ok"]}/{results[hi]["docs_error"]} |
+{phase_rows}| docs ok / error | {results[lo]["docs_ok"]}/{results[lo]["docs_error"]} | {results[hi]["docs_ok"]}/{results[hi]["docs_error"]} |
 
 **scaling efficiency ({lo} -> {hi} cores) = ({results[hi]["docs_per_sec"]} / {results[lo]["docs_per_sec"]}) / {hi // lo} = {eff:.3f}**
 (target >= 0.8 per BASELINE.json north_rule)
@@ -192,7 +204,8 @@ Determinism gate: winner-table content hash identical across levels:
 **{identical}** (md5 {hashes[lo][:16]}...).
 """
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+    fname = f"BASELINE_{args.tag}.md" if args.tag else "BASELINE.md"
+    with open(os.path.join(ROOT, "BENCH", fname), "w") as f:
         f.write(md)
     print(md)
     print(json.dumps({

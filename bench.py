@@ -75,9 +75,9 @@ def main() -> int:
         assemble_doc_text(spans_table(r)).write.format("noop").mode("overwrite").save()
 
     def q_dedup_minhash():
-        dedup.lsh_candidates(docs, "doc_id", "text", verify_threshold=0.5).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        dedup.lsh_candidates(
+            docs, "doc_id", "text", verify_threshold=0.5, num_partitions=cores
+        ).write.format("noop").mode("overwrite").save()
 
     def q_embed_topk():
         qs = [(r["vec_id"], list(r["embedding"])) for r in emb.limit(32).collect()]

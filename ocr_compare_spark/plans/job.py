@@ -173,9 +173,9 @@ def build_and_run(
 
         t = time.time()
         dom_texts = staged.filter(F.col("engine") == "dom").select("url", "doc_text")
-        lsh_candidates(dom_texts, "url", "doc_text", verify_threshold=0.5).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        lsh_candidates(
+            dom_texts, "url", "doc_text", verify_threshold=0.5, num_partitions=num_partitions
+        ).write.format("noop").mode("overwrite").save()
         phases["dedup_minhash"] = round(time.time() - t, 2)
 
     if output_dir:

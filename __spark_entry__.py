@@ -808,22 +808,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'pdf', url, para_no, para_no*{synth.PARA_WORDS}, unnest(range(0, n_tok))
               FROM paras WHERE is_pdf
             ),
-            -- All means use list_sum over an ORDER BY'd list, NOT
-            -- avg(): the engine sums confidences in document order,
-            -- and an unordered float sum differs by 1 ulp — which
-            -- flips 6-decimal rounding for values that sit exactly
-            -- on a .5e-6 boundary (e.g. 0.8521875 = K/3200). The
-            -- ordered sums are bit-identical to the Python fold
-            -- (measured: 950/950 exact float equality).
-            wc AS (
-              SELECT engine, url, para_no, w // {synth.LINE_WORDS} AS line_no, w,
+            -- Line confidence is CLOSED FORM on both sides:
+            -- base - sum(ordinal % 10) / (100.0 * n). The inner sum
+            -- is an exact integer, so the float value is identical
+            -- regardless of aggregation order. Levels ABOVE the line
+            -- are float means of few values and still use ordered
+            -- list_sum, NOT avg(): an unordered float sum differs by
+            -- 1 ulp, which flips 6-decimal rounding for values that
+            -- sit exactly on a .5e-6 boundary (e.g. 0.8521875 =
+            -- K/3200); ordered sums are bit-identical to the Python
+            -- fold (measured: 950/950 exact float equality).
+            lc AS (
+              SELECT engine, url, para_no, w // {synth.LINE_WORDS} AS line_no,
                      (CASE engine WHEN 'dom' THEN 0.90 WHEN 'density' THEN 0.95 ELSE 0.85 END)
-                       - ((base_i + w) % 10) / 100.0 AS conf
-              FROM w
+                       - sum((base_i + w) % 10) / (100.0 * count(*)) AS v
+              FROM w GROUP BY engine, url, para_no, w // {synth.LINE_WORDS}
             ),
-            lc AS (SELECT engine, url, para_no, line_no,
-                          list_sum(list(conf ORDER BY w)) / count(*) AS v
-                   FROM wc GROUP BY ALL),
             pc AS (SELECT engine, url, para_no,
                           list_sum(list(v ORDER BY line_no)) / count(*) AS v
                    FROM lc GROUP BY ALL),
@@ -831,7 +831,7 @@ def oracle_sql() -> dict[str, str]:
             pg AS (
               SELECT 'dom' AS engine, url, 0 AS page_no,
                      list_sum(list_prepend(
-                       ((0.90 - 0.0/100) + (0.90 - 1.0/100) + (0.90 - 2.0/100) + (0.90 - 3.0/100)) / 4,
+                       0.90 - 6 / (100.0 * 4),
                        list(v ORDER BY para_no))) / (count(*) + 1) AS v
               FROM pc WHERE engine = 'dom' GROUP BY url
               UNION ALL

@@ -67,6 +67,22 @@ def word_confidence(base: float, i: int) -> float:
     return base - (i % 10) / 100.0
 
 
+def _cyc_prefix(i: int) -> int:
+    """sum of (k % 10) for k in [0, i)."""
+    q, m = divmod(i, 10)
+    return 45 * q + m * (m - 1) // 2
+
+
+def line_confidence(base: float, start: int, n: int) -> float:
+    """Mean word confidence of a line of ``n`` words starting at
+    document-global ordinal ``start`` — closed form
+    base - sum(ordinal % 10) / (100 * n). The integer sum is exact,
+    so this is both O(1) per line (no per-word Python on the hot
+    path) and float-stable (single division; the SQL oracle computes
+    the bit-identical expression)."""
+    return base - (_cyc_prefix(start + n) - _cyc_prefix(start)) / (100.0 * n)
+
+
 def _mean(xs: list[float]) -> float | None:
     return sum(xs) / len(xs) if xs else None
 
@@ -118,7 +134,7 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
                 bbox = {"left": blk.bbox[0], "top": blk.bbox[1], "width": blk.bbox[2], "height": blk.bbox[3]}
             if blk.block_type == "TABLE":
                 n_tables += 1
-                cell_confs: list[float] = []
+                tbl_start, tbl_words = widx, 0
                 for ri, row in enumerate(blk.rows):
                     for ci, cell in enumerate(row):
                         words = cell.split()
@@ -130,22 +146,21 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
                             # round-trip for <td></td>).
                             words = [""]
                         for wi, w in enumerate(words):
-                            wc = word_confidence(base_conf, widx)
+                            wc = word_confidence(base_conf, widx) if w else None
                             if w:
                                 n_words += 1
                                 widx += 1
-                                cell_confs.append(wc)
+                                tbl_words += 1
                             if with_spans:
                                 spans.append({
                                     "page_no": pi + 1, "block_no": bi, "block_type": "TABLE",
                                     "para_no": 0, "line_no": ri, "word_no": wi, "text": w,
                                     "char_start": None, "char_end": None, "bbox": bbox,
-                                    "confidence": wc if w else None, "row_no": ri, "column_no": ci,
+                                    "confidence": wc, "row_no": ri, "column_no": ci,
                                     "table_no": n_tables - 1,
                                 })
-                bc = _mean(cell_confs)
-                if bc is not None:
-                    block_confs.append(bc)
+                if tbl_words:
+                    block_confs.append(line_confidence(base_conf, tbl_start, tbl_words))
                 emit(table_markdown(blk.rows))
                 continue
             # Word-level bboxes (P5/P9, ≈ tesseract_executor.py word
@@ -169,15 +184,13 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
                 for li, line in enumerate(lines):
                     if li > 0:
                         emit(" ")  # SEP_PARAGRAPH == SEP_LINE == ' '
-                    word_confs: list[float] = []
-                    for wi, w in enumerate(line):
-                        if wi > 0:
-                            emit(" ")
-                        n_words += 1
-                        wc = word_confidence(base_conf, widx)
-                        widx += 1
-                        word_confs.append(wc)
-                        if with_spans:
+                    if line:
+                        line_confs.append(line_confidence(base_conf, widx, len(line)))
+                    if with_spans:
+                        for wi, w in enumerate(line):
+                            if wi > 0:
+                                emit(" ")
+                            n_words += 1
                             wb = bbox
                             if bbox is not None:
                                 wb = {
@@ -190,13 +203,16 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
                                 "page_no": pi + 1, "block_no": bi, "block_type": blk.block_type,
                                 "para_no": qi, "line_no": li, "word_no": wi, "text": w,
                                 "char_start": off, "char_end": off + len(w), "bbox": wb,
-                                "confidence": wc, "row_no": None, "column_no": None,
-                                "table_no": None,
+                                "confidence": word_confidence(base_conf, widx), "row_no": None,
+                                "column_no": None, "table_no": None,
                             })
-                        emit(w)
-                    lc = _mean(word_confs)
-                    if lc is not None:
-                        line_confs.append(lc)
+                            widx += 1
+                            emit(w)
+                    else:
+                        # hot path: no per-word Python beyond the emit
+                        n_words += len(line)
+                        widx += len(line)
+                        emit(" ".join(line))
                 pc = _mean(line_confs)
                 if pc is not None:
                     para_confs.append(pc)

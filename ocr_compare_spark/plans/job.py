@@ -150,6 +150,16 @@ def build_and_run(
         n_pairs = -1
     phases["compare"] = round(time.time() - t, 2)
 
+    # The two heavy optional phases explode rows ~150-500x, so their
+    # shuffle parallelism must track DATA volume, not core count —
+    # at 2 cores x 240k docs, cores*2 partitions would put millions
+    # of span rows per aggregation task (measured superlinear spill).
+    # ~2000 docs/partition keeps per-task collect_list state ~100 MB.
+    docs_total = (
+        spark.read.parquet(f"{input_dir.rstrip('/')}/documents.parquet").count() * replicate
+    )
+    heavy_parts = max(num_partitions, docs_total // 2000)
+
     if with_assemble:
         # spans_assemble headline: dom extraction WITH span rows ->
         # exchange-free 5-level reassembly cascade (byte-identity of
@@ -159,10 +169,12 @@ def build_and_run(
         from ocr_compare_spark.operators.extract import spans_table
 
         t = time.time()
+        spark.conf.set("spark.sql.shuffle.partitions", str(heavy_parts))
         dom_spans = spans_table(
             run_engines_fused(pages, engines=("dom",), with_spans=True, num_partitions=num_partitions)
         )
         assemble_doc_text(dom_spans).write.format("noop").mode("overwrite").save()
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
         phases["spans_assemble"] = round(time.time() - t, 2)
 
     if with_dedup:
@@ -172,10 +184,12 @@ def build_and_run(
         from ocr_compare_spark.operators.dedup import lsh_candidates
 
         t = time.time()
+        spark.conf.set("spark.sql.shuffle.partitions", str(heavy_parts))
         dom_texts = staged.filter(F.col("engine") == "dom").select("url", "doc_text")
         lsh_candidates(
-            dom_texts, "url", "doc_text", verify_threshold=0.5, num_partitions=num_partitions
+            dom_texts, "url", "doc_text", verify_threshold=0.5, num_partitions=heavy_parts
         ).write.format("noop").mode("overwrite").save()
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
         phases["dedup_minhash"] = round(time.time() - t, 2)
 
     if output_dir:
@@ -185,11 +199,6 @@ def build_and_run(
         )
         phases["metrics"] = round(time.time() - t, 2)
     elapsed = time.time() - t0
-    # unique documents = source rows x replicate (cheap metadata count
-    # on the parquet, not a pass through the synth UDF)
-    docs_total = (
-        spark.read.parquet(f"{input_dir.rstrip('/')}/documents.parquet").count() * replicate
-    )
     out = {
         "elapsed_sec": round(elapsed, 2),
         "docs": docs_total,

@@ -363,6 +363,16 @@ def _simhash_oracle() -> str:
     """
 
 
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sign-orthant blocking + exact
+    cosine >= 0.30 within blocks). Both the block key (float sign —
+    exact) and the cosine (left-to-right double fold) are
+    deterministic, so the oracle reproduces them bit-for-bit with an
+    ordered list_sum."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return dedup.embed_near_dups(emb, threshold=0.30, sign_bits=4)
+
+
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _tbl(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
@@ -654,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_adjacent": q_dedup_adjacent,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_embed": q_dedup_embed,
         "simhash": q_simhash,
         "embed_topk": q_embed_topk,
         "embed_topk_lsh": q_embed_topk_lsh,
@@ -1012,6 +1023,29 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
             FROM shared JOIN sz sa ON sa.id = shared.id_a JOIN sz sb ON sb.id = shared.id_b
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        """,
+        "dedup_embed": """
+            -- bit-identical to embed_near_dups: float sign is exact,
+            -- and dot/norm are left-to-right ordered sums of the same
+            -- doubles Spark's aggregate() fold produces.
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                      + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS block
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS dot,
+                     sqrt(list_sum(list_transform(a.v, x -> x * x))) AS na,
+                     sqrt(list_sum(list_transform(b.v, x -> x * x))) AS nb
+              FROM v a JOIN v b ON a.block = b.block AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(dot / (na * nb), 6) AS sim
+            FROM pairs
+            WHERE na > 0 AND nb > 0 AND dot / (na * nb) >= 0.30
         """,
         "embed_topk": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

@@ -1,6 +1,6 @@
 """Deduplication operators for web-scale corpora.
 
-Four tiers, cheapest first — all shuffle-minimal by construction:
+Five tiers, cheapest first — all shuffle-minimal by construction:
 
 - exact:      md5 groupBy (one shuffle on the hash, map-side combine)
 - ngram:      n-gram Jaccard between candidate pairs (native arrays)
@@ -8,6 +8,8 @@ Four tiers, cheapest first — all shuffle-minimal by construction:
               candidates = band-bucket self-join, verified natively
 - simhash:    64-bit SimHash via native bit-vote aggregation (md5
               halves + 64 codegen'd conditional sums — NO Python)
+- embedding:  cosine near-dups via sign-orthant blocking (native
+              zip_with/aggregate fold — NO Python, no cross join)
 
 At 100 TB the only all-pairs step is the LSH bucket join, whose
 cardinality is controlled by the band count — never a cross join.
@@ -251,3 +253,59 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def hamming64(a_hi: F.Column, a_lo: F.Column, b_hi: F.Column, b_lo: F.Column) -> F.Column:
     """Hamming distance between two simhashes in split-half form."""
     return F.bit_count(a_hi.bitwiseXOR(b_hi)) + F.bit_count(a_lo.bitwiseXOR(b_lo))
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embed_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.30,
+    sign_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-orthant blocking
+    (the fifth dedup tier: semantic near-dups that no token hash sees).
+
+    Blocking key = the sign pattern of the first ``sign_bits``
+    components (exact — float sign survives any cast, so the block
+    assignment is deterministic and SQL-mirrorable, unlike a random-
+    projection LSH whose buckets are hash-specific). Candidates are
+    same-block pairs (id_a < id_b) joined on the block id — never a
+    cross join; at larger corpora raise ``sign_bits`` so the expected
+    block size (n / 2^bits under isotropy) stays bounded, which keeps
+    the per-block quadratic verify step flat as the corpus grows.
+    Within candidates, exact cosine (left-to-right fold, so the
+    DuckDB oracle's ordered list_sum reproduces it bit-for-bit) and a
+    ``sim >= threshold`` keep-filter.
+
+    Recall caveat (documented, inherent to single-table sign blocking):
+    a near-dup pair straddling one of the first ``sign_bits``
+    hyperplanes is missed; the MinHash-LSH tier's multi-band trick is
+    the recall amplifier when that matters. Planted-dup recall is
+    locked in tests/test_dedup_similarity.py.
+
+    Output: ``(id_a, id_b, sim)`` with sim rounded to 6 decimals.
+    """
+    from ocr_compare_spark.operators.similarity import cosine_native
+
+    block = F.lit(0)
+    for b in range(sign_bits):
+        block = block + F.when(F.element_at(F.col(vec_col), b + 1) > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        block.alias("block"),
+    )
+    a = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "block")
+    b_ = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "block")
+    pairs = a.join(b_, "block").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_native(F.col("v_a"), F.col("v_b"))
+    return (
+        pairs.select("id_a", "id_b", sim.alias("sim_raw"))
+        .filter(F.col("sim_raw") >= threshold)
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
+    )

@@ -88,7 +88,13 @@ def test_adjacent_ngram_jaccard(corpus):
 def vectors(spark):
     rng = np.random.default_rng(7)
     mat = rng.standard_normal((100, 16)).astype(np.float32)
-    mat[50] = mat[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # planted neighbor
+    # planted neighbor: noise only in dims 4+ so the pair shares its
+    # sign orthant on the first 4 dims (embed_near_dups blocking key —
+    # noise on a near-zero component would flip a sign and land the
+    # pair in different blocks, the operator's documented recall miss)
+    noise = rng.standard_normal(16).astype(np.float32)
+    noise[:4] = 0.0
+    mat[50] = mat[0] + 0.01 * noise
     rows = [(i, [float(x) for x in mat[i]]) for i in range(100)]
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache(), mat
 
@@ -150,6 +156,29 @@ def test_adjacent_bucketed_equals_naive(corpus):
     assert ("en", 59, 1000) in rows
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(part" in plan and "bucket" in plan
+
+
+def test_embed_near_dups_planted(vectors):
+    """Sign-orthant blocked cosine near-dup: the planted (0, 50) pair
+    shares its orthant and scores ~1.0; output matches the numpy
+    within-block reference exactly."""
+    df, mat = vectors
+    got = dedup.embed_near_dups(df, threshold=0.9, sign_bits=4)
+    pairs = {(r.id_a, r.id_b): r.sim for r in got.collect()}
+    assert (0, 50) in pairs
+    assert pairs[(0, 50)] > 0.99
+    # numpy reference: same blocking, same threshold
+    m = mat.astype(np.float64)
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    blocks = ((m[:, :4] > 0) * (1 << np.arange(4))).sum(axis=1)
+    expect = {
+        (i, j)
+        for i in range(len(m))
+        for j in range(i + 1, len(m))
+        if blocks[i] == blocks[j] and sims[i, j] >= 0.9
+    }
+    assert set(pairs) == expect
 
 
 def test_brute_force_topk_df_overload(vectors):

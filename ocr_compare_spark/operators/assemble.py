@@ -56,50 +56,68 @@ def assemble_doc_text(spans: DataFrame) -> DataFrame:
 
 
 def _assemble_blocks(spans: DataFrame) -> DataFrame:
+    """Single-branch cascade handling TEXT and TABLE blocks together.
+
+    Earlier this was two filtered branches (TEXT cascade ∪ TABLE
+    markdown cascade) over the same span input. Column pruning gave
+    each branch a different projection below the repartition
+    exchange, so ReuseExchange could not dedupe them and the ENTIRE
+    upstream (extraction UDF included) ran twice — measured in the
+    sf0.1 bench as the dominant cost of spans_assemble. The merged
+    cascade scans and shuffles once:
+
+    - level 1 (word -> line/cell): group by all four fine ordinals.
+      Within any block the inapplicable ones are constants (TEXT:
+      row_no/column_no NULL; TABLE: para_no=0, line_no=row_no — see
+      extract.doc_to_result), so the groups are exactly the old
+      per-branch groups, and both branches join words with SEP_LINE.
+    - level 2 (line -> para | cell -> markdown row): order by
+      coalesce(column_no, line_no); the combine expression is
+      conditional on block_type.
+    - level 3 (-> block): order by coalesce(row_no, para_no); TEXT
+      joins with SEP_BLOCK, TABLE renders header + '---' separator
+      row (widths from the true header cell count, ocr_schema.py
+      markdown contract) + body rows.
+    """
     base = ["url", "engine"]
 
-    text_spans = spans.filter(F.col("block_type") != "TABLE")
-    table_spans = spans.filter(F.col("block_type") == "TABLE")
-
-    # word -> line -> paragraph -> block (TEXT blocks). block_type is
-    # constant within a block, so carrying it as an extra grouping key
-    # changes no group and keeps it available on the block rows.
     lines = _ordered_concat(
-        text_spans,
-        base + ["page_no", "block_no", "block_type", "para_no", "line_no"],
+        spans,
+        base + ["page_no", "block_no", "block_type", "para_no", "line_no", "row_no", "column_no"],
         "word_no", "text", SEP_LINE, "line_text",
     )
-    paras = _ordered_concat(
-        lines, base + ["page_no", "block_no", "block_type", "para_no"], "line_no", "line_text", SEP_PARAGRAPH, "para_text"
-    )
-    text_blocks = _ordered_concat(
-        paras, base + ["page_no", "block_no", "block_type"], "para_no", "para_text", SEP_BLOCK, "block_text"
-    )
 
-    # TABLE blocks: word -> cell -> row -> markdown-lite block
-    # (header = row 0 + '---' separator row; see extract.table_markdown)
-    cells = _ordered_concat(
-        table_spans,
-        base + ["page_no", "block_no", "row_no", "column_no"],
-        "word_no", "text", SEP_LINE, "cell_text",
-    )
-    rows = (
-        cells.groupBy(*base, "page_no", "block_no", "row_no")
+    lvl2_ord = F.coalesce(F.col("column_no"), F.col("line_no"))
+    lvl2 = (
+        lines.groupBy(*base, "page_no", "block_no", "block_type", "para_no", "row_no")
         .agg(
-            F.concat(
-                F.lit("| "),
-                F.concat_ws(
-                    " | ",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct(F.col("column_no").alias("o"), F.col("cell_text").alias("t")))),
-                        lambda x: x.t,
-                    ),
+            F.array_sort(
+                F.collect_list(F.struct(lvl2_ord.alias("o"), F.col("line_text").alias("t")))
+            ).alias("parts"),
+            (F.max(lvl2_ord) + 1).alias("n_cols"),
+        )
+        .select(
+            *base,
+            "page_no",
+            "block_no",
+            "block_type",
+            "para_no",
+            "row_no",
+            "n_cols",
+            F.when(
+                F.col("block_type") == "TABLE",
+                F.concat(
+                    F.lit("| "),
+                    F.concat_ws(" | ", F.transform(F.col("parts"), lambda x: x.t)),
+                    F.lit(" |"),
                 ),
-                F.lit(" |"),
-            ).alias("row_text"),
-            (F.max("column_no") + 1).alias("n_cols"),
+            )
+            .otherwise(F.concat_ws(SEP_PARAGRAPH, F.transform(F.col("parts"), lambda x: x.t)))
+            .alias("part_text"),
         )
     )
+
+    lvl3_ord = F.coalesce(F.col("row_no"), F.col("para_no"))
     sep_row = F.concat(
         F.lit("| "),
         F.array_join(
@@ -108,28 +126,36 @@ def _assemble_blocks(spans: DataFrame) -> DataFrame:
         ),
         F.lit(" |"),
     )
-    table_blocks = (
-        rows.groupBy(*base, "page_no", "block_no")
+    return (
+        lvl2.groupBy(*base, "page_no", "block_no", "block_type")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("row_no").alias("o"), F.col("row_text").alias("t"), F.col("n_cols").alias("c")))
+                F.collect_list(
+                    F.struct(lvl3_ord.alias("o"), F.col("part_text").alias("t"), F.col("n_cols").alias("c"))
+                )
             ).alias("rws")
         )
         .select(
             *base,
             "page_no",
             "block_no",
-            F.lit("TABLE").alias("block_type"),
-            F.array_join(
-                F.concat(
-                    F.array(F.element_at("rws", 1).t, sep_row),
-                    F.transform(F.slice("rws", 2, F.greatest(F.size("rws") - 1, F.lit(0))), lambda x: x.t),
+            "block_type",
+            F.when(
+                F.col("block_type") == "TABLE",
+                F.array_join(
+                    F.concat(
+                        F.array(F.element_at("rws", 1).t, sep_row),
+                        F.transform(
+                            F.slice("rws", 2, F.greatest(F.size("rws") - 1, F.lit(0))), lambda x: x.t
+                        ),
+                    ),
+                    "\n",
                 ),
-                "\n",
-            ).alias("block_text"),
+            )
+            .otherwise(F.array_join(F.transform(F.col("rws"), lambda x: x.t), SEP_BLOCK))
+            .alias("block_text"),
         )
     )
-    return text_blocks.unionByName(table_blocks)
 
 
 def assemble_table_tsv(spans: DataFrame) -> DataFrame:

@@ -62,9 +62,9 @@ def main() -> int:
 
     def q_compare():
         r = spark.read.parquet(res_path)
-        pairwise_compare(r, with_alignment=True).drop("lcs_spans").write.format(
-            "noop"
-        ).mode("overwrite").save()
+        pairwise_compare(r, with_alignment=True, num_partitions=cores).drop(
+            "lcs_spans"
+        ).write.format("noop").mode("overwrite").save()
 
     def q_winner():
         r = spark.read.parquet(res_path)

@@ -122,10 +122,19 @@ def align_udf(text_a: pd.Series, text_b: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([align_metrics(x, y) for x, y in zip(text_a, text_b)])
 
 
-def pairwise_compare(results: DataFrame, with_alignment: bool = True) -> DataFrame:
+def pairwise_compare(
+    results: DataFrame, with_alignment: bool = True, num_partitions: int | None = None
+) -> DataFrame:
     """(url, engine, doc_text, confidence) -> one row per engine pair.
 
     Output: FIXTURES.md §5 wide metrics row.
+
+    ``num_partitions``: width for the alignment-UDF stage. The DP is
+    CPU-bound at ~1 ms/pair but byte-light, so AQE's size-based
+    post-shuffle coalescing collapses it onto a handful of tasks
+    (measured: 4 tasks / 5.8 s at sf0.1 on 32 cores; repartitioned to
+    core count: sub-second). Set it to the executor-core total in
+    batch jobs; None keeps the plan exchange-free for tiny inputs.
 
     Pair generation (J5, the reference's i<j engine loop,
     ocr_comparison.py:143-154) is a groupBy(url) + native i<j
@@ -182,6 +191,11 @@ def pairwise_compare(results: DataFrame, with_alignment: bool = True) -> DataFra
             F.col("p.b.confidence").alias("confidence_b"),
         )
     )
+    if num_partitions:
+        # Re-widen right after the pair explode: everything per-pair
+        # (jaccard token arrays AND the alignment DP) lands in the
+        # wide stage, not the AQE-coalesced narrow one.
+        pairs = pairs.repartition(num_partitions)
     wa = F.array_distinct(F.split(F.lower(F.col("text_a")), TOKEN_SPLIT))
     wb = F.array_distinct(F.split(F.lower(F.col("text_b")), TOKEN_SPLIT))
     union_sz = F.size(F.array_union(wa, wb))

@@ -140,7 +140,11 @@ def build_and_run(
     phases["winner"] = round(time.time() - t, 2)
 
     t = time.time()
-    compare = pairwise_compare(staged, with_alignment=with_alignment)
+    compare = pairwise_compare(
+        staged,
+        with_alignment=with_alignment,
+        num_partitions=spark.sparkContext.defaultParallelism if with_alignment else None,
+    )
     compare = compare.drop("lcs_spans", "text_a", "text_b")
     if output_dir:
         compare.write.mode("overwrite").parquet(f"{output_dir}/compare")

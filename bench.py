@@ -23,7 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -109,14 +109,19 @@ def main() -> int:
         "tpch_q1": q_tpch_q1,
     }
 
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        best = float("inf")
-        for _ in range(REPS):
+    # Round-robin the reps (rep 1 of every query, then rep 2, ...):
+    # the host's noise comes in multi-second windows, so back-to-back
+    # reps of one query all land in the same window and best-of-N
+    # doesn't help; interleaving decorrelates the reps (measured:
+    # per-phase swings of 3-5x between whole runs, e.g. compare_align
+    # 2.0s vs 9.8s, with identical code).
+    timings = {name: float("inf") for name in queries}
+    for _ in range(REPS):
+        for name, fn in queries.items():
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            timings[name] = min(timings[name], time.time() - t0)
+    timings = {name: round(v, 3) for name, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     out = {

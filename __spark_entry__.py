@@ -381,14 +381,64 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embed_lsh_oracle(n_planes: int = 8, n_tables: int = 4, dim: int = 64, k: int = 3) -> str:
+    """Exact SQL twin of q_embed_topk_lsh. The LSH is only
+    'hash-specific' until you notice the hyperplanes are seeded-RNG
+    LITERALS (similarity.hyperplane_buckets): embedding them as
+    double literals makes bucket assignment, candidate set, cosine,
+    and ranking all bit-reproducible — every float expression below
+    is the same left-to-right chain Spark's aggregate() fold
+    evaluates, so even the >0 sign tests agree to the last ulp."""
+    import numpy as np
+
+    def chain(terms) -> str:
+        return " + ".join(terms)
+
+    tables = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(42 + t)
+        planes = rng.standard_normal((n_planes, dim))
+        bucket = chain(
+            f"CASE WHEN ({chain(f'v[{i + 1}] * {float(c)!r}' for i, c in enumerate(planes[p]))}) > 0"
+            f" THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes)
+        )
+        tables.append(f"SELECT vec_id, v, {t} AS table_id, ({bucket}) AS bucket FROM v")
+    b_sql = " UNION ALL ".join(tables)
+    dot = chain(f"q.v[{i + 1}] * c.v[{i + 1}]" for i in range(dim))
+    qq = chain(f"q.v[{i + 1}] * q.v[{i + 1}]" for i in range(dim))
+    cc = chain(f"c.v[{i + 1}] * c.v[{i + 1}]" for i in range(dim))
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS ({b_sql}),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM b q JOIN b c ON q.table_id = c.table_id AND q.bucket = c.bucket
+          WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 CASE WHEN sqrt({qq}) > 0 AND sqrt({cc}) > 0
+                      THEN ({dot}) / (sqrt({qq}) * sqrt({cc})) ELSE 0.0 END AS sim
+          FROM cand JOIN v q ON q.vec_id = cand.query_id
+                    JOIN v c ON c.vec_id = cand.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed approximate ANN — genuinely non-SQL-reproducible
-    (rows-only). The testdata embeddings are isotropic (max pairwise
-    cosine ~0.5, measured), so any honest LSH bucketing samples the
-    candidate space and the output is hash-specific by construction;
-    an exact oracle would require the cross join the operator exists
-    to avoid. Recall against exact top-k is locked on a planted-
-    neighbor corpus in tests/test_dedup_similarity.py."""
+    """Bucketed approximate ANN (multi-table random-hyperplane LSH).
+    Oracled exactly by _embed_lsh_oracle: the hyperplanes are seeded
+    literals, so the SQL twin reproduces buckets, candidates and
+    ranking bit-for-bit — no cross join on either side. Recall
+    against exact top-k is additionally locked on a planted-neighbor
+    corpus in tests/test_dedup_similarity.py."""
     emb = _tbl(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=3).select(
         "query_id", "rank", "neighbor_id"
@@ -1060,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= 3
         """,
+        "embed_topk_lsh": _embed_lsh_oracle(),
         "report_json": f"""
             WITH {PARAS_CTE},
             dom AS ({SQL_DOM_TEXT}),

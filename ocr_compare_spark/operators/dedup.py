@@ -151,6 +151,15 @@ def lsh_candidates(
     verify candidates with exact shingle Jaccard. The only shuffle
     keys are (band_id, band_hash); hot buckets (boilerplate dupes)
     are exactly the pairs we want, and the verify step is per-pair.
+
+    Scale caveat: the all-PAIRS output contract is itself quadratic
+    in the size of a duplicate group — a 10^6-copy boilerplate page
+    implies 5*10^11 output rows no algorithm can avoid emitting. At
+    that regime run exact_dedup first and use its (keep_id, n_docs)
+    contract; this operator's canonicalization keeps the COMPUTE
+    linear per group (one representative through the LSH path), so
+    the expansion explode is the only quadratic step and it is
+    spread across tasks by the pair join keys.
     """
     rows_per_band = num_hashes // bands
     # Exact-duplicate canonicalization BEFORE the heavy path: web

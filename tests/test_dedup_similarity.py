@@ -43,6 +43,27 @@ def test_minhash_lsh_finds_planted(corpus):
     assert exact.jaccard == 1.0
 
 
+def test_minhash_exact_dup_group_expansion(spark):
+    """lsh_candidates canonicalizes exact dups before the LSH path;
+    the expansion must emit ALL within-group pairs (jaccard 1.0) and
+    cross-group pairs carrying the representative jaccard."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("delta", "DELTA")
+    rows = [(1, base), (2, base), (3, base), (10, near), (11, near)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.lsh_candidates(df, "doc_id", "text", verify_threshold=0.3)
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= set(got)
+    assert all(got[p] == 1.0 for p in [(1, 2), (1, 3), (2, 3)])
+    assert got[(10, 11)] == 1.0
+    cross = {p for p in got if p[0] <= 3 and p[1] >= 10}
+    # every member pair across the two groups, all with the same
+    # (representative) jaccard < 1.0
+    assert cross == {(a, b) for a in (1, 2, 3) for b in (10, 11)}
+    cross_vals = {got[p] for p in cross}
+    assert len(cross_vals) == 1 and 0.3 <= cross_vals.pop() < 1.0
+
+
 def test_simhash_near_dup_small_hamming(corpus):
     sh = {r.id: (r.sim_hi, r.sim_lo) for r in dedup.simhash(corpus, "doc_id", "text").collect()}
     assert all(0 <= hi < 2**32 and 0 <= lo < 2**32 for hi, lo in sh.values())

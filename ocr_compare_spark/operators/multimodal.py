@@ -102,3 +102,89 @@ def extract_media_features(df: DataFrame, payload_col: str = "html", batch_rows:
                 yield pd.DataFrame(rows)
 
     return df.select("url", payload_col).mapInPandas(run, FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = "url string, width int, height int, image binary, decode_error string"
+
+
+def _fake_raster(data: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode+resize: an md5 keystream of
+    exactly width*height bytes (1 'channel'), so output sizing, Arrow
+    binary transfer and error routing are all real."""
+    need = width * height
+    out = bytearray()
+    counter = 0
+    seed = hashlib.md5(data).digest()
+    while len(out) < need:
+        out += hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return bytes(out[:need])
+
+
+def resize_images(
+    df: DataFrame, width: int = 64, height: int = 64, payload_col: str = "html", batch_rows: int = 256
+) -> DataFrame:
+    """Decode -> resize -> re-encode over binary image columns
+    (decode stubbed as in extract_media_features; the real
+    implementation swaps _fake_raster for cv2.resize). Output is one
+    row per input with a width*height binary raster."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for url, data in zip(chunk["url"], chunk[payload_col]):
+                    if data is None:
+                        rows.append({"url": url, "width": width, "height": height, "image": None, "decode_error": "null_payload"})
+                        continue
+                    try:
+                        rows.append({"url": url, "width": width, "height": height, "image": _fake_raster(bytes(data), width, height), "decode_error": None})
+                    except Exception as e:
+                        rows.append({"url": url, "width": width, "height": height, "image": None, "decode_error": type(e).__name__})
+                yield pd.DataFrame(rows)
+
+    return df.select("url", payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = "url string, frame_no int, ts_ms long, frame binary, decode_error string"
+
+
+def sample_frames(
+    df: DataFrame,
+    fps: float = 1.0,
+    max_frames: int = 8,
+    bytes_per_second: int = 4096,
+    payload_col: str = "html",
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Video frame sampling: one OUTPUT ROW PER FRAME (the
+    row-expanding mapInPandas shape a real ffmpeg-backed sampler
+    needs — output cardinality differs from input, which a scalar
+    pandas UDF cannot express). Duration is derived from payload size
+    at ``bytes_per_second`` (decode stubbed); frames are sampled at
+    1/fps intervals, capped at ``max_frames``; frame payloads are the
+    deterministic fake raster keyed by (payload, frame_no)."""
+    interval_ms = int(1000 / fps)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for url, data in zip(chunk["url"], chunk[payload_col]):
+                    if data is None:
+                        rows.append({"url": url, "frame_no": 0, "ts_ms": 0, "frame": None, "decode_error": "null_payload"})
+                        continue
+                    b = bytes(data)
+                    duration_ms = int(len(b) * 1000 / bytes_per_second)
+                    n = max(1, min(max_frames, duration_ms // interval_ms + 1))
+                    for i in range(n):
+                        rows.append({
+                            "url": url, "frame_no": i, "ts_ms": i * interval_ms,
+                            "frame": _fake_raster(b + i.to_bytes(4, "big"), 16, 16),
+                            "decode_error": None,
+                        })
+                yield pd.DataFrame(rows)
+
+    return df.select("url", payload_col).mapInPandas(run, FRAMES_SCHEMA)

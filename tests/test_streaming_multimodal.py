@@ -82,6 +82,42 @@ def test_media_features_deterministic(spark, pages_path):
     assert r.decode_error == "null_payload"
 
 
+def test_resize_images_shape(spark, pages_path):
+    from ocr_compare_spark.operators.multimodal import resize_images
+
+    pages = spark.read.parquet(pages_path).limit(20)
+    out = resize_images(pages, width=8, height=4).collect()
+    assert len(out) == 20
+    assert all(len(r.image) == 32 for r in out if r.decode_error is None)
+    # deterministic across partitionings
+    again = {r.url: bytes(r.image) for r in resize_images(pages.repartition(5), width=8, height=4).collect()}
+    assert {r.url: bytes(r.image) for r in out} == again
+    r = resize_images(spark.createDataFrame([("u", None)], "url string, html binary")).collect()[0]
+    assert r.decode_error == "null_payload" and r.image is None
+
+
+def test_sample_frames_row_expansion(spark, pages_path):
+    from ocr_compare_spark.operators.multimodal import sample_frames
+
+    pages = spark.read.parquet(pages_path).limit(10)
+    out = sample_frames(pages, fps=2.0, max_frames=4, bytes_per_second=1024).collect()
+    per_url = {}
+    for r in out:
+        per_url.setdefault(r.url, []).append(r)
+    assert len(per_url) == 10
+    for frames in per_url.values():
+        ns = sorted(f.frame_no for f in frames)
+        assert ns == list(range(len(ns))) and 1 <= len(ns) <= 4
+        for f in frames:
+            assert f.ts_ms == f.frame_no * 500
+            assert len(f.frame) == 256
+    # frames differ across frame_no but are stable across runs
+    u = next(iter(per_url))
+    assert len({bytes(f.frame) for f in per_url[u]}) == len(per_url[u])
+    r = sample_frames(spark.createDataFrame([("u", None)], "url string, html binary")).collect()[0]
+    assert r.decode_error == "null_payload" and r.frame is None
+
+
 def test_decode_stub_raises():
     from ocr_compare_spark.operators.multimodal import decode_image
 

@@ -445,6 +445,74 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate ANN (corpus assigned to max-dot centroid
+    cells, queries probe nprobe cells, exact cosine within). The
+    default centroids are seeded literals, so _embed_ivf_oracle
+    reproduces assignment, probing and ranking bit-for-bit."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=3, nprobe=4).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+def _embed_ivf_oracle(n_centroids: int = 16, dim: int = 64, nprobe: int = 4, k: int = 3) -> str:
+    """SQL twin of q_embed_topk_ivf: centroid literals + the same
+    left-to-right fold chains as similarity._centroid_scores /
+    cosine_native; argmax ties break to the lowest cell id exactly
+    like Spark's array_min(struct(-dot, cid))."""
+    cents = similarity.seeded_centroids(n_centroids, dim)
+
+    def chain(terms) -> str:
+        return " + ".join(terms)
+
+    d_cols = ", ".join(
+        f"({chain(f'v[{i + 1}] * {float(c)!r}' for i, c in enumerate(cents[j]))}) AS d{j}"
+        for j in range(n_centroids)
+    )
+    argmax = " ".join(
+        f"WHEN {' AND '.join(f'd{j} >= d{m}' for m in range(n_centroids) if m != j)} THEN {j}"
+        for j in range(n_centroids)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS cid, d{j} AS d FROM scores WHERE vec_id < 8"
+        for j in range(n_centroids)
+    )
+    dot = chain(f"q.v[{i + 1}] * c.v[{i + 1}]" for i in range(dim))
+    qq = chain(f"q.v[{i + 1}] * q.v[{i + 1}]" for i in range(dim))
+    cc = chain(f"c.v[{i + 1}] * c.v[{i + 1}]" for i in range(dim))
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scores AS (SELECT vec_id, v, {d_cols} FROM v),
+        assigned AS (SELECT vec_id AS neighbor_id, CASE {argmax} END AS cid FROM scores),
+        probe AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+            FROM ({probe_rows})
+          ) WHERE rn <= {nprobe}
+        ),
+        cand AS (
+          SELECT p.query_id, a.neighbor_id
+          FROM probe p JOIN assigned a ON p.cid = a.cid
+          WHERE p.query_id <> a.neighbor_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 CASE WHEN sqrt({qq}) > 0 AND sqrt({cc}) > 0
+                      THEN ({dot}) / (sqrt({qq}) * sqrt({cc})) ELSE 0.0 END AS sim
+          FROM cand JOIN v q ON q.vec_id = cand.query_id
+                    JOIN v c ON c.vec_id = cand.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload -> feature vector via
     mapInPandas (decode stubbed — no image libs in env; the Arrow
@@ -718,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embed_topk": q_embed_topk,
         "embed_topk_lsh": q_embed_topk_lsh,
+        "embed_topk_ivf": q_embed_topk_ivf,
         "media_features": q_media_features,
         "report_json": q_report_json,
         "bbox_containment": q_bbox_containment,
@@ -1111,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= 3
         """,
         "embed_topk_lsh": _embed_lsh_oracle(),
+        "embed_topk_ivf": _embed_ivf_oracle(),
         "report_json": f"""
             WITH {PARAS_CTE},
             dom AS ({SQL_DOM_TEXT}),

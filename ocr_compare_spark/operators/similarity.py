@@ -124,6 +124,110 @@ def hyperplane_buckets(vec_col: str, n_planes: int = 8, seed: int = 42, dim: int
     return bucket
 
 
+def seeded_centroids(n_centroids: int = 16, dim: int = 64, seed: int = 7) -> np.ndarray:
+    """Deterministic unit-norm centroids from a seeded RNG — the
+    data-independent quantizer variant, chosen as the DEFAULT so the
+    DuckDB oracle can embed the centroids as literals (same trick as
+    the LSH hyperplanes). For data-trained cells use train_centroids
+    and pass the result in."""
+    rng = np.random.default_rng(seed)
+    return _normalize(rng.standard_normal((n_centroids, dim)))
+
+
+def train_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a bounded, id-ordered sample
+    (init = first n_centroids sample rows). Driver-side numpy on at
+    most ``sample`` vectors — the standard IVF training shape; the
+    partition/assignment step stays fully distributed."""
+    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    mat = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
+    cents = mat[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_centroids):
+            sel = mat[assign == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def _centroid_scores(vec_col: str, centroids: np.ndarray) -> list[F.Column]:
+    """dot(vec, centroid_c) per centroid, as the same left-to-right
+    zip_with/aggregate fold the oracle mirrors."""
+    out = []
+    for c in centroids:
+        coeffs = F.array(*[F.lit(float(x)) for x in c])
+        out.append(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), coeffs, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return out
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells.
+
+    Corpus vectors are assigned to their max-dot centroid (one cell
+    each); queries probe their ``nprobe`` best cells; candidates =
+    cell equi-join (never a cross join); exact cosine + window top-k
+    within candidates. At warehouse scale the cell id is the natural
+    partition/cluster key, so the join co-locates with the stored
+    layout. Ties break to the lowest cell id on both sides, so with
+    literal centroids the whole plan is bit-reproducible in SQL."""
+    cents = seeded_centroids() if centroids is None else centroids
+    dim = len(corpus.select(vec_col).first()[0])
+    assert cents.shape[1] == dim, "centroid dim mismatch"
+
+    def scored_cells(df: DataFrame, out_id: str) -> DataFrame:
+        scores = _centroid_scores(vec_col, cents)
+        cells = F.array(
+            *[F.struct((-s).alias("nd"), F.lit(i).alias("cid")) for i, s in enumerate(scores)]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(f"{out_id}_v"),
+            cells.alias("cells"),
+        )
+
+    corpus_cells = scored_cells(corpus, "neighbor_id").select(
+        "neighbor_id", F.col("neighbor_id_v").alias("c_vec"),
+        F.array_min("cells").cid.alias("cid"),
+    )
+    probe = scored_cells(queries, "query_id").select(
+        "query_id", F.col("query_id_v").alias("q_vec"),
+        F.explode(F.transform(F.slice(F.array_sort("cells"), 1, nprobe), lambda x: x.cid)).alias("cid"),
+    )
+    cand = probe.join(corpus_cells, "cid").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_native(F.col("q_vec"), F.col("c_vec")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

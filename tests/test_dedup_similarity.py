@@ -179,6 +179,30 @@ def test_adjacent_bucketed_equals_naive(corpus):
     assert "windowspecdefinition(part" in plan and "bucket" in plan
 
 
+def test_ivf_topk_recall(vectors):
+    df, mat = vectors
+    queries = df.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(
+        df, [(i, [float(x) for x in mat[i]]) for i in range(10)], k=3
+    )
+    cents = similarity.seeded_centroids(n_centroids=8, dim=16)
+    approx = similarity.ivf_topk(df, queries, k=3, nprobe=4, centroids=cents)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.6
+    # the planted near-identical pair shares its max-dot cell
+    assert (0, 50) in a
+
+
+def test_train_centroids_deterministic(vectors):
+    df, mat = vectors
+    c1 = similarity.train_centroids(df, n_centroids=4, iters=3, id_col="vec_id")
+    c2 = similarity.train_centroids(df.repartition(7), n_centroids=4, iters=3, id_col="vec_id")
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (4, 16)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
 def test_embed_near_dups_planted(vectors):
     """Sign-orthant blocked cosine near-dup: the planted (0, 50) pair
     shares its orthant and scores ~1.0; output matches the numpy

@@ -527,6 +527,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding frame sampling (multimodal): the frame COUNT and
+    timestamps are closed-form in payload size (duration = n_bytes /
+    bytes_per_second, one frame per 1/fps up to max_frames), so the
+    oracle reproduces the expansion exactly; frame bytes themselves
+    are locked by pytest (deterministic keystream)."""
+    from ocr_compare_spark.operators.multimodal import sample_frames
+
+    p = _pages(spark, sf_dir).select("url", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    out = sample_frames(p, fps=1.0, max_frames=8, bytes_per_second=256, payload_col="payload")
+    return out.select("url", "frame_no", "ts_ms")
+
+
 def q_report_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: per-url comparison report in the reference fixture shape
     (examples/ocr_comparison.py:244-259). The oracle checks the
@@ -788,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk_lsh": q_embed_topk_lsh,
         "embed_topk_ivf": q_embed_topk_ivf,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "report_json": q_report_json,
         "bbox_containment": q_bbox_containment,
         "bbox_union": q_bbox_union,
@@ -1210,6 +1224,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    round(('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0, 6) AS f0
             FROM documents
+        """,
+        "media_frames": f"""
+            -- duration_ms = trunc(n_bytes * 1000 / 256) (sample_frames'
+            -- int(float) — exact in double at these sizes);
+            -- n = clamp(1, 8, duration_ms // 1000 + 1); frames 0..n-1
+            WITH d AS (
+              SELECT {synth.SQL_URL} AS url,
+                     CAST(floor(octet_length(encode(text)) * 1000 / 256) AS BIGINT) AS duration_ms
+              FROM documents
+            ),
+            n AS (
+              SELECT url,
+                     greatest(1, least(8, CAST(floor(duration_ms / 1000) AS BIGINT) + 1)) AS n_frames
+              FROM d
+            )
+            SELECT url, frame_no, CAST(frame_no * 1000 AS BIGINT) AS ts_ms
+            FROM (SELECT url, CAST(unnest(range(0, n_frames)) AS BIGINT) AS frame_no FROM n)
         """,
         "bbox_containment": f"""
             WITH {PARAS_CTE}

@@ -1044,9 +1044,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             c AS (
               SELECT url, b, l,
-                     coalesce(sum(l + 2) OVER (
+                     -- CAST: DuckDB sums INTEGER into HUGEINT, which pandas
+                     -- surfaces as float64 and the driver's value hash then
+                     -- mismatches Spark's int64 (sole red row of round 2).
+                     CAST(coalesce(sum(l + 2) OVER (
                        PARTITION BY url ORDER BY b
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS chunk_no
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS BIGINT) AS chunk_no
               FROM blocks
             )
             SELECT url, chunk_no, count(*) AS n_blocks,

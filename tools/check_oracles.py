@@ -66,6 +66,15 @@ def main() -> int:
             continue
         a, b = normalize(sdf), normalize(odf)
         status = []
+        # Driver-hash mimic: the driver's value hash distinguishes 0 from 0.0,
+        # so an int column on one side vs float on the other (DuckDB HUGEINT
+        # window sums surface as float64) must fail here even though the
+        # lenient eq below would pass it.
+        for c in set(sdf.columns) & set(odf.columns):
+            ka = "f" if np.issubdtype(sdf[c].dtype, np.floating) else "i" if np.issubdtype(sdf[c].dtype, np.integer) else "o"
+            kb = "f" if np.issubdtype(odf[c].dtype, np.floating) else "i" if np.issubdtype(odf[c].dtype, np.integer) else "o"
+            if ka != kb:
+                status.append(f"dtype kind mismatch {c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
         if len(a) != len(b):
             status.append(f"rowcount {len(a)} vs {len(b)}")
         elif list(a.columns) != list(b.columns):

@@ -54,19 +54,36 @@ def doc_id_from_url() -> F.Column:
 
 # ------------------------------------------------------------ oracle SQL
 # Shared CTE: token -> paragraph chunking, the synth layout contract.
+# Doc-level flags: is_nested (paragraphs 1-2 wrapped in section/
+# blockquote — dom joins them with '\n' instead of '\n\n'), has_table
+# (trailing 2x2 table of the first four tokens), tbl_header
+# (header row present), tbl_md (the markdown-lite rendering both
+# engines append).
 PARAS_CTE = f"""
 toks AS (
   SELECT doc_id, lang, string_split(text, ' ') AS t, {synth.SQL_URL} AS url,
-         {synth.SQL_IS_PDF} AS is_pdf
+         {synth.SQL_IS_PDF} AS is_pdf,
+         {synth.SQL_IS_NESTED} AS is_nested,
+         {synth.SQL_HAS_TABLE} AS has_table,
+         {synth.SQL_TABLE_HEADER} AS tbl_header
   FROM documents
 ),
-paras_base AS (
-  SELECT doc_id, lang, url, is_pdf, t,
-         unnest(range(0, CAST(ceil(len(t)/{synth.PARA_WORDS}.0) AS BIGINT))) AS para_no
+tmd AS (
+  SELECT *,
+         CASE WHEN has_table THEN
+           CASE WHEN tbl_header THEN '| k | v |' || chr(10) || '| --- | --- |' || chr(10) ELSE '' END
+           || '| ' || t[1] || ' | ' || t[2] || ' |' || chr(10)
+           || '| ' || t[3] || ' | ' || t[4] || ' |'
+         END AS tbl_md
   FROM toks
 ),
+paras_base AS (
+  SELECT doc_id, lang, url, is_pdf, is_nested, has_table, tbl_header, tbl_md, t,
+         unnest(range(0, CAST(ceil(len(t)/{synth.PARA_WORDS}.0) AS BIGINT))) AS para_no
+  FROM tmd
+),
 paras AS (
-  SELECT doc_id, lang, url, is_pdf, para_no,
+  SELECT doc_id, lang, url, is_pdf, is_nested, has_table, tbl_header, tbl_md, para_no,
          array_to_string(t[(para_no*{synth.PARA_WORDS}+1):(para_no*{synth.PARA_WORDS}+{synth.PARA_WORDS})], ' ') AS para_text,
          len(t[(para_no*{synth.PARA_WORDS}+1):(para_no*{synth.PARA_WORDS}+{synth.PARA_WORDS})]) AS n_tok,
          len(t) AS total_tok
@@ -78,14 +95,47 @@ NL2 = "chr(10) || chr(10)"
 PAGE_SEP = "chr(10) || '=====' || chr(10)"
 MIN_TOK = synth.DENSITY_MIN_TOKENS
 
+
+def _cyc(x: str) -> str:
+    """SQL for sum of (j % 10) for j in [0, x) — the closed-form
+    cyclic-penalty prefix (extract._cyc_prefix twin): exact integer,
+    so the derived confidence floats match Python's bit-for-bit."""
+    return f"(45*(({x})//10) + (({x})%10)*((({x})%10)-1)//2)"
+
+
+# table pseudo-line confidence bounds: dom words start after promo(4)
+# + all paragraph words; density words start after the kept words.
+_CYC_DOM_HI = _cyc("total_tok + 4 + tword")
+_CYC_DOM_LO = _cyc("total_tok + 4")
+_CYC_DEN_HI = _cyc("kept_words + tword")
+_CYC_DEN_LO = _cyc("kept_words")
+
+# dom text: promo + paragraphs ('\n' before para 2 when nested — the
+# section/blockquote join) + optional trailing table markdown.
 SQL_DOM_TEXT = f"""
-SELECT url, concat('{synth.PROMO_TEXT}', {NL2} || string_agg(para_text, {NL2} ORDER BY para_no)) AS doc_text
+SELECT url, concat(
+  '{synth.PROMO_TEXT}',
+  string_agg(
+    CASE WHEN is_nested AND para_no = 2 THEN chr(10) ELSE {NL2} END || para_text,
+    '' ORDER BY para_no),
+  CASE WHEN any_value(has_table) THEN {NL2} || any_value(tbl_md) ELSE '' END
+) AS doc_text
 FROM paras WHERE NOT is_pdf GROUP BY url
 """
 
+# density text: kept paragraphs (flat — density discards structure)
+# + the table (density keeps tables).
 SQL_DENSITY_TEXT = f"""
-SELECT url, coalesce(string_agg(para_text, {NL2} ORDER BY para_no) FILTER (n_tok >= {MIN_TOK}), '') AS doc_text
-FROM paras WHERE NOT is_pdf GROUP BY url
+SELECT url,
+  CASE WHEN ht THEN
+    CASE WHEN coalesce(kept, '') = '' THEN md ELSE kept || {NL2} || md END
+  ELSE coalesce(kept, '') END AS doc_text
+FROM (
+  SELECT url,
+         string_agg(para_text, {NL2} ORDER BY para_no) FILTER (n_tok >= {MIN_TOK}) AS kept,
+         any_value(has_table) AS ht, any_value(tbl_md) AS md
+  FROM paras WHERE NOT is_pdf GROUP BY url
+)
 """
 
 SQL_PDF_TEXT = f"""
@@ -141,12 +191,17 @@ def q_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_spans_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-table hierarchy counts. Block identity is the elem_path
+    PREFIX (nest-safe: (block_no) alone undercounts nested blocks,
+    (block_no, line_no) collides across a container's paragraphs);
+    table rows count as lines here (line_no = row_no)."""
     r = _results(spark, sf_dir).filter(F.col("engine") == "dom")
     sp = spans_table(r)
+    block_path = F.slice(F.col("elem_path"), 1, F.size("elem_path") - 1)
     return sp.groupBy("url").agg(
         F.count("*").alias("n_spans"),
-        F.count_distinct("block_no").cast("long").alias("n_blocks"),
-        F.count_distinct(F.struct("block_no", "line_no")).cast("long").alias("n_lines"),
+        F.count_distinct(block_path).cast("long").alias("n_blocks"),
+        F.count_distinct(F.struct("elem_path", "line_no")).cast("long").alias("n_lines"),
     )
 
 
@@ -154,7 +209,9 @@ def q_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested canonical tree (SURVEY §1.3(a), ocr_schema.py:25-339):
     spans -> document struct; the counts are folded out of the NESTED
     struct (not the span table), plus count-distinct element_path
-    (gdai_convert.py:87-98) which must equal the word count."""
+    (gdai_convert.py:87-98) which must equal the word count.
+    max_depth proves block recursion survived the round-trip
+    (section/blockquote docs → 2); n_tables proves the table grid."""
     from ocr_compare_spark.operators.tree import element_path, to_tree, tree_stats
 
     r = _results(spark, sf_dir).filter(F.col("engine") == "dom")
@@ -216,10 +273,18 @@ def q_confidences(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form word_confidence(base, ordinal), so every level is
     recomputable in SQL."""
     r = _results(spark, sf_dir)
+    # floor(v*1e6 + 0.5)/1e6 instead of round(v, 6): Spark rounds the
+    # SHORTEST decimal repr HALF_UP while DuckDB's double round acts
+    # on a 15-digit repr — for a value just below a .5e-6 boundary
+    # (e.g. 0.91156249999999994) they disagree by 1e-6 even though
+    # the raw floats are bit-identical. This formula is pure double
+    # arithmetic, so the same expression on the oracle side is
+    # bit-identical by construction.
+    round6 = (F.floor(F.col("confidence") * 1e6 + F.lit(0.5)) / 1e6).alias("doc_confidence")
     return r.select(
         "url",
         "engine",
-        F.round("confidence", 6).alias("doc_confidence"),
+        round6,
         F.col("n_words").cast("long").alias("n_words"),
     )
 
@@ -276,6 +341,36 @@ def q_layout_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_blocks").cast("long").alias("n_blocks"),
         F.length("chunk_text").cast("long").alias("chunk_chars"),
     )
+
+
+def q_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 text anchors as a driver row (reference gdai_convert.py:
+    47-69 slices doc text by [start, end) segments): every TEXT word
+    span's substr(doc_text, char_start+1, char_end-char_start) must
+    equal the span text, fully native. n_ok == n_anchor_spans proves
+    it; max_char_end independently pins the offset frame (= doc
+    length minus the trailing table block, which carries no
+    offsets)."""
+    r = _results(spark, sf_dir).filter(F.col("engine") == "dom")
+    sp = r.select("url", "doc_text", F.explode("spans").alias("s")).filter(
+        F.col("s.char_start").isNotNull()
+    )
+    ok = F.expr("substring(doc_text, s.char_start + 1, s.char_end - s.char_start)") == F.col("s.text")
+    return sp.groupBy("url").agg(
+        F.count("*").alias("n_anchor_spans"),
+        F.sum(ok.cast("long")).alias("n_ok"),
+        F.max("s.char_end").alias("max_char_end"),
+    )
+
+
+def q_table_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table TSV raw_text (reference ocr_schema.py:324-334: cells
+    joined by '\\t', rows by '\\n', header row included as a plain
+    row) over the synthetic corpus's real tables."""
+    from ocr_compare_spark.operators.assemble import assemble_table_tsv
+
+    r = _results(spark, sf_dir).filter(F.col("engine") == "dom")
+    return assemble_table_tsv(spans_table(r)).select("url", "raw_text")
 
 
 def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_misses": q_cache_misses,
         "chunk_segments": q_chunk_segments,
         "layout_chunks": q_layout_chunks,
+        "anchors": q_anchors,
+        "table_tsv": q_table_tsv,
         "textstats": q_textstats,
         "quality_topk": q_quality_topk,
         "fingerprint": q_fingerprint,
@@ -854,23 +951,32 @@ def oracle_sql() -> dict[str, str]:
         "summaries": f"""
             WITH {PARAS_CTE},
             per_doc AS (
+              -- n_blocks counts ALL blocks incl nested: a nested doc
+              -- loses two top-level paragraph-blocks but gains the
+              -- section + blockquote containers, so n_paras + 1
+              -- holds either way; a table adds one block.
               SELECT url, is_pdf, max(total_tok) AS total_tok, count(*) AS n_paras,
                      count(*) FILTER (n_tok >= {MIN_TOK}) AS kept_paras,
-                     sum(n_tok) FILTER (n_tok >= {MIN_TOK}) AS kept_words
+                     sum(n_tok) FILTER (n_tok >= {MIN_TOK}) AS kept_words,
+                     any_value(has_table) AS ht,
+                     any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 6 ELSE 4 END ELSE 0 END) AS tw
               FROM paras GROUP BY url, is_pdf
             ),
             dom AS ({SQL_DOM_TEXT}),
             den AS ({SQL_DENSITY_TEXT}),
             pdf AS ({SQL_PDF_TEXT})
             SELECT p.url, 'dom' AS engine, CAST(1 AS BIGINT) AS num_pages,
-                   CAST(p.n_paras + 1 AS BIGINT) AS num_blocks, CAST(0 AS BIGINT) AS num_tables,
-                   CAST(p.total_tok + 4 AS BIGINT) AS num_words,
+                   CAST(p.n_paras + 1 + CASE WHEN p.ht THEN 1 ELSE 0 END AS BIGINT) AS num_blocks,
+                   CAST(CASE WHEN p.ht THEN 1 ELSE 0 END AS BIGINT) AS num_tables,
+                   CAST(p.total_tok + 4 + p.tw AS BIGINT) AS num_words,
                    CAST(length(d.doc_text) AS BIGINT) AS total_length
             FROM per_doc p JOIN dom d ON p.url = d.url WHERE NOT p.is_pdf
             UNION ALL
-            SELECT p.url, 'density', CAST(CASE WHEN p.kept_paras > 0 THEN 1 ELSE 0 END AS BIGINT),
-                   CAST(p.kept_paras AS BIGINT), CAST(0 AS BIGINT),
-                   CAST(coalesce(p.kept_words, 0) AS BIGINT),
+            SELECT p.url, 'density',
+                   CAST(CASE WHEN p.kept_paras > 0 OR p.ht THEN 1 ELSE 0 END AS BIGINT),
+                   CAST(p.kept_paras + CASE WHEN p.ht THEN 1 ELSE 0 END AS BIGINT),
+                   CAST(CASE WHEN p.ht THEN 1 ELSE 0 END AS BIGINT),
+                   CAST(coalesce(p.kept_words, 0) + p.tw AS BIGINT),
                    CAST(length(coalesce(e.doc_text, '')) AS BIGINT)
             FROM per_doc p LEFT JOIN den e ON p.url = e.url WHERE NOT p.is_pdf
             UNION ALL
@@ -881,10 +987,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spans_hierarchy": f"""
             WITH {PARAS_CTE}
+            -- block paths: nested docs trade two top-level paragraph
+            -- blocks for the section+blockquote containers (count
+            -- unchanged); a table adds one block and its rows count
+            -- as lines (3 with header row, 2 without).
             SELECT url,
-                   CAST(max(total_tok) + 4 AS BIGINT) AS n_spans,
-                   CAST(count(*) + 1 AS BIGINT) AS n_blocks,
-                   CAST(sum(CAST(ceil(n_tok / {synth.LINE_WORDS}.0) AS BIGINT)) + 1 AS BIGINT) AS n_lines
+                   CAST(max(total_tok) + 4
+                        + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 6 ELSE 4 END ELSE 0 END) AS BIGINT) AS n_spans,
+                   CAST(count(*) + 1 + any_value(CASE WHEN has_table THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+                   CAST(sum(CAST(ceil(n_tok / {synth.LINE_WORDS}.0) AS BIGINT)) + 1
+                        + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 3 ELSE 2 END ELSE 0 END) AS BIGINT) AS n_lines
             FROM paras WHERE NOT is_pdf GROUP BY url
         """,
         "compare_basic": f"""
@@ -919,20 +1031,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tree_paths": f"""
             WITH {PARAS_CTE}
+            -- n_paras/n_lines count TEXT structure (the table's grid
+            -- lives in rows/cells); n_words includes table cell
+            -- words; max_depth = 2 proves the section/blockquote
+            -- recursion survived the tree round-trip.
             SELECT url, CAST(1 AS BIGINT) AS n_pages,
-                   CAST(count(*) + 1 AS BIGINT) AS n_blocks,
+                   CAST(count(*) + 1 + any_value(CASE WHEN has_table THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
                    CAST(count(*) + 1 AS BIGINT) AS n_paras,
                    CAST(sum(CAST(ceil(n_tok / {synth.LINE_WORDS}.0) AS BIGINT)) + 1 AS BIGINT) AS n_lines,
-                   CAST(max(total_tok) + 4 AS BIGINT) AS n_words,
-                   CAST(max(total_tok) + 4 AS BIGINT) AS n_paths
+                   CAST(max(total_tok) + 4
+                        + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 6 ELSE 4 END ELSE 0 END) AS BIGINT) AS n_words,
+                   CAST(any_value(CASE WHEN has_table THEN 1 ELSE 0 END) AS BIGINT) AS n_tables,
+                   CAST(any_value(CASE WHEN is_nested THEN 2 ELSE 1 END) AS BIGINT) AS max_depth,
+                   CAST(max(total_tok) + 4
+                        + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 6 ELSE 4 END ELSE 0 END) AS BIGINT) AS n_paths
             FROM paras WHERE NOT is_pdf GROUP BY url
         """,
         "symbols": f"""
-            SELECT {synth.SQL_URL} AS url,
-                   CAST(length(replace(text, ' ', '')) + 18 AS BIGINT) AS n_symbols,
+            -- table cell words add their characters again (they are
+            -- copies of the doc's first four tokens) plus 'k','v'
+            -- for the header row; the body-cell characters are
+            -- already in the text's character set, so n_distinct
+            -- only gains 'kv' on header tables.
+            WITH t AS (
+              SELECT {synth.SQL_URL} AS url, text, string_split(text, ' ') AS t,
+                     {synth.SQL_HAS_TABLE} AS has_table, {synth.SQL_TABLE_HEADER} AS tbl_header
+              FROM documents WHERE NOT {synth.SQL_IS_PDF}
+            )
+            SELECT url,
+                   CAST(length(replace(text, ' ', '')) + 18
+                        + CASE WHEN has_table THEN length(t[1] || t[2] || t[3] || t[4])
+                               + CASE WHEN tbl_header THEN 2 ELSE 0 END ELSE 0 END AS BIGINT) AS n_symbols,
                    CAST(len(list_distinct(regexp_extract_all(
-                        replace(text, ' ', '') || 'promoofferclicknow', '.'))) AS BIGINT) AS n_distinct
-            FROM documents WHERE NOT {synth.SQL_IS_PDF}
+                        replace(text, ' ', '') || 'promoofferclicknow'
+                        || CASE WHEN has_table AND tbl_header THEN 'kv' ELSE '' END, '.'))) AS BIGINT) AS n_distinct
+            FROM t
         """,
         "confidences": f"""
             WITH {PARAS_CTE},
@@ -940,16 +1073,21 @@ def oracle_sql() -> dict[str, str]:
             -- the document-global ordinal of the paragraph's first
             -- word (dom: +4 promo words; density: kept paragraphs
             -- are a PREFIX since only the trailing partial chunk can
-            -- fall under {MIN_TOK} tokens, so para_no*{synth.PARA_WORDS} holds)
+            -- fall under {MIN_TOK} tokens, so para_no*{synth.PARA_WORDS} holds).
+            -- Table words come LAST (the table block trails the
+            -- paragraphs), so paragraph ordinals are unchanged and
+            -- the table contributes one closed-form pseudo-line
+            -- conf: base - (cyc(S+T) - cyc(S)) / (100*T) where
+            -- cyc(x) = sum of (j % 10) for j < x.
             w AS (
-              SELECT 'dom' AS engine, url, para_no, 4 + para_no*{synth.PARA_WORDS} AS base_i,
+              SELECT 'dom' AS engine, url, para_no, is_nested, 4 + para_no*{synth.PARA_WORDS} AS base_i,
                      unnest(range(0, n_tok)) AS w
               FROM paras WHERE NOT is_pdf
               UNION ALL
-              SELECT 'density', url, para_no, para_no*{synth.PARA_WORDS}, unnest(range(0, n_tok))
+              SELECT 'density', url, para_no, false, para_no*{synth.PARA_WORDS}, unnest(range(0, n_tok))
               FROM paras WHERE NOT is_pdf AND n_tok >= {MIN_TOK}
               UNION ALL
-              SELECT 'pdf', url, para_no, para_no*{synth.PARA_WORDS}, unnest(range(0, n_tok))
+              SELECT 'pdf', url, para_no, false, para_no*{synth.PARA_WORDS}, unnest(range(0, n_tok))
               FROM paras WHERE is_pdf
             ),
             -- Line confidence is CLOSED FORM on both sides:
@@ -963,40 +1101,84 @@ def oracle_sql() -> dict[str, str]:
             -- K/3200); ordered sums are bit-identical to the Python
             -- fold (measured: 950/950 exact float equality).
             lc AS (
-              SELECT engine, url, para_no, w // {synth.LINE_WORDS} AS line_no,
+              SELECT engine, url, para_no, is_nested, w // {synth.LINE_WORDS} AS line_no,
                      (CASE engine WHEN 'dom' THEN 0.90 WHEN 'density' THEN 0.95 ELSE 0.85 END)
                        - sum((base_i + w) % 10) / (100.0 * count(*)) AS v
-              FROM w GROUP BY engine, url, para_no, w // {synth.LINE_WORDS}
+              FROM w GROUP BY engine, url, para_no, is_nested, w // {synth.LINE_WORDS}
             ),
-            pc AS (SELECT engine, url, para_no,
+            pc AS (SELECT engine, url, para_no, is_nested,
                           list_sum(list(v ORDER BY line_no)) / count(*) AS v
                    FROM lc GROUP BY ALL),
-            -- block conf == paragraph conf (one paragraph per block)
+            -- NESTED dom docs: paragraphs 1-2 live inside the
+            -- section/blockquote pair, whose recursive mean-of-means
+            -- collapses to (p1 + p2) / 2 as ONE top-level element
+            -- (blockquote conf = mean of its single paragraph = p2
+            -- exactly). Density flattens, so no merge there.
+            pm AS (
+              SELECT engine, url, para_no,
+                     CASE WHEN engine = 'dom' AND is_nested AND para_no = 1
+                          THEN (v + nxt) / 2 ELSE v END AS v
+              FROM (
+                SELECT engine, url, para_no, is_nested, v,
+                       lead(v) OVER (PARTITION BY engine, url ORDER BY para_no) AS nxt
+                FROM pc
+              )
+              WHERE NOT (engine = 'dom' AND is_nested AND para_no = 2)
+            ),
+            -- per-url table confidence (valid only where ht)
+            tcc AS (
+              SELECT url, ht,
+                     0.90 - ({_CYC_DOM_HI} - {_CYC_DOM_LO}) / (100.0 * tword) AS tconf_dom,
+                     0.95 - ({_CYC_DEN_HI} - {_CYC_DEN_LO}) / (100.0 * tword) AS tconf_den
+              FROM (
+                SELECT url, any_value(has_table) AS ht,
+                       max(total_tok) AS total_tok,
+                       coalesce(sum(n_tok) FILTER (n_tok >= {MIN_TOK}), 0) AS kept_words,
+                       any_value(CASE WHEN tbl_header THEN 6 ELSE 4 END) AS tword
+                FROM paras WHERE NOT is_pdf GROUP BY url
+              )
+            ),
             pg AS (
-              SELECT 'dom' AS engine, url, 0 AS page_no,
-                     list_sum(list_prepend(
-                       0.90 - 6 / (100.0 * 4),
-                       list(v ORDER BY para_no))) / (count(*) + 1) AS v
-              FROM pc WHERE engine = 'dom' GROUP BY url
+              SELECT 'dom' AS engine, p.url, 0 AS page_no,
+                     list_sum(CASE WHEN t.ht
+                       THEN list_append(list_prepend(0.90 - 6 / (100.0 * 4), list(p.v ORDER BY p.para_no)), t.tconf_dom)
+                       ELSE list_prepend(0.90 - 6 / (100.0 * 4), list(p.v ORDER BY p.para_no)) END)
+                     / (count(*) + 1 + CASE WHEN t.ht THEN 1 ELSE 0 END) AS v
+              FROM pm p JOIN tcc t ON p.url = t.url
+              WHERE p.engine = 'dom' GROUP BY p.url, t.ht, t.tconf_dom
               UNION ALL
-              SELECT 'density', url, 0, list_sum(list(v ORDER BY para_no)) / count(*)
-              FROM pc WHERE engine = 'density' GROUP BY url
+              SELECT 'density', p.url, 0,
+                     list_sum(CASE WHEN t.ht
+                       THEN list_append(list(p.v ORDER BY p.para_no), t.tconf_den)
+                       ELSE list(p.v ORDER BY p.para_no) END)
+                     / (count(*) + CASE WHEN t.ht THEN 1 ELSE 0 END)
+              FROM pm p JOIN tcc t ON p.url = t.url
+              WHERE p.engine = 'density' GROUP BY p.url, t.ht, t.tconf_den
               UNION ALL
               SELECT 'pdf', url, para_no // {synth.PAGE_PARAS},
                      list_sum(list(v ORDER BY para_no)) / count(*)
-              FROM pc WHERE engine = 'pdf' GROUP BY url, para_no // {synth.PAGE_PARAS}
+              FROM pm WHERE engine = 'pdf' GROUP BY url, para_no // {synth.PAGE_PARAS}
             ),
             dc AS (SELECT engine, url, list_sum(list(v ORDER BY page_no)) / count(*) AS v
                    FROM pg GROUP BY engine, url),
             nw AS (
-              SELECT 'dom' AS engine, url, max(total_tok) + 4 AS n FROM paras WHERE NOT is_pdf GROUP BY url
+              SELECT 'dom' AS engine, url,
+                     max(total_tok) + 4
+                     + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 6 ELSE 4 END ELSE 0 END) AS n
+              FROM paras WHERE NOT is_pdf GROUP BY url
               UNION ALL
-              SELECT 'density', url, coalesce(sum(n_tok) FILTER (n_tok >= {MIN_TOK}), 0)
+              SELECT 'density', url,
+                     coalesce(sum(n_tok) FILTER (n_tok >= {MIN_TOK}), 0)
+                     + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 6 ELSE 4 END ELSE 0 END)
               FROM paras WHERE NOT is_pdf GROUP BY url
               UNION ALL
               SELECT 'pdf', url, max(total_tok) FROM paras WHERE is_pdf GROUP BY url
             )
-            SELECT nw.url, nw.engine, round(dc.v, 6) AS doc_confidence,
+            -- floor(v*1e6+0.5)/1e6, NOT round(): pure double
+            -- arithmetic matches the Spark side bit-for-bit, while
+            -- DuckDB round() disagrees with Spark's shortest-repr
+            -- HALF_UP just below .5e-6 boundaries (see q_confidences)
+            SELECT nw.url, nw.engine, floor(dc.v * 1e6 + 0.5) / 1e6 AS doc_confidence,
                    CAST(nw.n AS BIGINT) AS n_words
             FROM nw LEFT JOIN dc ON nw.url = dc.url AND nw.engine = dc.engine
         """,
@@ -1009,10 +1191,15 @@ def oracle_sql() -> dict[str, str]:
             -- (A token->codepoint levenshtein oracle is foiled by
             -- DuckDB's levenshtein being byte-based: multi-byte
             -- codepoints count as 2 edits.)
+            -- Both engines append the SAME table markdown, so its
+            -- whitespace tokens (5 per rendered row: '|' x3 + 2
+            -- cells) cancel in the numerator and only widen the
+            -- denominator (= the dom token count).
             WITH {PARAS_CTE}
             SELECT url,
                    round((4.0 + max(total_tok) - coalesce(sum(n_tok) FILTER (n_tok >= {MIN_TOK}), 0))
-                         / (max(total_tok) + 4), 6) AS wer
+                         / (max(total_tok) + 4
+                            + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 20 ELSE 10 END ELSE 0 END)), 6) AS wer
             FROM paras WHERE NOT is_pdf GROUP BY url
         """,
         "mime_route": f"""
@@ -1037,10 +1224,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "layout_chunks": f"""
             WITH {PARAS_CTE},
+            -- top-level block list: promo, paragraphs (nested docs
+            -- merge paras 1+2 into one section block of length
+            -- l1 + 1 + l2 and shift later ordinals down by one),
+            -- then the optional table block (markdown length).
+            pb AS (
+              SELECT url, para_no, is_nested, length(para_text) AS pl,
+                     lead(length(para_text)) OVER (PARTITION BY url ORDER BY para_no) AS next_pl
+              FROM paras WHERE NOT is_pdf
+            ),
             blocks AS (
-              SELECT url, 0 AS b, {len(synth.PROMO_TEXT)} AS l FROM toks WHERE NOT is_pdf
+              SELECT url, 0 AS b, {len(synth.PROMO_TEXT)} AS l FROM tmd WHERE NOT is_pdf
               UNION ALL
-              SELECT url, para_no + 1, length(para_text) FROM paras WHERE NOT is_pdf
+              SELECT url,
+                     CASE WHEN is_nested AND para_no >= 3 THEN para_no ELSE para_no + 1 END,
+                     CASE WHEN is_nested AND para_no = 1 THEN pl + 1 + next_pl ELSE pl END
+              FROM pb WHERE NOT (is_nested AND para_no = 2)
+              UNION ALL
+              SELECT url,
+                     CAST(ceil(len(t)/{synth.PARA_WORDS}.0) AS BIGINT)
+                       + CASE WHEN is_nested THEN 0 ELSE 1 END,
+                     length(tbl_md)
+              FROM tmd WHERE NOT is_pdf AND has_table
             ),
             c AS (
               SELECT url, b, l,
@@ -1055,6 +1260,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, chunk_no, count(*) AS n_blocks,
                    CAST(sum(l) + 2 * (count(*) - 1) AS BIGINT) AS chunk_chars
             FROM c GROUP BY url, chunk_no
+        """,
+        "anchors": f"""
+            WITH {PARAS_CTE},
+            dom AS ({SQL_DOM_TEXT})
+            -- every TEXT word (promo 4 + all paragraph tokens)
+            -- anchors exactly; the trailing table block carries no
+            -- offsets, so the last anchored char is the doc length
+            -- minus (markdown length + the '\\n\\n' joining it).
+            SELECT p.url,
+                   CAST(max(p.total_tok) + 4 AS BIGINT) AS n_anchor_spans,
+                   CAST(max(p.total_tok) + 4 AS BIGINT) AS n_ok,
+                   CAST(length(d.doc_text)
+                        - any_value(CASE WHEN p.has_table THEN length(p.tbl_md) + 2 ELSE 0 END) AS BIGINT) AS max_char_end
+            FROM paras p JOIN dom d ON p.url = d.url
+            WHERE NOT p.is_pdf GROUP BY p.url, d.doc_text
+        """,
+        "table_tsv": f"""
+            WITH t AS (
+              SELECT {synth.SQL_URL} AS url, string_split(text, ' ') AS t,
+                     {synth.SQL_HAS_TABLE} AS has_table, {synth.SQL_TABLE_HEADER} AS tbl_header
+              FROM documents WHERE NOT {synth.SQL_IS_PDF}
+            )
+            SELECT url,
+                   CASE WHEN tbl_header THEN 'k' || chr(9) || 'v' || chr(10) ELSE '' END
+                   || t[1] || chr(9) || t[2] || chr(10)
+                   || t[3] || chr(9) || t[4] AS raw_text
+            FROM t WHERE has_table
         """,
         "textstats": f"""
             WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)

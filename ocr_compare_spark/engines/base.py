@@ -16,21 +16,42 @@ from typing import Callable, Optional
 
 @dataclass
 class Block:
-    # block_type: TEXT or TABLE (≈ ocr_schema.py LayoutElementType)
+    # block_type: TEXT, HEADING or TABLE (≈ ocr_schema.py LayoutElementType)
     block_type: str = "TEXT"
     # paragraphs: list of paragraphs, each a list of word tokens
     paras: list[list[str]] = field(default_factory=list)
-    # tables: rows of cell texts; first row is the header
-    # (≈ gdai_layout_executor.py:114-120 first-row-is-header rule)
+    # tables: rows of cell texts; a cell may hold multiple paragraph
+    # runs separated by '\n' (Cell.blocks, ocr_schema.py:215-238)
     rows: list[list[str]] = field(default_factory=list)
+    # does row 0 render as a header row? (reference Table.header is
+    # Optional[HeaderRow], ocr_schema.py:280-339)
+    has_header: bool = True
     # synthetic bbox (left, top, width, height) or None
     bbox: Optional[tuple[float, float, float, float]] = None
+    # source tag for the `extra` property bag (ocr_schema.py:18,27)
+    tag: Optional[str] = None
+    # ordered child ELEMENTS when the block nests (reference
+    # Block.elements: List[Table|Paragraph|Block], ocr_schema.py:
+    # 130-167). Entries are ('para', list[tokens]) or ('block',
+    # Block); None means the flat fast path: paras (or rows for
+    # TABLE) ARE the elements, in order.
+    elements: Optional[list[tuple[str, object]]] = None
+
+    def iter_elements(self) -> list[tuple[str, object]]:
+        if self.elements is not None:
+            return self.elements
+        if self.block_type == "TABLE":
+            return [("table", (self.rows, self.has_header))]
+        return [("para", p) for p in self.paras]
 
 
 @dataclass
 class ParsedDoc:
     pages: list[list[Block]] = field(default_factory=list)
     error: Optional[str] = None
+    # per-page (width, height) or None — PDF engines parse MediaBox
+    # (ocr_schema.py:170-187 Page.width/height); HTML pages have none
+    page_dims: Optional[list[Optional[tuple[float, float]]]] = None
     # engine-native intermediate, JSON-serializable
     # (≈ execute_ocr_original contract, ocr_executor.py:92-106)
     native: Optional[dict] = None

@@ -45,6 +45,11 @@ def keep_block(rb: RawBlock) -> bool:
 
 
 def density_from_raws(raws) -> ParsedDoc:
+    """Score-and-keep, FLATTENED: a main-content extractor emits flat
+    text blocks (like trafilatura's flat output), so section/
+    blockquote nesting is intentionally discarded here — the dom
+    engine is the layout-preserving one, which makes the dom-vs-
+    density comparison a real structural diff on nested docs."""
     blocks: list[Block] = []
     dropped = 0
     for rb in raws:
@@ -52,17 +57,21 @@ def density_from_raws(raws) -> ParsedDoc:
             dropped += 1
             continue
         if rb.is_table:
-            blocks.append(Block(block_type="TABLE", rows=rb.rows))
+            blocks.append(Block(block_type="TABLE", rows=rb.rows, has_header=rb.has_header))
         else:
             btype = "HEADING" if rb.tag in HEADING_TAGS else "TEXT"
-            blocks.append(Block(block_type=btype, paras=[rb.tokens]))
+            blocks.append(Block(block_type=btype, paras=[rb.tokens], tag=rb.tag))
     native = {
         "engine": "density",
         "blocks_seen": len(raws),
         "blocks_kept": len(blocks),
         "blocks_dropped": dropped,
     }
-    return ParsedDoc(pages=[blocks] if blocks else [], native=native)
+    return ParsedDoc(
+        pages=[blocks] if blocks else [],
+        page_dims=[None] if blocks else None,
+        native=native,
+    )
 
 
 def parse_density(data: bytes) -> ParsedDoc:

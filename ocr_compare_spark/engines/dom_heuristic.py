@@ -13,30 +13,27 @@ grouping never changes assembled text — ocr_schema.py:102,119).
 
 from __future__ import annotations
 
-from ocr_compare_spark.engines.base import Block, EngineSpec, ParsedDoc, register_engine
-from ocr_compare_spark.engines.html_tree import HEADING_TAGS, segment_html
+from ocr_compare_spark.engines.base import EngineSpec, ParsedDoc, register_engine
+from ocr_compare_spark.engines.html_tree import build_block_tree, segment_html
 
 
 def dom_from_raws(raws) -> ParsedDoc:
-    blocks: list[Block] = []
-    kept = dropped = 0
-    for rb in raws:
-        if rb.in_chrome:
-            dropped += 1
-            continue
-        kept += 1
-        if rb.is_table:
-            blocks.append(Block(block_type="TABLE", rows=rb.rows))
-        else:
-            btype = "HEADING" if rb.tag in HEADING_TAGS else "TEXT"
-            blocks.append(Block(block_type=btype, paras=[rb.tokens]))
+    """Chrome-strip, then rebuild the RECURSIVE block structure from
+    container paths (section/blockquote nesting round-trips into
+    Block.elements — the layout-preserving engine)."""
+    kept_raws = [rb for rb in raws if not rb.in_chrome]
+    blocks = build_block_tree(kept_raws)
     native = {
         "engine": "dom",
         "blocks_seen": len(raws),
-        "blocks_kept": kept,
-        "blocks_dropped_chrome": dropped,
+        "blocks_kept": len(kept_raws),
+        "blocks_dropped_chrome": len(raws) - len(kept_raws),
     }
-    return ParsedDoc(pages=[blocks] if blocks else [], native=native)
+    return ParsedDoc(
+        pages=[blocks] if blocks else [],
+        page_dims=[None] if blocks else None,
+        native=native,
+    )
 
 
 def parse_dom(data: bytes) -> ParsedDoc:

@@ -25,6 +25,26 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![s])")
 _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
 _TD_RE = re.compile(rb"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+T[dD]")
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+"
+    rb"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s*\]"
+)
+
+
+def parse_page_dims(data: bytes, n_pages: int) -> list[tuple[float, float] | None]:
+    """Per-page (width, height) from each page object's MediaBox
+    (reference Page.width/height, ocr_schema.py:170-187) — parsed,
+    not assumed. Page objects appear in Kids order in our subset;
+    missing boxes yield None."""
+    boxes = _MEDIABOX_RE.findall(data)
+    dims: list[tuple[float, float] | None] = []
+    for i in range(n_pages):
+        if i < len(boxes):
+            x0, y0, x1, y1 = (float(v) for v in boxes[i])
+            dims.append((x1 - x0, y1 - y0))
+        else:
+            dims.append(dims[-1] if dims else None)
+    return dims
 
 
 def count_pdf_pages(data: bytes) -> int:
@@ -59,7 +79,11 @@ def parse_pdf(data: bytes) -> ParsedDoc:
     if not content:
         if n_pages == 0:
             return ParsedDoc(error="pdf_truncated")
-        return ParsedDoc(pages=[[] for _ in range(n_pages)], native={"engine": "pdf", "pages": n_pages, "text_ops": 0})
+        return ParsedDoc(
+            pages=[[] for _ in range(n_pages)],
+            page_dims=parse_page_dims(data, n_pages),
+            native={"engine": "pdf", "pages": n_pages, "text_ops": 0},
+        )
     pages: list[list[Block]] = []
     text_ops = 0
     for stream in content:
@@ -92,7 +116,7 @@ def parse_pdf(data: bytes) -> ParsedDoc:
                 )
         pages.append(blocks)
     native = {"engine": "pdf", "pages": len(pages), "declared_pages": n_pages, "text_ops": text_ops}
-    return ParsedDoc(pages=pages, native=native)
+    return ParsedDoc(pages=pages, page_dims=parse_page_dims(data, len(pages)), native=native)
 
 
 register_engine(

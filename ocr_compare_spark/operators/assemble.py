@@ -56,54 +56,70 @@ def assemble_doc_text(spans: DataFrame) -> DataFrame:
 
 
 def _assemble_blocks(spans: DataFrame) -> DataFrame:
-    """Single-branch cascade handling TEXT and TABLE blocks together.
+    """Single-branch cascade handling TEXT, TABLE and NESTED blocks
+    together (one scan, one shuffle — see the merged-cascade note in
+    assemble_doc_text; the old two-branch union re-ran extraction
+    under divergent column pruning).
 
-    Earlier this was two filtered branches (TEXT cascade ∪ TABLE
-    markdown cascade) over the same span input. Column pruning gave
-    each branch a different projection below the repartition
-    exchange, so ReuseExchange could not dedupe them and the ENTIRE
-    upstream (extraction UDF included) ran twice — measured in the
-    sf0.1 bench as the dominant cost of spans_assemble. The merged
-    cascade scans and shuffles once:
+    Recursion (reference Block.elements: List[Table|Paragraph|Block],
+    ocr_schema.py:130-167) costs NOTHING extra in the plan: because
+    the block separator is '\\n' at every nesting level, a top-level
+    block's text is a flat '\\n'-join of its rendered elements in
+    LEXICOGRAPHIC elem_path order — no recursive plan needed.
 
-    - level 1 (word -> line/cell): group by all four fine ordinals.
-      Within any block the inapplicable ones are constants (TEXT:
-      row_no/column_no NULL; TABLE: para_no=0, line_no=row_no — see
-      extract.doc_to_result), so the groups are exactly the old
-      per-branch groups, and both branches join words with SEP_LINE.
-    - level 2 (line -> para | cell -> markdown row): order by
-      coalesce(column_no, line_no); the combine expression is
-      conditional on block_type.
-    - level 3 (-> block): order by coalesce(row_no, para_no); TEXT
-      joins with SEP_BLOCK, TABLE renders header + '---' separator
-      row (widths from the true header cell count, ocr_schema.py
-      markdown contract) + body rows.
+    Levels (all groupBy keys share the (url, engine) prefix, so the
+    whole cascade runs exchange-free after one repartition):
+    - L1 word -> line (TEXT) / cell-paragraph (TABLE): the grouping
+      is unique per (elem_path, para_no, line_no, row, col); words
+      join with SEP_LINE.
+    - L2 line -> paragraph | cell-para -> cell: within a group the
+      varying ordinal is line_no for TEXT and para_no (Cell.blocks
+      runs) for TABLE; both join with ' '.
+    - L3 cell -> markdown row: TABLE wraps '| .. | .. |'; TEXT
+      passes through (single part).
+    - L4 row -> ELEMENT: TABLE joins its rows with the header rule
+      (separator row only when row 0 is a HEADER row — reference
+      Table.header is Optional); TEXT passes through.
+    - L5 element -> block: parts ordered by the elem_path suffix
+      (after the top block ordinal), joined with SEP_BLOCK.
     """
     base = ["url", "engine"]
 
     lines = _ordered_concat(
         spans,
-        base + ["page_no", "block_no", "block_type", "para_no", "line_no", "row_no", "column_no"],
+        base + ["page_no", "block_no", "block_type", "elem_path", "para_no",
+                "line_no", "row_no", "column_no", "row_type"],
         "word_no", "text", SEP_LINE, "line_text",
     )
 
-    lvl2_ord = F.coalesce(F.col("column_no"), F.col("line_no"))
-    lvl2 = (
-        lines.groupBy(*base, "page_no", "block_no", "block_type", "para_no", "row_no")
+    # L2: TEXT orders lines by line_no; TABLE orders cell-para runs
+    # by para_no (the cell flattens Cell.blocks with ' ').
+    l2_ord = F.when(F.col("row_no").isNotNull(), F.col("para_no")).otherwise(F.col("line_no"))
+    l2 = (
+        lines.groupBy(*base, "page_no", "block_no", "block_type", "elem_path", "row_no", "column_no", "row_type")
+        .agg(
+            F.concat_ws(
+                SEP_PARAGRAPH,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(l2_ord.alias("o"), F.col("line_text").alias("t")))),
+                    lambda x: x.t,
+                ),
+            ).alias("cell_text")
+        )
+    )
+
+    # L3: cells -> markdown row (TEXT: single part passthrough).
+    l3_ord = F.coalesce(F.col("column_no"), F.lit(0))
+    l3 = (
+        l2.groupBy(*base, "page_no", "block_no", "block_type", "elem_path", "row_no", "row_type")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(lvl2_ord.alias("o"), F.col("line_text").alias("t")))
+                F.collect_list(F.struct(l3_ord.alias("o"), F.col("cell_text").alias("t")))
             ).alias("parts"),
-            (F.max(lvl2_ord) + 1).alias("n_cols"),
+            (F.max("column_no") + 1).alias("n_cols"),
         )
         .select(
-            *base,
-            "page_no",
-            "block_no",
-            "block_type",
-            "para_no",
-            "row_no",
-            "n_cols",
+            *base, "page_no", "block_no", "block_type", "elem_path", "row_no", "row_type", "n_cols",
             F.when(
                 F.col("block_type") == "TABLE",
                 F.concat(
@@ -112,12 +128,13 @@ def _assemble_blocks(spans: DataFrame) -> DataFrame:
                     F.lit(" |"),
                 ),
             )
-            .otherwise(F.concat_ws(SEP_PARAGRAPH, F.transform(F.col("parts"), lambda x: x.t)))
-            .alias("part_text"),
+            .otherwise(F.element_at("parts", 1).t)
+            .alias("row_text"),
         )
     )
 
-    lvl3_ord = F.coalesce(F.col("row_no"), F.col("para_no"))
+    # L4: rows -> element. TABLE renders header + '---' separator row
+    # ONLY when row 0 is a HEADER row; headerless tables are all body.
     sep_row = F.concat(
         F.lit("| "),
         F.array_join(
@@ -126,34 +143,61 @@ def _assemble_blocks(spans: DataFrame) -> DataFrame:
         ),
         F.lit(" |"),
     )
-    return (
-        lvl2.groupBy(*base, "page_no", "block_no", "block_type")
+    has_header = F.element_at("rws", 1).h == "HEADER"
+    l4 = (
+        l3.groupBy(*base, "page_no", "block_no", "block_type", "elem_path")
         .agg(
             F.array_sort(
                 F.collect_list(
-                    F.struct(lvl3_ord.alias("o"), F.col("part_text").alias("t"), F.col("n_cols").alias("c"))
+                    F.struct(
+                        F.coalesce(F.col("row_no"), F.lit(0)).alias("o"),
+                        F.col("row_text").alias("t"),
+                        F.col("n_cols").alias("c"),
+                        F.col("row_type").alias("h"),
+                    )
                 )
             ).alias("rws")
         )
         .select(
-            *base,
-            "page_no",
-            "block_no",
-            "block_type",
+            *base, "page_no", "block_no", "block_type", "elem_path",
             F.when(
                 F.col("block_type") == "TABLE",
-                F.array_join(
-                    F.concat(
-                        F.array(F.element_at("rws", 1).t, sep_row),
-                        F.transform(
-                            F.slice("rws", 2, F.greatest(F.size("rws") - 1, F.lit(0))), lambda x: x.t
+                F.when(
+                    has_header,
+                    F.array_join(
+                        F.concat(
+                            F.array(F.element_at("rws", 1).t, sep_row),
+                            F.transform(
+                                F.slice("rws", 2, F.greatest(F.size("rws") - 1, F.lit(0))), lambda x: x.t
+                            ),
                         ),
+                        "\n",
                     ),
-                    "\n",
-                ),
+                ).otherwise(F.array_join(F.transform(F.col("rws"), lambda x: x.t), "\n")),
             )
-            .otherwise(F.array_join(F.transform(F.col("rws"), lambda x: x.t), SEP_BLOCK))
-            .alias("block_text"),
+            .otherwise(F.element_at("rws", 1).t)
+            .alias("elem_text"),
+        )
+    )
+
+    # L5: elements -> block, ordered by the elem_path suffix after
+    # the top block ordinal (lexicographic array order = DFS order).
+    suffix = F.slice(F.col("elem_path"), 2, F.size("elem_path") - 1)
+    return (
+        l4.groupBy(*base, "page_no", "block_no")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(suffix.alias("o"), F.col("elem_text").alias("t"), F.col("block_type").alias("bt"))
+                )
+            ).alias("elems")
+        )
+        .select(
+            *base, "page_no", "block_no",
+            # top block's type = its first element's (exact for
+            # uniform blocks, i.e. everything non-nested)
+            F.element_at("elems", 1).bt.alias("block_type"),
+            F.array_join(F.transform(F.col("elems"), lambda x: x.t), SEP_BLOCK).alias("block_text"),
         )
     )
 
@@ -161,18 +205,27 @@ def _assemble_blocks(spans: DataFrame) -> DataFrame:
 def assemble_table_tsv(spans: DataFrame) -> DataFrame:
     """TABLE spans -> the reference's TSV ``raw_text`` fallback
     (ocr_schema.py:324-334: '\\t'.join(cells) per row, '\\n'.join
-    rows) — the non-markdown rendering variant, same ordinal-sorted
-    native cascade as the markdown path."""
+    rows; header row included as a plain row) — the non-markdown
+    rendering variant, same ordinal-sorted native cascade as the
+    markdown path. One output row per table ELEMENT (elem_path keeps
+    nested tables distinct); multi-paragraph cells flatten with ' '.
+    """
     base = ["url", "engine"]
     table_spans = spans.filter(F.col("block_type") == "TABLE")
-    cells = _ordered_concat(
+    cell_paras = _ordered_concat(
         table_spans,
-        base + ["page_no", "block_no", "row_no", "column_no"],
-        "word_no", "text", SEP_LINE, "cell_text",
+        base + ["page_no", "block_no", "elem_path", "para_no", "row_no", "column_no"],
+        "word_no", "text", SEP_LINE, "run_text",
+    )
+    cells = _ordered_concat(
+        cell_paras,
+        base + ["page_no", "block_no", "elem_path", "row_no", "column_no"],
+        "para_no", "run_text", SEP_LINE, "cell_text",
     )
     rows = _ordered_concat(
-        cells, base + ["page_no", "block_no", "row_no"], "column_no", "cell_text", "\t", "row_text"
+        cells, base + ["page_no", "block_no", "elem_path", "row_no"],
+        "column_no", "cell_text", "\t", "row_text",
     )
     return _ordered_concat(
-        rows, base + ["page_no", "block_no"], "row_no", "row_text", "\n", "raw_text"
-    )
+        rows, base + ["page_no", "block_no", "elem_path"], "row_no", "row_text", "\n", "raw_text"
+    ).drop("elem_path")

@@ -176,11 +176,14 @@ def lsh_candidates(
     # instead of |corpus| (measured 24x-replicated 228k docs: the
     # verify join dropped from ~2.6M array-carrying pairs to ~4.5k).
     keyed = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("grp"), F.col(text_col).alias("text"))
+    # persisted: consumed three times (reps, the membership expansion,
+    # the within-group branch) — without it the canonicalization agg
+    # and its upstream scan re-run per consumer
     groups = keyed.groupBy("grp").agg(
         F.min("id").alias("id"),
         F.any_value("text").alias("text"),
         F.array_sort(F.collect_list("id")).alias("members"),
-    )
+    ).persist()
     reps = groups.select("id", "text")
     if num_partitions:
         # the explode multiplies rows ~500x; without enough input
@@ -246,19 +249,23 @@ def lsh_candidates(
             "jaccard",
         )
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("members"),
-            lambda x, i: F.transform(
-                F.slice(F.col("members"), i + 2, F.greatest(F.size("members") - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    # Within-group pairs via a SELF-JOIN of the exploded membership
+    # on the rep key, not a per-row combination array: a boilerplate
+    # group of 10^6 copies would otherwise materialize the whole
+    # O(g^2) pair array inside one task's memory; the join streams
+    # the quadratic output. Null-text groups are excluded — a null
+    # text yields no shingles, so the un-canonicalized path never
+    # emitted pairs for those docs (the expansion must reproduce it
+    # exactly).
+    mem_nn = (
+        groups.filter(F.col("text").isNotNull() & (F.size("members") > 1))
+        .select(F.col("grp"), F.explode("members").alias("mid"))
     )
     within = (
-        groups.filter(F.size("members") > 1)
-        .select(F.explode(combos).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"), F.lit(1.0).alias("jaccard"))
+        mem_nn.select("grp", F.col("mid").alias("id_a"))
+        .join(mem_nn.select("grp", F.col("mid").alias("id_b")), "grp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
         .filter(F.lit(1.0) >= verify_threshold)
     )
     return cross.unionByName(within)
@@ -314,12 +321,28 @@ def hamming64(a_hi: F.Column, a_lo: F.Column, b_hi: F.Column, b_lo: F.Column) ->
 # ------------------------------------------------- embedding near-dup
 
 
+def auto_sign_bits(n: int, dim: int, target_block_size: int = 1024) -> int:
+    """Blocking width so the EXPECTED block size n / 2^bits (isotropy
+    assumption) stays <= target_block_size, floored at 4 bits and
+    capped by the embedding dimension. Sign blocking cannot split
+    sign-correlated corpora no matter the width — that residual skew
+    is the documented recall/cost trade of this tier; route such
+    corpora to the banded MinHash scheme."""
+    import math
+
+    want = 0
+    if n > target_block_size:
+        want = math.ceil(math.log2(n / target_block_size))
+    return max(4, min(want, dim, 30))
+
+
 def embed_near_dups(
     emb: DataFrame,
     threshold: float = 0.30,
-    sign_bits: int = 4,
+    sign_bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_block_size: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-orthant blocking
     (the fifth dedup tier: semantic near-dups that no token hash sees).
@@ -329,9 +352,13 @@ def embed_near_dups(
     assignment is deterministic and SQL-mirrorable, unlike a random-
     projection LSH whose buckets are hash-specific). Candidates are
     same-block pairs (id_a < id_b) joined on the block id — never a
-    cross join; at larger corpora raise ``sign_bits`` so the expected
-    block size (n / 2^bits under isotropy) stays bounded, which keeps
-    the per-block quadratic verify step flat as the corpus grows.
+    cross join. When ``sign_bits`` is None it is AUTO-SIZED from the
+    corpus count so the expected block size (n / 2^bits under
+    isotropy) stays <= ``target_block_size`` — a fixed bit width is
+    a quadratic blow-up waiting at corpus scale (the r2 scale-safety
+    gap); pass an explicit value to pin blocks (the driver query
+    does, so its literal-block oracle stays reproducible). The bit
+    width is capped by the embedding dimension.
     Within candidates, exact cosine (left-to-right fold, so the
     DuckDB oracle's ordered list_sum reproduces it bit-for-bit) and a
     ``sim >= threshold`` keep-filter.
@@ -346,6 +373,11 @@ def embed_near_dups(
     """
     from ocr_compare_spark.operators.similarity import cosine_native
 
+    if sign_bits is None:
+        n = emb.count()  # parquet metadata count — cheap
+        dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else 1
+        sign_bits = auto_sign_bits(n, dim, target_block_size)
     block = F.lit(0)
     for b in range(sign_bits):
         block = block + F.when(F.element_at(F.col(vec_col), b + 1) > 0, F.lit(1 << b)).otherwise(

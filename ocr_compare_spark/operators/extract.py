@@ -37,21 +37,28 @@ from ocr_compare_spark.synth import LINE_WORDS
 IS_PDF_EXPR = "coalesce(substring(html, 1, 4) = X'25504446', false)"
 
 
-def table_markdown(rows: list[list[str]]) -> str:
+def table_markdown(rows: list[list[str]], has_header: bool = True) -> str:
     """Markdown-lite table rendering.
 
     The reference renders tables via pandas ``to_markdown``
     (ocr_schema.py:315-322, needs tabulate which this environment
     lacks), with a TSV ``raw_text`` fallback (ocr_schema.py:324-334).
     We define our own fixed markdown-lite format — deterministic and
-    library-free; first row is the header (≈ gdai_layout_executor
-    .py:114-120).
+    library-free. Row 0 renders as header (with a '---' separator
+    row) ONLY when ``has_header`` — reference ``Table.header`` is
+    Optional (ocr_schema.py:280-339); a headerless table is all body
+    rows. Multi-paragraph cells (Cell.blocks) flatten with ' ' so
+    the one-line-per-row markdown contract holds.
     """
     if not rows:
         return ""
-    header, body = rows[0], rows[1:]
-    out = ["| " + " | ".join(header) + " |"]
-    out.append("| " + " | ".join("---" for _ in header) + " |")
+    flat = [[c.replace("\n", " ") for c in r] for r in rows]
+    out = []
+    body = flat
+    if has_header:
+        header, body = flat[0], flat[1:]
+        out.append("| " + " | ".join(header) + " |")
+        out.append("| " + " | ".join("---" for _ in header) + " |")
     for r in body:
         out.append("| " + " | ".join(r) + " |")
     return "\n".join(out)
@@ -90,16 +97,41 @@ def _mean(xs: list[float]) -> float | None:
 def table_raw_text(rows: list[list[str]]) -> str:
     """TSV fallback rendering — the reference's ``raw_text`` variant
     (ocr_schema.py:324-334: cells joined by '\\t', rows by '\\n'),
-    used when the markdown renderer is unavailable."""
-    return "\n".join("\t".join(r) for r in rows)
+    used when the markdown renderer is unavailable. Multi-paragraph
+    cells flatten with ' ' (a '\\n' inside a cell would corrupt the
+    row framing)."""
+    return "\n".join("\t".join(c.replace("\n", " ") for c in r) for r in rows)
+
+
+def _dfs_paras(blk) -> list[list[str]]:
+    """Leaf paragraphs of a block subtree in DFS element order (used
+    to size the uniform char width for PDF word boxes; PDF blocks are
+    flat single-para, but the recursion keeps the math honest for
+    nested blocks too)."""
+    out: list[list[str]] = []
+    for kind, payload in blk.iter_elements():
+        if kind == "para":
+            out.append(payload)
+        elif kind == "block":
+            out.extend(_dfs_paras(payload))
+    return out
 
 
 def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) -> dict:
     """ParsedDoc -> one EXTRACT_RESULT_TYPE row (doc_text + span rows).
 
+    Renders the RECURSIVE element tree (reference Block.elements:
+    List[Table|Paragraph|Block], ocr_schema.py:130-167): a block's
+    elements join with SEP_BLOCK at every nesting level, paragraphs
+    render word-by-word with char offsets, tables render markdown.
+    Span rows carry `elem_path` (element-ordinal path from the page
+    to the word's paragraph) so the flattened table round-trips the
+    recursion (see schema.py).
+
     Confidence is aggregated exactly like the reference: line = mean
-    of word confs, paragraph = mean of lines, block = mean of
-    paragraphs, page = mean of blocks, document = mean of pages
+    of word confs, paragraph = mean of lines, block = mean of its
+    ELEMENTS (recursively — a nested block contributes its own mean),
+    page = mean of blocks, document = mean of pages
     (tesseract_executor.py:210-325 mean-of-means, not a flat mean).
     Pages with no words contribute nothing (reference skips empty
     pages when averaging)."""
@@ -107,19 +139,130 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
         return {
             "doc_text": None, "n_pages": 0, "n_blocks": 0, "n_tables": 0,
             "n_words": 0, "confidence": None, "spans": [] if with_spans else None,
-            "native_json": None, "error": parsed.error,
+            "pages_meta": None, "native_json": None, "error": parsed.error,
         }
     parts: list[str] = []
     spans: list[dict] = []
-    off = 0
-    widx = 0  # document-global word ordinal (drives word_confidence)
+    st = {"off": 0, "widx": 0, "n_blocks": 0, "n_tables": 0, "n_words": 0}
 
     def emit(s: str) -> None:
-        nonlocal off
         parts.append(s)
-        off += len(s)
+        st["off"] += len(s)
 
-    n_blocks = n_tables = n_words = 0
+    def render_table(rows, has_header, path, page_no, bbox, extra):
+        """Emit spans for one table element, return its confidence
+        contribution (a single pseudo-line over its words). row_type
+        marks HeaderRow vs BodyRow (ocr_schema.py:280-339); cell
+        paragraph runs (split on '\\n' — Cell.blocks) get para_no
+        WITHIN the cell."""
+        st["n_tables"] += 1
+        tno = st["n_tables"] - 1
+        tbl_start, tbl_words = st["widx"], 0
+        for ri, row in enumerate(rows):
+            rtype = "HEADER" if (has_header and ri == 0) else "BODY"
+            for ci, cell in enumerate(row):
+                cell_paras = cell.split("\n") if cell else [""]
+                for cpi, cp in enumerate(cell_paras):
+                    words = cp.split()
+                    if not words:
+                        # Empty cell: placeholder span so the
+                        # assemble cascade keeps the column and
+                        # sizes the '---' separator row from the
+                        # true header width (byte-identical
+                        # round-trip for <td></td>).
+                        words = [""]
+                    for wi, w in enumerate(words):
+                        wc = word_confidence(base_conf, st["widx"]) if w else None
+                        if w:
+                            st["n_words"] += 1
+                            st["widx"] += 1
+                            tbl_words += 1
+                        if with_spans:
+                            spans.append({
+                                "page_no": page_no, "block_no": path[0], "block_type": "TABLE",
+                                "elem_path": path, "depth": len(path) - 1,
+                                "para_no": cpi, "line_no": ri, "word_no": wi, "text": w,
+                                "char_start": None, "char_end": None, "bbox": bbox,
+                                "confidence": wc, "row_no": ri, "column_no": ci,
+                                "table_no": tno, "row_type": rtype, "extra": extra,
+                            })
+        return line_confidence(base_conf, tbl_start, tbl_words) if tbl_words else None
+
+    def render_para(tokens, path, page_no, block_type, bbox, char_w, block_start, extra):
+        lines = [tokens[i : i + LINE_WORDS] for i in range(0, len(tokens), LINE_WORDS)]
+        line_confs: list[float] = []
+        for li, line in enumerate(lines):
+            if li > 0:
+                emit(" ")  # SEP_PARAGRAPH == SEP_LINE == ' '
+            if line:
+                line_confs.append(line_confidence(base_conf, st["widx"], len(line)))
+            if with_spans:
+                for wi, w in enumerate(line):
+                    if wi > 0:
+                        emit(" ")
+                    st["n_words"] += 1
+                    wb = bbox
+                    if bbox is not None:
+                        wb = {
+                            "left": bbox["left"] + char_w * (st["off"] - block_start),
+                            "top": bbox["top"],
+                            "width": char_w * len(w),
+                            "height": bbox["height"],
+                        }
+                    spans.append({
+                        "page_no": page_no, "block_no": path[0], "block_type": block_type,
+                        "elem_path": path, "depth": len(path) - 1,
+                        "para_no": path[-1], "line_no": li, "word_no": wi, "text": w,
+                        "char_start": st["off"], "char_end": st["off"] + len(w), "bbox": wb,
+                        "confidence": word_confidence(base_conf, st["widx"]), "row_no": None,
+                        "column_no": None, "table_no": None, "row_type": None, "extra": extra,
+                    })
+                    st["widx"] += 1
+                    emit(w)
+            else:
+                # hot path: no per-word Python beyond the emit
+                st["n_words"] += len(line)
+                st["widx"] += len(line)
+                emit(" ".join(line))
+        return _mean(line_confs)
+
+    def render_block(blk, path, page_no):
+        """Render one Block (possibly nested); returns its confidence
+        (mean over element confidences, recursively) or None."""
+        st["n_blocks"] += 1
+        extra = {"tag": blk.tag} if blk.tag else None
+        bbox = None
+        if blk.bbox is not None:
+            bbox = {"left": blk.bbox[0], "top": blk.bbox[1], "width": blk.bbox[2], "height": blk.bbox[3]}
+        # Word-level bboxes (P5/P9, ≈ tesseract_executor.py word
+        # boxes): derived from the block's cursor bbox with a uniform
+        # char width = block_width / emitted block chars — so word
+        # envelopes union back to the block box exactly
+        # (see operators/geometry.py).
+        block_start = st["off"]
+        char_w = None
+        if bbox is not None:
+            leaf = _dfs_paras(blk)
+            total_chars = sum(
+                sum(len(w) for w in para) + max(len(para) - 1, 0) for para in leaf
+            ) + max(len(leaf) - 1, 0)  # SEP_BLOCK between elements
+            char_w = bbox["width"] / total_chars if total_chars else 0.0
+        elem_confs: list[float] = []
+        for ei, (kind, payload) in enumerate(blk.iter_elements()):
+            if ei > 0:
+                emit(SEP_BLOCK)
+            if kind == "para":
+                c = render_para(payload, path + [ei], page_no, blk.block_type, bbox, char_w, block_start, extra)
+            elif kind == "block":
+                c = render_block(payload, path + [ei], page_no)
+            else:  # ("table", (rows, has_header))
+                rows, has_header = payload
+                c = render_table(rows, has_header, path + [ei], page_no, bbox, extra)
+                emit(table_markdown(rows, has_header))
+            if c is not None:
+                elem_confs.append(c)
+        return _mean(elem_confs)
+
     page_confs: list[float] = []
     for pi, blocks in enumerate(parsed.pages):
         if pi > 0:
@@ -128,108 +271,32 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
         for bi, blk in enumerate(blocks):
             if bi > 0:
                 emit(SEP_PAGE)
-            n_blocks += 1
-            bbox = None
-            if blk.bbox is not None:
-                bbox = {"left": blk.bbox[0], "top": blk.bbox[1], "width": blk.bbox[2], "height": blk.bbox[3]}
-            if blk.block_type == "TABLE":
-                n_tables += 1
-                tbl_start, tbl_words = widx, 0
-                for ri, row in enumerate(blk.rows):
-                    for ci, cell in enumerate(row):
-                        words = cell.split()
-                        if not words:
-                            # Empty cell: placeholder span so the
-                            # assemble cascade keeps the column and
-                            # sizes the '---' separator row from the
-                            # true header width (byte-identical
-                            # round-trip for <td></td>).
-                            words = [""]
-                        for wi, w in enumerate(words):
-                            wc = word_confidence(base_conf, widx) if w else None
-                            if w:
-                                n_words += 1
-                                widx += 1
-                                tbl_words += 1
-                            if with_spans:
-                                spans.append({
-                                    "page_no": pi + 1, "block_no": bi, "block_type": "TABLE",
-                                    "para_no": 0, "line_no": ri, "word_no": wi, "text": w,
-                                    "char_start": None, "char_end": None, "bbox": bbox,
-                                    "confidence": wc, "row_no": ri, "column_no": ci,
-                                    "table_no": n_tables - 1,
-                                })
-                if tbl_words:
-                    block_confs.append(line_confidence(base_conf, tbl_start, tbl_words))
-                emit(table_markdown(blk.rows))
-                continue
-            # Word-level bboxes (P5/P9, ≈ tesseract_executor.py word
-            # boxes): derived from the block's cursor bbox with a
-            # uniform char width = block_width / emitted block chars
-            # — so word envelopes union back to the block box exactly
-            # (see operators/geometry.py).
-            block_start = off
-            char_w = None
-            if bbox is not None:
-                total_chars = sum(
-                    sum(len(w) for w in para) + max(len(para) - 1, 0) for para in blk.paras
-                ) + max(len(blk.paras) - 1, 0)  # SEP_BLOCK between paras
-                char_w = bbox["width"] / total_chars if total_chars else 0.0
-            para_confs: list[float] = []
-            for qi, para in enumerate(blk.paras):
-                if qi > 0:
-                    emit(SEP_BLOCK)
-                lines = [para[i : i + LINE_WORDS] for i in range(0, len(para), LINE_WORDS)]
-                line_confs: list[float] = []
-                for li, line in enumerate(lines):
-                    if li > 0:
-                        emit(" ")  # SEP_PARAGRAPH == SEP_LINE == ' '
-                    if line:
-                        line_confs.append(line_confidence(base_conf, widx, len(line)))
-                    if with_spans:
-                        for wi, w in enumerate(line):
-                            if wi > 0:
-                                emit(" ")
-                            n_words += 1
-                            wb = bbox
-                            if bbox is not None:
-                                wb = {
-                                    "left": bbox["left"] + char_w * (off - block_start),
-                                    "top": bbox["top"],
-                                    "width": char_w * len(w),
-                                    "height": bbox["height"],
-                                }
-                            spans.append({
-                                "page_no": pi + 1, "block_no": bi, "block_type": blk.block_type,
-                                "para_no": qi, "line_no": li, "word_no": wi, "text": w,
-                                "char_start": off, "char_end": off + len(w), "bbox": wb,
-                                "confidence": word_confidence(base_conf, widx), "row_no": None,
-                                "column_no": None, "table_no": None,
-                            })
-                            widx += 1
-                            emit(w)
-                    else:
-                        # hot path: no per-word Python beyond the emit
-                        n_words += len(line)
-                        widx += len(line)
-                        emit(" ".join(line))
-                pc = _mean(line_confs)
-                if pc is not None:
-                    para_confs.append(pc)
-            bc = _mean(para_confs)
+            bc = render_block(blk, [bi], pi + 1)
             if bc is not None:
                 block_confs.append(bc)
         pagec = _mean(block_confs)
         if pagec is not None:
             page_confs.append(pagec)
+
+    pages_meta = None
+    if parsed.page_dims is not None:
+        pages_meta = [
+            {
+                "page_no": i + 1,
+                "width": d[0] if d else None,
+                "height": d[1] if d else None,
+            }
+            for i, d in enumerate(parsed.page_dims)
+        ]
     return {
         "doc_text": "".join(parts),
         "n_pages": len(parsed.pages),
-        "n_blocks": n_blocks,
-        "n_tables": n_tables,
-        "n_words": n_words,
+        "n_blocks": st["n_blocks"],
+        "n_tables": st["n_tables"],
+        "n_words": st["n_words"],
         "confidence": _mean(page_confs),
         "spans": spans if with_spans else None,
+        "pages_meta": pages_meta,
         "native_json": json.dumps(parsed.native, sort_keys=True) if parsed.native else None,
         "error": None,
     }

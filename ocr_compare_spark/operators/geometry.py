@@ -19,10 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 # grouping keys per level, coarsest last (each is a prefix of the
-# finer one, so cascaded calls stay exchange-free)
+# finer one, so cascaded calls stay exchange-free). Paragraph
+# identity is elem_path (nest-safe: (block_no, para_no) is NOT unique
+# under recursive blocks — see schema.py).
 LEVEL_KEYS: dict[str, list[str]] = {
-    "line": ["url", "engine", "page_no", "block_no", "para_no", "line_no"],
-    "para": ["url", "engine", "page_no", "block_no", "para_no"],
+    "line": ["url", "engine", "page_no", "block_no", "elem_path", "line_no"],
+    "para": ["url", "engine", "page_no", "block_no", "elem_path"],
     "block": ["url", "engine", "page_no", "block_no"],
 }
 

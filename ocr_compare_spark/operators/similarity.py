@@ -148,6 +148,13 @@ def train_centroids(
     partition/assignment step stays fully distributed."""
     rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
     mat = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
+    if len(mat) < n_centroids:
+        # an implicit short return would make a later ivf_topk probe
+        # fewer cells than the caller asked for — fail loudly instead
+        raise ValueError(
+            f"train_centroids: sample has {len(mat)} rows < n_centroids={n_centroids}; "
+            "lower n_centroids or raise sample"
+        )
     cents = mat[:n_centroids].copy()
     for _ in range(iters):
         assign = np.argmax(mat @ cents.T, axis=1)

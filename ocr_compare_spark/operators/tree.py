@@ -3,12 +3,18 @@ representation (a)).
 
 The reference's canonical result is a rooted ordered tree of
 dataclasses (/root/reference/src/ocrtool/canonical_ocr/
-ocr_schema.py:23-339) and its converters address nodes by slash
-paths (gdai_convert.py:87-98). Our workhorse is the flattened span
-table; this module recovers the nested ``document`` struct column —
-cascaded collect_list + array_sort, explicitly ordered by ordinals
-at every level (same byte-order guarantee as assemble.py) — and
-derives element_path strings natively.
+ocr_schema.py:23-339) — RECURSIVE: ``Block.elements`` may contain
+Blocks (ocr_schema.py:130-167). Catalyst struct types are finite, so
+a literally-recursive struct is unrepresentable; the Spark-idiomatic
+encoding is a PATH-INDEXED ADJACENCY LIST: each page holds a flat,
+lexicographically-ordered array of block structs keyed by
+``block_path`` (the element-ordinal path from the page root), with
+``depth`` and ``page_span`` alongside. Parents are prefixes of their
+children's paths — O(1) to derive, no recursion in the plan.
+
+Pages carry width/height (reference Page.width/height,
+ocr_schema.py:170-187) when a pages_meta table is supplied (PDF
+MediaBox dims; HTML pages have none).
 
 Scale shape: one repartition on (url, engine) up front, then every
 groupBy key is a superset prefix — the whole cascade is
@@ -21,61 +27,223 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def element_path() -> Column:
-    """Slash path of a word span (gdai_convert.py:87-98 style):
-    pages/{p}/blocks/{b}/paragraphs/{q}/lines/{l}/words/{w}
+    """Slash path of a word span (gdai_convert.py:87-98 style),
+    derived from ``elem_path`` so nested blocks render their full
+    ancestry:
+
+      text:  pages/{p}/blocks/{b0}[/blocks/{ei}...]/paragraphs/{pe}/lines/{l}/words/{w}
+      table: pages/{p}/blocks/{b0}[...]/tables/{te}/rows/{r}/cells/{c}/paras/{cp}/words/{w}
+
     (0-based indices, page_no is stored 1-based)."""
-    return F.concat_ws(
-        "/",
-        F.lit("pages"), (F.col("page_no") - 1).cast("string"),
-        F.lit("blocks"), F.col("block_no").cast("string"),
-        F.lit("paragraphs"), F.col("para_no").cast("string"),
-        F.lit("lines"), F.col("line_no").cast("string"),
-        F.lit("words"), F.col("word_no").cast("string"),
+    p = F.col("elem_path")
+    # '/blocks/e' for every path element except the last (the last is
+    # the paragraph/table element ordinal)
+    mid = F.aggregate(
+        F.slice(p, 1, F.size(p) - 1),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, F.lit("/blocks/"), x.cast("string")),
+    )
+    text_tail = F.concat(
+        F.lit("/paragraphs/"), F.element_at(p, -1).cast("string"),
+        F.lit("/lines/"), F.col("line_no").cast("string"),
+        F.lit("/words/"), F.col("word_no").cast("string"),
+    )
+    table_tail = F.concat(
+        F.lit("/tables/"), F.element_at(p, -1).cast("string"),
+        F.lit("/rows/"), F.col("row_no").cast("string"),
+        F.lit("/cells/"), F.col("column_no").cast("string"),
+        F.lit("/paras/"), F.col("para_no").cast("string"),
+        F.lit("/words/"), F.col("word_no").cast("string"),
+    )
+    return F.concat(
+        F.lit("pages/"), (F.col("page_no") - 1).cast("string"),
+        mid,
+        F.when(F.col("row_no").isNotNull(), table_tail).otherwise(text_tail),
     )
 
 
-def _nest(df: DataFrame, keys: list[str], ordinal: str, child: str, out: str) -> DataFrame:
-    """Collect child structs into an ordinal-sorted array per key."""
+def _nest(df: DataFrame, keys: list[str], ordinal, child: str, out: str) -> DataFrame:
+    """Collect child structs into an ordinal-sorted array per key.
+    ``ordinal`` may be a column name or a Column (e.g. an array path
+    — Spark orders arrays lexicographically, which IS DFS order)."""
+    o = F.col(ordinal) if isinstance(ordinal, str) else ordinal
     return df.groupBy(*keys).agg(
         F.transform(
             F.array_sort(
-                F.collect_list(F.struct(F.col(ordinal).alias("o"), F.col(child).alias("c")))
+                F.collect_list(F.struct(o.alias("o"), F.col(child).alias("c")))
             ),
             lambda x: x.c,
         ).alias(out)
     )
 
 
-def to_tree(spans: DataFrame) -> DataFrame:
-    """span rows -> (url, engine, document) where document is the
-    nested struct  pages: array<struct<page_no, blocks:
-    array<struct<block_no, block_type, paragraphs: array<struct<
-    para_no, lines: array<struct<line_no, words: array<struct<
-    word_no, text, confidence>>>>>>>>>.
+def explode_pages_meta(results: DataFrame) -> DataFrame:
+    """(url, engine, page_no, width, height) rows from the engine
+    results' pages_meta arrays (MediaBox dims for PDFs)."""
+    return results.select(
+        "url", "engine", F.explode("pages_meta").alias("m")
+    ).select("url", "engine", "m.page_no", "m.width", "m.height")
 
-    TABLE spans ride along with their ordinals (para_no=0,
-    line_no=row_no) — the tree is positional, block_type says how to
-    render it."""
+
+def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
+    """span rows -> (url, engine, document) where document is the
+    nested struct  pages: array<struct<page_no, width, height,
+    blocks: array<struct<block_path, block_no, depth, block_type,
+    page_span, paragraphs: array<struct<para_no, lines: array<
+    struct<line_no, words: array<struct<word_no, text,
+    confidence>>>>>, rows: array<struct<row_no, row_type, cells:
+    array<struct<column_no, text>>>>>>>>.
+
+    Blocks are the PATH-INDEXED ADJACENCY encoding of the recursive
+    reference tree (see module docstring): one entry per block with
+    direct content, ordered by block_path (lexicographic = DFS).
+    TABLE blocks carry their cell grid in ``rows`` (reference
+    Table/Row/Cell, ocr_schema.py:215-339; multi-paragraph cells
+    flatten with ' ' — word detail stays in the span table); a table
+    element always owns its block (build_block_tree wraps tables),
+    so block_type is constant per block entry. page_span (reference
+    Block.page_span, ocr_schema.py:136) is (page, page) here: batch
+    blocks never straddle pages; segment recombination renumbers
+    pages before the tree is built.
+
+    ONE linear cascade — no TEXT/TABLE branch over the span scan
+    (two filtered branches get divergent column pruning below the
+    repartition exchange and re-run extraction; the r2 assemble
+    lesson). Inapplicable ordinals are constants within each group,
+    so the groups are exactly the per-kind groups."""
     base = ["url", "engine"]
-    s = spans.repartition(*base).withColumn(
-        "word", F.struct(F.col("word_no"), F.col("text"), F.col("confidence"))
+    s = spans.repartition(*base)
+
+    # L1: word -> line (TEXT) / cell-paragraph run (TABLE)
+    l1 = s.groupBy(
+        *base, "page_no", "block_no", "block_type", "elem_path",
+        "para_no", "line_no", "row_no", "column_no", "row_type",
+    ).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("word_no").alias("o"), F.struct(
+                        F.col("word_no"), F.col("text"), F.col("confidence")
+                    ).alias("c"))
+                )
+            ),
+            lambda x: x.c,
+        ).alias("words")
     )
-    lines = _nest(
-        s, base + ["page_no", "block_no", "block_type", "para_no", "line_no"],
-        "word_no", "word", "words",
-    ).withColumn("line", F.struct(F.col("line_no"), F.col("words")))
-    paras = _nest(
-        lines, base + ["page_no", "block_no", "block_type", "para_no"],
-        "line_no", "line", "lines",
-    ).withColumn("para", F.struct(F.col("para_no"), F.col("lines")))
-    blocks = _nest(
-        paras, base + ["page_no", "block_no", "block_type"],
-        "para_no", "para", "paragraphs",
-    ).withColumn(
-        "block", F.struct(F.col("block_no"), F.col("block_type"), F.col("paragraphs"))
+
+    # L2: merge a cell's paragraph runs (TABLE; ' '-flattened) — a
+    # no-op regroup for TEXT (para_no is constant per elem_path).
+    l2 = l1.groupBy(
+        *base, "page_no", "block_no", "block_type", "elem_path", "line_no", "row_no", "column_no", "row_type"
+    ).agg(
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("para_no").alias("o"), F.col("words").alias("c")))),
+                    lambda x: F.transform(x.c, lambda w: w.text),
+                )
+            ),
+        ).alias("cell_text"),
+        F.element_at(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("para_no").alias("o"), F.col("words").alias("c")))),
+                lambda x: x.c,
+            ),
+            1,
+        ).alias("words"),
     )
-    pages = _nest(blocks, base + ["page_no"], "block_no", "block", "blocks").withColumn(
-        "page", F.struct(F.col("page_no"), F.col("blocks"))
+
+    # L3: cells -> row (TABLE) / line passthrough (TEXT)
+    l3 = l2.groupBy(
+        *base, "page_no", "block_no", "block_type", "elem_path", "line_no", "row_no", "row_type"
+    ).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.coalesce("column_no", F.lit(0)).alias("o"),
+                                        F.struct(F.col("column_no"), F.col("cell_text").alias("text")).alias("c")))
+            ),
+            lambda x: x.c,
+        ).alias("cells"),
+        F.element_at(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.coalesce("column_no", F.lit(0)).alias("o"), F.col("words").alias("c")))),
+                lambda x: x.c,
+            ),
+            1,
+        ).alias("words"),
+    )
+
+    # L4: element level — paragraph struct (TEXT) or rows array (TABLE)
+    is_table = F.col("row_no").isNotNull()
+    l4 = l3.groupBy(*base, "page_no", "block_no", "block_type", "elem_path").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(~is_table, F.struct(F.col("line_no").alias("o"),
+                                               F.struct(F.col("line_no"), F.col("words")).alias("c")))
+                )
+            ),
+            lambda x: x.c,
+        ).alias("lines"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(is_table, F.struct(F.col("row_no").alias("o"),
+                                              F.struct(F.col("row_no"), F.col("row_type"), F.col("cells")).alias("c")))
+                )
+            ),
+            lambda x: x.c,
+        ).alias("trows"),
+    )
+
+    # L5: elements -> block (paragraphs ordered by element ordinal;
+    # tables own their blocks, so `rows` is the solo table's grid)
+    elem_ord = F.element_at("elem_path", -1)
+    block_path = F.slice(F.col("elem_path"), 1, F.size("elem_path") - 1)
+    l5 = l4.withColumn("block_path", block_path).groupBy(
+        *base, "page_no", "block_no", "block_type", "block_path"
+    ).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.size("trows") == 0,
+                           F.struct(elem_ord.alias("o"),
+                                    F.struct(elem_ord.alias("para_no"), F.col("lines")).alias("c")))
+                )
+            ),
+            lambda x: x.c,
+        ).alias("paragraphs"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(F.size("trows") > 0, F.struct(elem_ord.alias("o"), F.col("trows").alias("c"))))),
+                lambda x: x.c,
+            )
+        ).alias("rows"),
+    )
+    blocks = l5.withColumn(
+        "block",
+        F.struct(
+            F.col("block_path"),
+            F.col("block_no"),
+            F.size("block_path").alias("depth"),
+            F.col("block_type"),
+            F.struct(
+                F.col("page_no").alias("first"), F.col("page_no").alias("last")
+            ).alias("page_span"),
+            F.col("paragraphs"),
+            F.col("rows"),
+        ),
+    )
+    pages = _nest(blocks, base + ["page_no"], F.col("block_path"), "block", "blocks")
+    if pages_meta is not None:
+        pages = pages.join(pages_meta, base + ["page_no"], "left")
+    else:
+        pages = pages.withColumn("width", F.lit(None).cast("double")).withColumn(
+            "height", F.lit(None).cast("double")
+        )
+    pages = pages.withColumn(
+        "page", F.struct(F.col("page_no"), F.col("width"), F.col("height"), F.col("blocks"))
     )
     docs = _nest(pages, base, "page_no", "page", "pages")
     return docs.select(*base, F.struct(F.col("pages")).alias("document"))
@@ -84,7 +252,11 @@ def to_tree(spans: DataFrame) -> DataFrame:
 def tree_stats(tree: DataFrame) -> DataFrame:
     """Per-document node counts computed FROM the nested struct
     (proving the tree, not the span table): folds over the nested
-    arrays, all native."""
+    arrays, all native. n_blocks counts every block entry including
+    nested ones; max_depth proves the recursion survived the
+    round-trip. n_paras/n_lines count TEXT structure; n_words also
+    counts table cell words (word total matches doc_to_result);
+    n_tables counts TABLE blocks."""
     pages = F.col("document.pages")
 
     def sum_over(arr: Column, f) -> Column:
@@ -98,13 +270,29 @@ def tree_stats(tree: DataFrame) -> DataFrame:
             p.blocks, lambda b: sum_over(b.paragraphs, lambda q: F.size(q.lines))
         ),
     )
+
+    def cell_words(c: Column) -> Column:
+        return F.when(c.text == "", F.lit(0)).otherwise(F.size(F.split(c.text, " ")))
+
     n_words = sum_over(
         pages,
         lambda p: sum_over(
             p.blocks,
             lambda b: sum_over(
                 b.paragraphs, lambda q: sum_over(q.lines, lambda l: F.size(l.words))
-            ),
+            )
+            + sum_over(b.rows, lambda r: sum_over(r.cells, cell_words)),
+        ),
+    )
+    n_tables = sum_over(
+        pages,
+        lambda p: sum_over(p.blocks, lambda b: F.when(F.size(b.rows) > 0, 1).otherwise(0)),
+    )
+    max_depth = F.aggregate(
+        pages,
+        F.lit(0),
+        lambda acc, p: F.greatest(
+            acc, F.aggregate(p.blocks, F.lit(0), lambda a2, b: F.greatest(a2, b.depth))
         ),
     )
     return tree.select(
@@ -115,40 +303,99 @@ def tree_stats(tree: DataFrame) -> DataFrame:
         n_paras.cast("long").alias("n_paras"),
         n_lines.cast("long").alias("n_lines"),
         n_words.cast("long").alias("n_words"),
+        n_tables.cast("long").alias("n_tables"),
+        max_depth.cast("long").alias("max_depth"),
     )
 
 
 def tree_to_text(tree: DataFrame) -> DataFrame:
     """Rebuild doc_text from the NESTED struct with the reference
     separators (ocr_schema.py:85-198) — the byte-identical proof that
-    the tree is a faithful representation. TEXT trees only: table
-    cell structure (row_no/column_no) is not positional, so TABLE
-    blocks render via the span-table path (assemble.py) instead."""
-    doc = F.array_join(
+    the tree is a faithful representation, TABLE blocks included
+    (markdown from the tree's rows/cells with the Optional-header
+    rule).
+
+    Nested blocks: consecutive block entries sharing a top-level
+    ordinal join with the block separator '\\n' (the recursive
+    '\\n'-join collapses — every adjacent leaf pair within one top
+    block is separated by exactly one '\\n'); entries from different
+    top blocks join with the page separator '\\n\\n'."""
+    para_text = lambda q: F.array_join(  # noqa: E731
         F.transform(
-            F.col("document.pages"),
-            lambda p: F.array_join(
-                F.transform(
-                    p.blocks,
-                    lambda b: F.array_join(
-                        F.transform(
-                            b.paragraphs,
-                            lambda q: F.array_join(
-                                F.transform(
-                                    q.lines,
-                                    lambda l: F.array_join(
-                                        F.transform(l.words, lambda w: w.text), " "
-                                    ),
-                                ),
-                                " ",
-                            ),
-                        ),
-                        "\n",
-                    ),
-                ),
-                "\n\n",
-            ),
+            q.lines,
+            lambda l: F.array_join(F.transform(l.words, lambda w: w.text), " "),
         ),
+        " ",
+    )
+
+    def table_text(b: Column) -> Column:
+        row_md = lambda r: F.concat(  # noqa: E731
+            F.lit("| "),
+            F.array_join(F.transform(r.cells, lambda c: c.text), " | "),
+            F.lit(" |"),
+        )
+        sep_row = F.concat(
+            F.lit("| "),
+            F.array_join(
+                F.transform(F.element_at(b.rows, 1).cells, lambda _: F.lit("---")), " | "
+            ),
+            F.lit(" |"),
+        )
+        all_rows = F.transform(b.rows, row_md)
+        return F.when(
+            F.element_at(b.rows, 1).row_type == "HEADER",
+            F.array_join(
+                F.concat(
+                    F.array(F.element_at(all_rows, 1), sep_row),
+                    F.slice(all_rows, 2, F.greatest(F.size(all_rows) - 1, F.lit(0))),
+                ),
+                "\n",
+            ),
+        ).otherwise(F.array_join(all_rows, "\n"))
+
+    def page_text(p: Column) -> Column:
+        # A block's own paragraphs INTERLEAVE with its child blocks
+        # (Block.elements is one ordered list), so adjacency entries
+        # are not contiguous DFS segments. Flatten to leaf units
+        # keyed by their FULL element path (block_path ++ [para_no];
+        # a table renders as one unit at its block_path), sort
+        # lexicographically (= DFS order), then join.
+        units = F.flatten(
+            F.transform(
+                p.blocks,
+                lambda b: F.when(
+                    F.size(b.rows) > 0,
+                    F.array(F.struct(b.block_path.alias("path"), table_text(b).alias("text"))),
+                ).otherwise(
+                    F.transform(
+                        b.paragraphs,
+                        lambda q: F.struct(
+                            F.concat(b.block_path, F.array(q.para_no)).alias("path"),
+                            para_text(q).alias("text"),
+                        ),
+                    )
+                ),
+            )
+        )
+        folded = F.aggregate(
+            F.array_sort(units),
+            F.struct(F.lit("").alias("txt"), F.lit(-1).alias("top"), F.lit(True).alias("first")),
+            lambda acc, u: F.struct(
+                F.concat(
+                    acc.txt,
+                    F.when(acc.first, F.lit(""))
+                    .when(F.element_at(u.path, 1) == acc.top, F.lit("\n"))
+                    .otherwise(F.lit("\n\n")),
+                    u.text,
+                ).alias("txt"),
+                F.element_at(u.path, 1).alias("top"),
+                F.lit(False).alias("first"),
+            ),
+        )
+        return folded.txt
+
+    doc = F.array_join(
+        F.transform(F.col("document.pages"), page_text),
         "\n=====\n",
     )
     return tree.select("url", "engine", doc.alias("doc_text"))

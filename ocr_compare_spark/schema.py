@@ -56,10 +56,23 @@ BBOX_TYPE = T.StructType(
 # One row per word-leaf (FIXTURES.md section 2). `element_path`
 # (reference gdai_convert.py:87-98) is derivable from the ordinals —
 # compute with concat_ws('/') when needed, never stored.
+#
+# Recursion (reference Block.elements: List[Table|Paragraph|Block],
+# ocr_schema.py:130-167) is encoded by `elem_path`: the element-
+# ordinal path [top_block_no, e1, ..., para_elem] from the page down
+# to the word's paragraph, one entry per nesting level. A flat span
+# has elem_path = [block_no, para_no]. Because the block separator
+# is '\n' at EVERY level (ocr_schema.py:147), rendering a top-level
+# block is a flat '\n'-join of its paragraphs in LEXICOGRAPHIC
+# elem_path order — recursion costs nothing in the Spark plan.
+# `block_no` stays = elem_path[0] and `para_no` = elem_path[-1] for
+# back-compat; `depth` = number of block ancestors (flat: 1).
 SPAN_FIELDS = [
     T.StructField("page_no", T.IntegerType(), False),
     T.StructField("block_no", T.IntegerType(), False),
     T.StructField("block_type", T.StringType(), False),
+    T.StructField("elem_path", T.ArrayType(T.IntegerType(), False), False),
+    T.StructField("depth", T.IntegerType(), False),
     T.StructField("para_no", T.IntegerType(), False),
     T.StructField("line_no", T.IntegerType(), False),
     T.StructField("word_no", T.IntegerType(), False),
@@ -71,8 +84,25 @@ SPAN_FIELDS = [
     T.StructField("row_no", T.IntegerType(), True),
     T.StructField("column_no", T.IntegerType(), True),
     T.StructField("table_no", T.IntegerType(), True),
+    # HEADER/BODY for table spans (reference HeaderRow/BodyRow,
+    # ocr_schema.py:280-339), NULL for text spans
+    T.StructField("row_type", T.StringType(), True),
+    # `extra` property bag (reference Properties, ocr_schema.py:18,27)
+    T.StructField("extra", T.MapType(T.StringType(), T.StringType()), True),
 ]
 SPAN_TYPE = T.StructType(SPAN_FIELDS)
+
+# Per-page metadata (reference Page.width/height, ocr_schema.py:
+# 170-187): PDF dims parsed from MediaBox; HTML pages have none.
+PAGE_META_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("page_no", T.IntegerType(), False),
+            T.StructField("width", T.DoubleType(), True),
+            T.StructField("height", T.DoubleType(), True),
+        ]
+    )
+)
 
 # Engine output: one struct per document. `doc_text` is the
 # assembled text (fast path); `spans` is the canonical flattened
@@ -88,6 +118,7 @@ EXTRACT_RESULT_TYPE = T.StructType(
         T.StructField("n_words", T.IntegerType(), True),
         T.StructField("confidence", T.DoubleType(), True),
         T.StructField("spans", T.ArrayType(SPAN_TYPE), True),
+        T.StructField("pages_meta", PAGE_META_TYPE, True),
         T.StructField("native_json", T.StringType(), True),
         T.StructField("error", T.StringType(), True),
     ]

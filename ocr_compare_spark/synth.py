@@ -48,6 +48,28 @@ PROMO_TEXT = "promo offer click now"
 EPOCH_2025 = 1735689600  # 2025-01-01T00:00:00Z
 TS_SPAN_MIN = 4320  # warc_ts spread over 3 synthetic crawl days
 
+# Recursive layout (reference ocr_schema.py:130-167 Block.elements is
+# List[Table|Paragraph|Block]): docs with doc_id % 10 == NEST_MOD_REM
+# and >= NEST_MIN_PARAS paragraphs wrap paragraphs 1 and 2 in
+# <section><p>p1</p><blockquote><p>p2</p></blockquote></section> —
+# a depth-2 block-in-block. Because the block separator is '\n' at
+# EVERY nesting level (ocr_schema.py:147), the only byte-level effect
+# on dom text is that p1 and p2 join with '\n' instead of the
+# page-level '\n\n'. The density engine flattens structure (it is a
+# boilerplate stripper, like trafilatura's flat text output), so its
+# text is unchanged.
+NEST_MOD_REM = 2  # doc_id % 10 == 2 -> nested (disjoint from PDF_MOD)
+NEST_MIN_PARAS = 3
+
+# Tables (reference ocr_schema.py:215-339): docs with doc_id % 10 ==
+# TABLE_MOD_REM and >= 4 tokens get a trailing 2x2 <table> whose
+# cells are the doc's first four tokens. Header row uses <th>
+# (detected, not assumed); docs with doc_id % 20 == HEADERLESS_REM
+# omit the header row entirely (Table.header is Optional).
+TABLE_MOD_REM = 4  # doc_id % 10 == 4 -> has table
+HEADERLESS_REM = 14  # doc_id % 20 == 14 -> that table has no header row
+TABLE_HEADER = ("k", "v")
+
 
 def chunk(seq: list, n: int) -> list[list]:
     return [seq[i : i + n] for i in range(0, len(seq), n)]
@@ -77,13 +99,55 @@ def is_pdf_doc(doc_id: int) -> bool:
     return doc_id % 10 == PDF_MOD
 
 
+def is_nested_doc(doc_id: int, text: str) -> bool:
+    return doc_id % 10 == NEST_MOD_REM and len(paragraphs_of(text)) >= NEST_MIN_PARAS
+
+
+def has_table_doc(doc_id: int, text: str) -> bool:
+    return doc_id % 10 == TABLE_MOD_REM and len(tokens_of(text)) >= 4
+
+
+def table_has_header(doc_id: int) -> bool:
+    return doc_id % 20 != HEADERLESS_REM
+
+
+def table_rows_of(doc_id: int, text: str) -> list[list[str]]:
+    """Closed-form table content: optional header + first four tokens
+    as a 2x2 body."""
+    t = tokens_of(text)
+    body = [[t[0], t[1]], [t[2], t[3]]]
+    return ([list(TABLE_HEADER)] if table_has_header(doc_id) else []) + body
+
+
 # ---------------------------------------------------------------- HTML
 
 
 def build_html(doc_id: int, text: str) -> bytes:
-    """Boilerplate-wrapped page; main content = paragraphs of `text`."""
+    """Boilerplate-wrapped page; main content = paragraphs of `text`.
+
+    Nested docs wrap paragraphs 1-2 in section/blockquote (block
+    recursion); table docs append a trailing 2x2 table (header via
+    <th>, omitted entirely for headerless docs)."""
     paras = paragraphs_of(text)
-    body = "\n".join(f"<p>{p}</p>" for p in paras)
+    if is_nested_doc(doc_id, text):
+        parts = [f"<p>{paras[0]}</p>"]
+        parts.append(
+            f"<section><p>{paras[1]}</p>"
+            f"<blockquote><p>{paras[2]}</p></blockquote></section>"
+        )
+        parts.extend(f"<p>{p}</p>" for p in paras[3:])
+        body = "\n".join(parts)
+    else:
+        body = "\n".join(f"<p>{p}</p>" for p in paras)
+    if has_table_doc(doc_id, text):
+        t = tokens_of(text)
+        tbl = ["<table>"]
+        if table_has_header(doc_id):
+            tbl.append("<tr>" + "".join(f"<th>{h}</th>" for h in TABLE_HEADER) + "</tr>")
+        tbl.append(f"<tr><td>{t[0]}</td><td>{t[1]}</td></tr>")
+        tbl.append(f"<tr><td>{t[2]}</td><td>{t[3]}</td></tr>")
+        tbl.append("</table>")
+        body += "\n" + "".join(tbl)
     promo_words = PROMO_TEXT.split(" ")
     promo = (
         f'<div class="promo"><a href="/buy"><b>{promo_words[0]}</b> '
@@ -179,22 +243,51 @@ def build_pdf(doc_id: int, text: str) -> bytes:
 DENSITY_MIN_TOKENS = 3  # engines/density.py MIN_TOKENS — keep in sync
 
 
-def expected_density_text(text: str) -> str:
+def expected_table_markdown(doc_id: int, text: str) -> str:
+    """Markdown-lite render of the synthetic table (matches
+    operators.extract.table_markdown: '---' separator row only when a
+    header row is present)."""
+    rows = table_rows_of(doc_id, text)
+    out = []
+    if table_has_header(doc_id):
+        out.append("| " + " | ".join(rows[0]) + " |")
+        out.append("| " + " | ".join("---" for _ in rows[0]) + " |")
+        rows = rows[1:]
+    for r in rows:
+        out.append("| " + " | ".join(r) + " |")
+    return "\n".join(out)
+
+
+def expected_density_text(text: str, doc_id: int | None = None) -> str:
     """Density engine keeps only the main paragraphs (single page,
     blocks joined by the page-level '\\n\\n' separator); a trailing
     chunk shorter than DENSITY_MIN_TOKENS is dropped by the
-    minimum-length rule."""
+    minimum-length rule. Structure is flattened (nested sections do
+    NOT change density output); tables are kept as trailing blocks."""
     paras = [p for p in paragraphs_of(text) if len(p.split(" ")) >= DENSITY_MIN_TOKENS]
+    if doc_id is not None and has_table_doc(doc_id, text):
+        paras = paras + [expected_table_markdown(doc_id, text)]
     return "\n\n".join(paras)
 
 
-def expected_dom_text(text: str) -> str:
-    """DOM engine keeps promo + paragraphs (boilerplate stripped)."""
-    return "\n\n".join([PROMO_TEXT] + paragraphs_of(text))
+def expected_dom_text(text: str, doc_id: int | None = None) -> str:
+    """DOM engine keeps promo + paragraphs (boilerplate stripped).
+    Nested docs: paragraphs 1-2 merge into one section block (joined
+    by the block-level '\\n'); table docs append the markdown table
+    block."""
+    paras = paragraphs_of(text)
+    if doc_id is not None and is_nested_doc(doc_id, text):
+        paras = [paras[0], paras[1] + "\n" + paras[2]] + paras[3:]
+    blocks = [PROMO_TEXT] + paras
+    if doc_id is not None and has_table_doc(doc_id, text):
+        blocks.append(expected_table_markdown(doc_id, text))
+    return "\n\n".join(blocks)
 
 
-def expected_pdf_text(text: str) -> str:
-    """PDF engine: pages joined by '\\n=====\\n', blocks by '\\n\\n'."""
+def expected_pdf_text(text: str, doc_id: int | None = None) -> str:
+    """PDF engine: pages joined by '\\n=====\\n', blocks by '\\n\\n'.
+    (doc_id accepted for signature symmetry; PDFs never nest or
+    carry tables in the synthetic corpus.)"""
     paras = paragraphs_of(text)
     pages = chunk(paras, PAGE_PARAS) or [[]]
     return "\n=====\n".join("\n\n".join(p) for p in pages)
@@ -266,3 +359,9 @@ SQL_URL = (
     "'/doc/', CAST(doc_id AS VARCHAR))"
 )
 SQL_IS_PDF = f"(doc_id % 10 = {PDF_MOD})"
+# These two assume a `t` column holding string_split(text, ' ').
+SQL_IS_NESTED = (
+    f"(doc_id % 10 = {NEST_MOD_REM} AND ceil(len(t)/{PARA_WORDS}.0) >= {NEST_MIN_PARAS})"
+)
+SQL_HAS_TABLE = f"(doc_id % 10 = {TABLE_MOD_REM} AND len(t) >= 4)"
+SQL_TABLE_HEADER = f"(doc_id % 20 != {HEADERLESS_REM})"

@@ -244,3 +244,43 @@ def test_brute_force_topk_df_overload(vectors):
             similarity.brute_force_topk_df(df, df, k=3)
     finally:
         similarity.MAX_DRIVER_QUERIES = old
+
+
+def test_auto_sign_bits_bounds_block_size(spark):
+    """The r2 scale-safety gap: fixed sign_bits=4 means n^2/16
+    candidate pairs at corpus scale. auto_sign_bits must widen with
+    n so the expected block size stays <= target, and the operator's
+    auto path must produce blocks bounded accordingly on a planted
+    corpus with a HOT orthant (half the mass in one 4-bit block)."""
+    # sizing rule: expected block size n/2^bits <= target
+    for n, target in [(10_000, 64), (1_000_000, 1024), (10**9, 1024)]:
+        bits = dedup.auto_sign_bits(n, dim=64, target_block_size=target)
+        assert n / (1 << bits) <= target
+    assert dedup.auto_sign_bits(100, dim=64) == 4  # floor
+    assert dedup.auto_sign_bits(10**12, dim=8) == 8  # dim cap
+
+    rng = np.random.default_rng(11)
+    n, dim = 800, 16
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    mat[: n // 2, :4] = np.abs(mat[: n // 2, :4])  # hot 4-bit orthant
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bits = dedup.auto_sign_bits(n, dim, target_block_size=32)
+    assert bits > 4  # the fixed-4 default would have kept the hot block whole
+    blocks = ((mat[:, :bits] > 0) * (1 << np.arange(bits))).sum(axis=1)
+    _, counts = np.unique(blocks, return_counts=True)
+    blocks4 = ((mat[:, :4] > 0) * (1 << np.arange(4))).sum(axis=1)
+    _, counts4 = np.unique(blocks4, return_counts=True)
+    # widened blocking split the hot orthant (each extra bit roughly
+    # halves it; fixed-4 keeps all ~n/2 hot rows in one block)
+    assert counts.max() < 0.75 * counts4.max()
+    # end-to-end through the operator's auto path
+    got = dedup.embed_near_dups(df, threshold=0.99, target_block_size=32)
+    assert got.columns == ["id_a", "id_b", "sim"]
+    got.count()
+
+
+def test_train_centroids_short_sample_raises(vectors):
+    df, _ = vectors
+    with pytest.raises(ValueError, match="n_centroids"):
+        similarity.train_centroids(df.limit(3), n_centroids=8, id_col="vec_id")

@@ -29,8 +29,8 @@ def test_boilerplate_stripped():
     h = synth.build_html(4, TEXT_120)
     dom = doc_to_result(parse_dom(h), 0.9)
     den = doc_to_result(parse_density(h), 0.95)
-    assert dom["doc_text"] == synth.expected_dom_text(TEXT_120)
-    assert den["doc_text"] == synth.expected_density_text(TEXT_120)
+    assert dom["doc_text"] == synth.expected_dom_text(TEXT_120, 4)
+    assert den["doc_text"] == synth.expected_density_text(TEXT_120, 4)
     # chrome words never leak into either engine's output
     for banned in ("Home", "About", "Copyright", "Related"):
         assert banned not in dom["doc_text"]

@@ -1,0 +1,174 @@
+"""Recursive blocks, cell content and headerless tables (reference
+ocr_schema.py:130-167 Block.elements, 215-238 Cell.blocks, 280-339
+Optional Table.header)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_compare_spark import synth
+from ocr_compare_spark.engines.density import parse_density
+from ocr_compare_spark.engines.dom_heuristic import parse_dom
+from ocr_compare_spark.operators.extract import doc_to_result, run_engines, spans_table
+
+NESTED_HTML = b"""<html><body>
+<p>alpha one</p>
+<section><p>beta two</p>
+<h2>gamma head</h2>
+<blockquote><p>delta three</p></blockquote>
+<p>eps four</p></section>
+<p>zeta five</p>
+</body></html>"""
+
+# section elements: [beta-para(0), h2-block(1), blockquote-block(2),
+# eps-para(3)]; every nesting level joins with '\n', so the section
+# renders flat-joined in DFS order.
+NESTED_EXPECTED = (
+    "alpha one\n\nbeta two\ngamma head\ndelta three\neps four\n\nzeta five"
+)
+
+
+def test_nested_sections_render_and_paths():
+    r = doc_to_result(parse_dom(NESTED_HTML), 0.9)
+    assert r["doc_text"] == NESTED_EXPECTED
+    # blocks: p(alpha), section, h2, blockquote, p(zeta) = 5
+    assert r["n_blocks"] == 5
+    by_word = {s["text"]: s for s in r["spans"]}
+    assert by_word["alpha"]["elem_path"] == [0, 0] and by_word["alpha"]["depth"] == 1
+    assert by_word["beta"]["elem_path"] == [1, 0] and by_word["beta"]["depth"] == 1
+    assert by_word["gamma"]["elem_path"] == [1, 1, 0] and by_word["gamma"]["depth"] == 2
+    assert by_word["gamma"]["block_type"] == "HEADING"
+    assert by_word["delta"]["elem_path"] == [1, 2, 0] and by_word["delta"]["depth"] == 2
+    assert by_word["eps"]["elem_path"] == [1, 3]
+    assert by_word["zeta"]["elem_path"] == [2, 0]
+    # char anchors hold through nesting
+    for s in r["spans"]:
+        assert r["doc_text"][s["char_start"] : s["char_end"]] == s["text"]
+
+
+def test_nested_confidence_is_recursive_mean():
+    """Block conf = mean over elements, recursively — NOT a flat word
+    mean (tesseract_executor.py:210-325)."""
+    from ocr_compare_spark.operators.extract import line_confidence
+
+    r = doc_to_result(parse_dom(NESTED_HTML), 0.9)
+    # words in order: alpha one | beta two | gamma head | delta three
+    # | eps four | zeta five — each para is one 2-word line
+    lc = [line_confidence(0.9, i * 2, 2) for i in range(6)]
+    h2 = lc[2]          # heading block = its single para
+    bq = lc[3]          # blockquote = its single para
+    section = sum([lc[1], h2, bq, lc[4]]) / 4  # mean over 4 elements
+    page = sum([lc[0], section, lc[5]]) / 3
+    assert r["confidence"] == page
+
+
+def test_density_flattens_nesting():
+    r = doc_to_result(parse_density(NESTED_HTML), 0.95)
+    # density keeps blocks flat: every kept block is top-level, text
+    # joins all with '\n\n' (heading exempt from min-length rule)
+    assert r["doc_text"].count("\n\n") == r["n_blocks"] - 1
+    assert all(s["depth"] == 1 for s in r["spans"])
+
+
+CELL_HTML = b"""<html><body><table>
+<tr><th>h one</th><th>h two</th></tr>
+<tr><td><p>first para</p><p>second para</p></td><td>plain</td></tr>
+</table></body></html>"""
+
+
+def test_cell_paragraph_runs():
+    """<p> inside <td> = Cell.blocks (ocr_schema.py:215-238): runs
+    keep their own para_no in the spans, markdown flattens with ' '."""
+    r = doc_to_result(parse_dom(CELL_HTML), 0.9)
+    assert r["doc_text"] == (
+        "| h one | h two |\n| --- | --- |\n| first para second para | plain |"
+    )
+    cell = [s for s in r["spans"] if s["row_no"] == 1 and s["column_no"] == 0]
+    assert [(s["para_no"], s["word_no"], s["text"]) for s in cell] == [
+        (0, 0, "first"), (0, 1, "para"), (1, 0, "second"), (1, 1, "para"),
+    ]
+    assert {s["row_type"] for s in r["spans"] if s["row_no"] == 0} == {"HEADER"}
+    assert {s["row_type"] for s in r["spans"] if s["row_no"] == 1} == {"BODY"}
+
+
+HEADERLESS_HTML = b"""<html><body><table>
+<tr><td>a1</td><td>a2</td></tr>
+<tr><td>b1</td><td>b2</td></tr>
+</table></body></html>"""
+
+
+def test_headerless_table_renders_all_body():
+    """No <th> in row 0 -> Table.header is None: no '---' separator
+    row, every row is BODY."""
+    r = doc_to_result(parse_dom(HEADERLESS_HTML), 0.9)
+    assert r["doc_text"] == "| a1 | a2 |\n| b1 | b2 |"
+    assert {s["row_type"] for s in r["spans"]} == {"BODY"}
+
+
+@pytest.fixture(scope="module")
+def nested_pages(spark):
+    rows = [
+        (synth.url_of(1), None, NESTED_HTML, None, "en"),
+        (synth.url_of(3), None, CELL_HTML, None, "en"),
+        (synth.url_of(5), None, HEADERLESS_HTML, None, "en"),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def test_assemble_roundtrip_nested_and_tables(spark, nested_pages):
+    """The merged cascade must rebuild nested + table + headerless
+    docs byte-identically from spans."""
+    from ocr_compare_spark.operators.assemble import assemble_doc_text
+
+    res = run_engines(nested_pages, engines=("dom",))
+    asm = assemble_doc_text(spans_table(res))
+    joined = asm.join(
+        res.select("url", "engine", F.col("doc_text").alias("fast")), ["url", "engine"]
+    )
+    assert joined.count() == 3
+    assert joined.filter(F.col("doc_text") != F.col("fast")).count() == 0
+
+
+def test_tree_roundtrip_nested_and_tables(spark, nested_pages):
+    """The path-indexed adjacency tree must rebuild the same bytes
+    and report the recursion depth."""
+    from ocr_compare_spark.operators.tree import to_tree, tree_stats, tree_to_text
+
+    res = run_engines(nested_pages, engines=("dom",))
+    tree = to_tree(spans_table(res))
+    rebuilt = tree_to_text(tree)
+    joined = rebuilt.join(
+        res.select("url", "engine", F.col("doc_text").alias("fast")), ["url", "engine"]
+    )
+    assert joined.filter(F.col("doc_text") != F.col("fast")).count() == 0
+    stats = {r.url: r for r in tree_stats(tree).collect()}
+    assert stats[synth.url_of(1)].max_depth == 2
+    assert stats[synth.url_of(3)].n_tables == 1
+    # 'h one'+'h two' (4) + 'first para'+'second para' (4) + 'plain'
+    assert stats[synth.url_of(3)].n_words == 9
+
+
+def test_table_tsv_matches_python_renderer(spark, nested_pages):
+    from ocr_compare_spark.operators.assemble import assemble_table_tsv
+    from ocr_compare_spark.operators.extract import table_raw_text
+
+    res = run_engines(nested_pages, engines=("dom",))
+    got = {r.url: r.raw_text for r in assemble_table_tsv(spans_table(res)).collect()}
+    assert got[synth.url_of(3)] == table_raw_text(
+        [["h one", "h two"], ["first para\nsecond para", "plain"]]
+    )
+    assert got[synth.url_of(5)] == table_raw_text([["a1", "a2"], ["b1", "b2"]])
+
+
+def test_page_dims_parsed_from_mediabox():
+    from ocr_compare_spark.engines.pdf_stream import parse_pdf
+
+    pdf = synth.build_pdf(7, " ".join(f"w{i}" for i in range(200)))
+    r = parse_pdf(pdf)
+    assert r.page_dims and all(d == (612.0, 792.0) for d in r.page_dims)
+    out = doc_to_result(r, 0.85)
+    assert out["pages_meta"][0] == {"page_no": 1, "width": 612.0, "height": 792.0}
+    assert len(out["pages_meta"]) == out["n_pages"]

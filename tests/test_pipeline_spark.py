@@ -43,7 +43,7 @@ def test_byte_identical_extraction(results, sf_dir):
     assert rows
     for r in rows:
         did = int(r.url.rsplit("/", 1)[1])
-        assert r.doc_text == exp_fn[r.engine](golden[did]), (r.url, r.engine)
+        assert r.doc_text == exp_fn[r.engine](golden[did], did), (r.url, r.engine)
 
 
 def test_assembly_equals_fast_path(results):

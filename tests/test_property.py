@@ -31,9 +31,9 @@ def test_html_roundtrip_any_token_text(tokens):
     text = " ".join(tokens)
     h = synth.build_html(12, text)
     r = doc_to_result(parse_dom(h), 0.9)
-    assert r["doc_text"] == synth.expected_dom_text(text)
+    assert r["doc_text"] == synth.expected_dom_text(text, 12)
     rd = doc_to_result(parse_density(h), 0.95)
-    assert rd["doc_text"] == synth.expected_density_text(text)
+    assert rd["doc_text"] == synth.expected_density_text(text, 12)
     for s in r["spans"]:
         assert r["doc_text"][s["char_start"] : s["char_end"]] == s["text"]
 

@@ -56,4 +56,4 @@ def test_report_sample_truncation(spark):
     r = json.loads(report_rows(res, cmp_df).first().report)
     sample = r["text_samples"]["dom"]
     assert len(sample) == 1003 and sample.endswith("...")
-    assert r["comparison"]["text_extraction"]["dom"] == synth.expected_dom_text(long_text)
+    assert r["comparison"]["text_extraction"]["dom"] == synth.expected_dom_text(long_text, 4)

@@ -551,12 +551,17 @@ def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embed_ivf_oracle(n_centroids: int = 16, dim: int = 64, nprobe: int = 4, k: int = 3) -> str:
+def _embed_ivf_oracle(
+    n_centroids: int = 16, dim: int = 64, nprobe: int = 4, k: int = 3, cents=None
+) -> str:
     """SQL twin of q_embed_topk_ivf: centroid literals + the same
     left-to-right fold chains as similarity._centroid_scores /
     cosine_native; argmax ties break to the lowest cell id exactly
-    like Spark's array_min(struct(-dot, cid))."""
-    cents = similarity.seeded_centroids(n_centroids, dim)
+    like Spark's array_min(struct(-dot, cid)). ``cents`` overrides
+    the seeded default (the trained-quantizer twin passes the
+    data-trained centroids)."""
+    if cents is None:
+        cents = similarity.seeded_centroids(n_centroids, dim)
 
     def chain(terms) -> str:
         return " + ".join(terms)
@@ -606,6 +611,39 @@ def _embed_ivf_oracle(n_centroids: int = 16, dim: int = 64, nprobe: int = 4, k: 
         )
         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= {k}
     """
+
+
+def q_embed_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with DATA-TRAINED centroids: deterministic Lloyd's
+    k-means on the first 4096 vectors by vec_id (train_centroids),
+    then the same cell-join probe as q_embed_topk_ivf. The oracle
+    trains bit-identical centroids from the same rows via duckdb +
+    the shared lloyd_kmeans loop and embeds them as literals."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cents = similarity.train_centroids(emb, n_centroids=16, iters=5)
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=3, nprobe=4, centroids=cents
+    ).select("query_id", "rank", "neighbor_id")
+
+
+def _embed_ivf_trained_oracle() -> str:
+    """Trained-quantizer twin: reads the SAME id-ordered sample the
+    Spark side trains on (the driver's oracle gate runs at sf0.01;
+    tools/check_oracles.py pins SPARK_GRAFT_ORACLE_SF to whatever sf
+    it compares at) and runs the shared numpy Lloyd loop, so the
+    centroid literals match train_centroids bit-for-bit."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    d = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01").rstrip("/")
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{d}/embeddings.parquet') ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    mat = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    cents = similarity.lloyd_kmeans(mat, n_centroids=16, iters=5)
+    return _embed_ivf_oracle(cents=cents)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,14 +740,43 @@ def q_bbox_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A6: page extent = max right/bottom word edge
     (tesseract_executor.py:307-316); document dims = max page width,
-    SUM page heights (gdai_convert.py:361-363)."""
+    SUM page heights (gdai_convert.py:361-363). mediabox_* come from
+    the PARSED per-page MediaBox (reference Page.width/height,
+    ocr_schema.py:170-187) via the results' pages_meta — page
+    geometry, not content extent."""
     from ocr_compare_spark.operators.geometry import doc_dims
+    from ocr_compare_spark.operators.tree import explode_pages_meta
 
     r = _results(spark, sf_dir).filter(F.col("engine") == "pdf")
     d = doc_dims(spans_table(r))
-    return d.select(
-        "url", "doc_width", "doc_height", F.col("n_pages").cast("long").alias("n_pages")
+    pm = explode_pages_meta(r).groupBy("url").agg(
+        F.max("width").alias("mediabox_width"),
+        F.sum("height").alias("mediabox_height"),
     )
+    return d.join(pm, "url").select(
+        "url", "doc_width", "doc_height", F.col("n_pages").cast("long").alias("n_pages"),
+        "mediabox_width", "mediabox_height",
+    )
+
+
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 streaming equivalence as a DRIVER row (was pytest-only):
+    the pages table is written to a file source, extracted by the
+    Structured Streaming job (AvailableNow trigger, parquet sink,
+    exactly-once via streaming checkpoints), and the SINK's contents
+    must equal the batch extraction — the oracle is the same
+    closed-form text the batch extract_* queries use."""
+    import tempfile
+
+    from ocr_compare_spark.streaming.jobs import extraction_stream
+
+    base = tempfile.mkdtemp(prefix="ocr_stream_eq_")
+    inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    _pages(spark, sf_dir).write.mode("overwrite").parquet(inp)
+    q = extraction_stream(spark, inp, outp, ckpt)
+    q.awaitTermination()
+    res = spark.read.parquet(outp)
+    return res.filter(F.col("error").isNull()).select("url", "engine", "doc_text")
 
 
 def q_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,12 +964,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embed_topk_lsh": q_embed_topk_lsh,
         "embed_topk_ivf": q_embed_topk_ivf,
+        "embed_topk_ivf_trained": q_embed_topk_ivf_trained,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "report_json": q_report_json,
         "bbox_containment": q_bbox_containment,
         "bbox_union": q_bbox_union,
         "doc_dims": q_doc_dims,
+        "stream_extract": q_stream_extract,
         "param_grid": q_param_grid,
         "host_stats_salted": q_host_stats_salted,
         "events_window": q_events_window,
@@ -1430,6 +1499,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_topk_lsh": _embed_lsh_oracle(),
         "embed_topk_ivf": _embed_ivf_oracle(),
+        "embed_topk_ivf_trained": _embed_ivf_trained_oracle(),
+        "stream_extract": f"""
+            WITH {PARAS_CTE},
+            dom AS ({SQL_DOM_TEXT}),
+            den AS ({SQL_DENSITY_TEXT}),
+            pdf AS ({SQL_PDF_TEXT})
+            SELECT t.url, 'dom' AS engine, m.doc_text
+            FROM tmd t JOIN dom m ON t.url = m.url WHERE NOT t.is_pdf
+            UNION ALL
+            SELECT t.url, 'density', coalesce(d.doc_text, '')
+            FROM tmd t LEFT JOIN den d ON t.url = d.url WHERE NOT t.is_pdf
+            UNION ALL
+            SELECT t.url, 'pdf', p.doc_text
+            FROM tmd t JOIN pdf p ON t.url = p.url WHERE t.is_pdf
+        """,
         "report_json": f"""
             WITH {PARAS_CTE},
             dom AS ({SQL_DOM_TEXT}),
@@ -1503,9 +1587,13 @@ def oracle_sql() -> dict[str, str]:
                      72 + 40 * (count(*) - 1) + 12 AS h
               FROM paras WHERE is_pdf GROUP BY url, para_no // {synth.PAGE_PARAS}
             )
+            -- mediabox_* prove the engine PARSED the MediaBox
+            -- (generator emits [0 0 612 792] per page; heights stack)
             SELECT url, CAST(max(w) AS DOUBLE) AS doc_width,
                    CAST(sum(h) AS DOUBLE) AS doc_height,
-                   count(*) AS n_pages
+                   count(*) AS n_pages,
+                   CAST(612 AS DOUBLE) AS mediabox_width,
+                   CAST(792 * count(*) AS DOUBLE) AS mediabox_height
             FROM pp GROUP BY url
         """,
         "param_grid": """

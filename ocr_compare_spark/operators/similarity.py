@@ -134,6 +134,31 @@ def seeded_centroids(n_centroids: int = 16, dim: int = 64, seed: int = 7) -> np.
     return _normalize(rng.standard_normal((n_centroids, dim)))
 
 
+def lloyd_kmeans(mat: np.ndarray, n_centroids: int = 16, iters: int = 5) -> np.ndarray:
+    """Core deterministic Lloyd loop (init = first n_centroids rows,
+    argmax-dot assignment, mean + renormalize). Shared by
+    train_centroids (Spark sample) and the driver-oracle generator
+    (duckdb sample of the SAME rows), so both sides produce
+    bit-identical centroids by construction."""
+    mat = _normalize(np.asarray(mat, dtype=np.float64))
+    if len(mat) < n_centroids:
+        # an implicit short return would make a later ivf_topk probe
+        # fewer cells than the caller asked for — fail loudly instead
+        raise ValueError(
+            f"lloyd_kmeans: sample has {len(mat)} rows < n_centroids={n_centroids}; "
+            "lower n_centroids or raise sample"
+        )
+    cents = mat[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_centroids):
+            sel = mat[assign == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
 def train_centroids(
     df: DataFrame,
     n_centroids: int = 16,
@@ -147,23 +172,8 @@ def train_centroids(
     most ``sample`` vectors — the standard IVF training shape; the
     partition/assignment step stays fully distributed."""
     rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
-    mat = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
-    if len(mat) < n_centroids:
-        # an implicit short return would make a later ivf_topk probe
-        # fewer cells than the caller asked for — fail loudly instead
-        raise ValueError(
-            f"train_centroids: sample has {len(mat)} rows < n_centroids={n_centroids}; "
-            "lower n_centroids or raise sample"
-        )
-    cents = mat[:n_centroids].copy()
-    for _ in range(iters):
-        assign = np.argmax(mat @ cents.T, axis=1)
-        for c in range(n_centroids):
-            sel = mat[assign == c]
-            if len(sel):
-                cents[c] = sel.mean(axis=0)
-        cents = _normalize(cents)
-    return cents
+    mat = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    return lloyd_kmeans(mat, n_centroids, iters)
 
 
 def _centroid_scores(vec_col: str, centroids: np.ndarray) -> list[F.Column]:

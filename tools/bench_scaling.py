@@ -162,11 +162,13 @@ def main() -> int:
     # a local[32] triple measured 2-4x slower than the same job,
     # same code, an hour earlier). Alternating decorrelates the
     # levels from any single window.
+    all_rates: dict[int, list[float]] = {lo: [], hi: []}
     for rep in range(args.reps):
         for cores in (lo, hi):
             out_dir = f"/dev/shm/scaling_out_{cores}"
             r = run_once(cores, zip_path, args.input, out_dir, args.replicate, extra)
             print(f"local[{cores}] rep{rep}: {r}", flush=True)
+            all_rates[cores].append(r["docs_per_sec"])
             if cores not in results or r["docs_per_sec"] > results[cores]["docs_per_sec"]:
                 results[cores] = r
     for cores in (lo, hi):
@@ -174,6 +176,17 @@ def main() -> int:
         print(f"local[{cores}] winners hash: {hashes[cores]}", flush=True)
 
     eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+    # Variance bars: each interleaved rep pairs one lo with one hi run
+    # taken back-to-back, so a paired efficiency is robust to the
+    # host's multi-minute noise windows; report their spread next to
+    # the best-of-N point estimate instead of pretending one number.
+    import statistics
+
+    paired_effs = [
+        (h / l) / (hi / lo) for l, h in zip(all_rates[lo], all_rates[hi])
+    ]
+    eff_median = statistics.median(paired_effs)
+    eff_lo, eff_hi = min(paired_effs), max(paired_effs)
     identical = hashes[lo] == hashes[hi]
     ceiling = host_ceiling(lo, hi)
     normalized = eff / ceiling if ceiling else float("nan")
@@ -204,8 +217,14 @@ Corpus: `{args.input}` documents x{args.replicate} = {results[lo]["docs"]} docs
 | docs/sec | {results[lo]["docs_per_sec"]} | {results[hi]["docs_per_sec"]} |
 {phase_rows}| docs ok / error | {results[lo]["docs_ok"]}/{results[lo]["docs_error"]} | {results[hi]["docs_ok"]}/{results[hi]["docs_error"]} |
 
+Per-rep docs/sec (all {args.reps} interleaved reps, not just best):
+local[{lo}]: {[round(x, 1) for x in all_rates[lo]]}
+local[{hi}]: {[round(x, 1) for x in all_rates[hi]]}
+
 **scaling efficiency ({lo} -> {hi} cores) = ({results[hi]["docs_per_sec"]} / {results[lo]["docs_per_sec"]}) / {hi // lo} = {eff:.3f}**
 (target >= 0.8 per BASELINE.json north_rule)
+Paired-rep efficiency spread (each rep's lo/hi ran back-to-back):
+**median {eff_median:.3f}, range [{eff_lo:.3f}, {eff_hi:.3f}]** over {args.reps} pairs.
 
 Host ceiling: the SAME extraction workload as plain Python processes
 (no Spark) scales at **{ceiling:.3f}** efficiency on this VM
@@ -224,6 +243,8 @@ Determinism gate: winner-table content hash identical across levels:
     print(md)
     print(json.dumps({
         "scaling_efficiency": round(eff, 3),
+        "efficiency_median": round(eff_median, 3),
+        "efficiency_range": [round(eff_lo, 3), round(eff_hi, 3)],
         "host_ceiling": round(ceiling, 3),
         "normalized_efficiency": round(normalized, 3),
         "byte_identical": identical,

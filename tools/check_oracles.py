@@ -33,6 +33,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # data-dependent oracles (trained IVF centroids) must read the
+    # same sf the comparison runs at; the driver itself runs sf0.01,
+    # which is that oracle's default
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
 
     import __spark_entry__ as entrymod
     from ocr_compare_spark.session import get_spark

@@ -195,8 +195,10 @@ def q_spans_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     PREFIX (nest-safe: (block_no) alone undercounts nested blocks,
     (block_no, line_no) collides across a container's paragraphs);
     table rows count as lines here (line_no = row_no)."""
+    from ocr_compare_spark.operators.extract import with_elem_path
+
     r = _results(spark, sf_dir).filter(F.col("engine") == "dom")
-    sp = spans_table(r)
+    sp = with_elem_path(spans_table(r))
     block_path = F.slice(F.col("elem_path"), 1, F.size("elem_path") - 1)
     return sp.groupBy("url").agg(
         F.count("*").alias("n_spans"),
@@ -212,12 +214,15 @@ def q_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gdai_convert.py:87-98) which must equal the word count.
     max_depth proves block recursion survived the round-trip
     (section/blockquote docs → 2); n_tables proves the table grid."""
+    from ocr_compare_spark.operators.extract import with_elem_path
     from ocr_compare_spark.operators.tree import element_path, to_tree, tree_stats
 
     r = _results(spark, sf_dir).filter(F.col("engine") == "dom")
     sp = spans_table(r)
     stats = tree_stats(to_tree(sp)).drop("engine")
-    paths = sp.groupBy("url").agg(F.count_distinct(element_path()).alias("n_paths"))
+    paths = with_elem_path(sp).groupBy("url").agg(
+        F.count_distinct(element_path()).alias("n_paths")
+    )
     return stats.join(paths, "url")
 
 

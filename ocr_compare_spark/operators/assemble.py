@@ -36,7 +36,9 @@ def assemble_blocks(spans: DataFrame) -> DataFrame:
     block_text and block_type — the word->line->para->block prefix of
     the assembly cascade, exposed for consumers that operate at block
     granularity (layout chunking, geometry joins)."""
-    return _assemble_blocks(spans.repartition("url", "engine"))
+    from ocr_compare_spark.operators.extract import with_elem_path
+
+    return _assemble_blocks(with_elem_path(spans).repartition("url", "engine"))
 
 
 def assemble_doc_text(spans: DataFrame) -> DataFrame:
@@ -44,11 +46,13 @@ def assemble_doc_text(spans: DataFrame) -> DataFrame:
     engines' fast-path assembly. Handles TEXT and TABLE blocks."""
     base = ["url", "engine"]
 
+    from ocr_compare_spark.operators.extract import with_elem_path
+
     # One shuffle on the coarsest key up front: HashPartitioning
     # (url, engine) is a subset of every finer grouping's keys, so
     # the whole word->line->para->block->page->doc cascade runs
     # exchange-free (measured: 10 exchanges -> 4, ~6x faster).
-    blocks = _assemble_blocks(spans.repartition("url", "engine"))
+    blocks = _assemble_blocks(with_elem_path(spans).repartition("url", "engine"))
 
     pages = _ordered_concat(blocks, base + ["page_no"], "block_no", "block_text", SEP_PAGE, "page_text")
     docs = _ordered_concat(pages, base, "page_no", "page_text", SEP_DOCUMENT, "doc_text")
@@ -67,124 +71,116 @@ def _assemble_blocks(spans: DataFrame) -> DataFrame:
     block's text is a flat '\\n'-join of its rendered elements in
     LEXICOGRAPHIC elem_path order — no recursive plan needed.
 
-    Levels (all groupBy keys share the (url, engine) prefix, so the
-    whole cascade runs exchange-free after one repartition):
-    - L1 word -> line (TEXT) / cell-paragraph (TABLE): the grouping
-      is unique per (elem_path, para_no, line_no, row, col); words
-      join with SEP_LINE.
-    - L2 line -> paragraph | cell-para -> cell: within a group the
-      varying ordinal is line_no for TEXT and para_no (Cell.blocks
-      runs) for TABLE; both join with ' '.
-    - L3 cell -> markdown row: TABLE wraps '| .. | .. |'; TEXT
-      passes through (single part).
-    - L4 row -> ELEMENT: TABLE joins its rows with the header rule
-      (separator row only when row 0 is a HEADER row — reference
-      Table.header is Optional); TEXT passes through.
-    - L5 element -> block: parts ordered by the elem_path suffix
+    Three aggregation levels — the same depth as the pre-recursion
+    cascade (an earlier 5-level version measured 2.8x slower on the
+    sf0.1 bench purely from the extra ObjectHashAggregate passes).
+    All groupBy keys share the (url, engine) prefix, so the whole
+    cascade runs exchange-free after one repartition:
+    - L1 word -> line (TEXT) / cell (TABLE): ordering by
+      (para_no, word_no) folds a cell's paragraph runs (Cell.blocks)
+      and its words in one pass — both join with ' '.
+    - L2 line/cell -> ELEMENT: TEXT joins lines with ' '; TABLE
+      folds (row, col)-ordered cells straight into markdown, row
+      framing encoded in the between-cell separator and the '---'
+      row inserted on the 0->1 row transition when row 0 is HEADER
+      (reference Table.header is Optional).
+    - L3 element -> block: parts ordered by the elem_path suffix
       (after the top block ordinal), joined with SEP_BLOCK.
     """
     base = ["url", "engine"]
 
-    lines = _ordered_concat(
-        spans,
-        base + ["page_no", "block_no", "block_type", "elem_path", "para_no",
-                "line_no", "row_no", "column_no", "row_type"],
-        "word_no", "text", SEP_LINE, "line_text",
-    )
-
-    # L2: TEXT orders lines by line_no; TABLE orders cell-para runs
-    # by para_no (the cell flattens Cell.blocks with ' ').
-    l2_ord = F.when(F.col("row_no").isNotNull(), F.col("para_no")).otherwise(F.col("line_no"))
-    l2 = (
-        lines.groupBy(*base, "page_no", "block_no", "block_type", "elem_path", "row_no", "column_no", "row_type")
+    # L1: word -> line (TEXT) / cell (TABLE). Ordering by
+    # (para_no, word_no) makes this ONE level for both kinds: a TEXT
+    # line has constant para_no, and a TABLE cell's paragraph runs
+    # flatten with the same ' ' separator the words use, so the flat
+    # (run, word)-ordered join IS the Cell.blocks rendering.
+    l1_ord = F.struct(F.col("para_no").alias("p"), F.col("word_no").alias("w"))
+    lines = (
+        spans.groupBy(
+            *base, "page_no", "block_no", "block_type", "elem_path",
+            "line_no", "row_no", "column_no", "row_type",
+        )
         .agg(
             F.concat_ws(
-                SEP_PARAGRAPH,
+                SEP_LINE,
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct(l2_ord.alias("o"), F.col("line_text").alias("t")))),
+                    F.array_sort(F.collect_list(F.struct(l1_ord.alias("o"), F.col("text").alias("t")))),
                     lambda x: x.t,
                 ),
-            ).alias("cell_text")
+            ).alias("part_text")
         )
     )
 
-    # L3: cells -> markdown row (TEXT: single part passthrough).
-    l3_ord = F.coalesce(F.col("column_no"), F.lit(0))
-    l3 = (
-        l2.groupBy(*base, "page_no", "block_no", "block_type", "elem_path", "row_no", "row_type")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(l3_ord.alias("o"), F.col("cell_text").alias("t")))
-            ).alias("parts"),
-            (F.max("column_no") + 1).alias("n_cols"),
-        )
-        .select(
-            *base, "page_no", "block_no", "block_type", "elem_path", "row_no", "row_type", "n_cols",
-            F.when(
-                F.col("block_type") == "TABLE",
-                F.concat(
-                    F.lit("| "),
-                    F.concat_ws(" | ", F.transform(F.col("parts"), lambda x: x.t)),
-                    F.lit(" |"),
-                ),
-            )
-            .otherwise(F.element_at("parts", 1).t)
-            .alias("row_text"),
-        )
+    # L2: lines/cells -> ELEMENT in one aggregation. TEXT joins its
+    # lines with ' '; TABLE folds its (row, col)-ordered cells into
+    # markdown directly — the separator between consecutive cells
+    # encodes the row framing, with the '---' separator row inserted
+    # on the 0 -> 1 row transition when row 0 is a HEADER row
+    # (reference Table.header is Optional). n_cols/has_header/n_rows
+    # come from plain aggregates so the sorted array is evaluated
+    # exactly once per branch.
+    part_ord = F.struct(
+        F.coalesce(F.col("row_no"), F.col("line_no")).alias("r"),
+        F.coalesce(F.col("column_no"), F.lit(0)).alias("c"),
     )
-
-    # L4: rows -> element. TABLE renders header + '---' separator row
-    # ONLY when row 0 is a HEADER row; headerless tables are all body.
-    sep_row = F.concat(
-        F.lit("| "),
-        F.array_join(
-            F.transform(F.sequence(F.lit(1), F.element_at("rws", 1).c.cast("int")), lambda _: F.lit("---")),
-            " | ",
-        ),
-        F.lit(" |"),
-    )
-    has_header = F.element_at("rws", 1).h == "HEADER"
-    l4 = (
-        l3.groupBy(*base, "page_no", "block_no", "block_type", "elem_path")
+    l2 = (
+        lines.groupBy(*base, "page_no", "block_no", "block_type", "elem_path")
         .agg(
             F.array_sort(
                 F.collect_list(
-                    F.struct(
-                        F.coalesce(F.col("row_no"), F.lit(0)).alias("o"),
-                        F.col("row_text").alias("t"),
-                        F.col("n_cols").alias("c"),
-                        F.col("row_type").alias("h"),
-                    )
+                    F.struct(part_ord.alias("o"), F.col("part_text").alias("t"))
                 )
-            ).alias("rws")
-        )
-        .select(
-            *base, "page_no", "block_no", "block_type", "elem_path",
-            F.when(
-                F.col("block_type") == "TABLE",
-                F.when(
-                    has_header,
-                    F.array_join(
-                        F.concat(
-                            F.array(F.element_at("rws", 1).t, sep_row),
-                            F.transform(
-                                F.slice("rws", 2, F.greatest(F.size("rws") - 1, F.lit(0))), lambda x: x.t
-                            ),
-                        ),
-                        "\n",
-                    ),
-                ).otherwise(F.array_join(F.transform(F.col("rws"), lambda x: x.t), "\n")),
-            )
-            .otherwise(F.element_at("rws", 1).t)
-            .alias("elem_text"),
+            ).alias("parts"),
+            F.sum(F.when(F.col("row_no") == 0, 1).otherwise(0)).alias("n_cols0"),
+            F.max(F.when(F.col("row_type") == "HEADER", True).otherwise(False)).alias("has_header"),
+            (F.max("row_no") + 1).alias("n_rows"),
         )
     )
+    sep_row = F.concat(
+        F.lit("| "),
+        F.array_join(F.transform(F.sequence(F.lit(1), F.col("n_cols0").cast("int")), lambda _: F.lit("---")), " | "),
+        F.lit(" |"),
+    )
+    folded = F.aggregate(
+        F.col("parts"),
+        F.struct(F.lit("").alias("txt"), F.lit(-1).alias("row"), F.lit(True).alias("first")),
+        lambda acc, p: F.struct(
+            F.concat(
+                acc.txt,
+                F.when(acc.first, F.lit("| "))
+                .when(p.o.r == acc.row, F.lit(" | "))
+                .otherwise(
+                    F.concat(
+                        F.lit(" |\n"),
+                        F.when((acc.row == 0) & F.col("has_header"), F.concat(sep_row, F.lit("\n"))).otherwise(F.lit("")),
+                        F.lit("| "),
+                    )
+                ),
+                p.t,
+            ).alias("txt"),
+            p.o.r.alias("row"),
+            F.lit(False).alias("first"),
+        ),
+    )
+    table_text = F.concat(
+        folded.txt,
+        F.lit(" |"),
+        # header-only table: the 0 -> 1 transition never happens, so
+        # the separator row goes at the end
+        F.when(F.col("has_header") & (F.col("n_rows") == 1), F.concat(F.lit("\n"), sep_row)).otherwise(F.lit("")),
+    )
+    elems = l2.select(
+        *base, "page_no", "block_no", "block_type", "elem_path",
+        F.when(F.col("block_type") == "TABLE", table_text)
+        .otherwise(F.concat_ws(SEP_PARAGRAPH, F.transform(F.col("parts"), lambda x: x.t)))
+        .alias("elem_text"),
+    )
 
-    # L5: elements -> block, ordered by the elem_path suffix after
+    # L3: elements -> block, ordered by the elem_path suffix after
     # the top block ordinal (lexicographic array order = DFS order).
     suffix = F.slice(F.col("elem_path"), 2, F.size("elem_path") - 1)
     return (
-        l4.groupBy(*base, "page_no", "block_no")
+        elems.groupBy(*base, "page_no", "block_no")
         .agg(
             F.array_sort(
                 F.collect_list(

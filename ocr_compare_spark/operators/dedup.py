@@ -176,15 +176,20 @@ def lsh_candidates(
     # instead of |corpus| (measured 24x-replicated 228k docs: the
     # verify join dropped from ~2.6M array-carrying pairs to ~4.5k).
     keyed = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("grp"), F.col(text_col).alias("text"))
-    # persisted: consumed three times (reps, the membership expansion,
-    # the within-group branch) — without it the canonicalization agg
-    # and its upstream scan re-run per consumer
+    # Membership is consumed 2-3x (rep-pair expansion + within-group
+    # branch): persist the IDS-ONLY projection — tiny — rather than a
+    # text-carrying aggregate (persisting full texts was measured
+    # SLOWER than recomputing the cheap md5 groupBy). The rep texts
+    # come from a separate text aggregate consumed exactly once by
+    # the signature path; texts are identical within a group (grp =
+    # md5(text)), so any_value is the min-id member's text too.
     groups = keyed.groupBy("grp").agg(
         F.min("id").alias("id"),
-        F.any_value("text").alias("text"),
         F.array_sort(F.collect_list("id")).alias("members"),
     ).persist()
-    reps = groups.select("id", "text")
+    reps = keyed.groupBy("grp").agg(
+        F.min("id").alias("id"), F.any_value("text").alias("text")
+    ).select("id", "text")
     if num_partitions:
         # the explode multiplies rows ~500x; without enough input
         # splits (e.g. one small parquet file locally) the signature
@@ -253,12 +258,12 @@ def lsh_candidates(
     # on the rep key, not a per-row combination array: a boilerplate
     # group of 10^6 copies would otherwise materialize the whole
     # O(g^2) pair array inside one task's memory; the join streams
-    # the quadratic output. Null-text groups are excluded — a null
-    # text yields no shingles, so the un-canonicalized path never
-    # emitted pairs for those docs (the expansion must reproduce it
-    # exactly).
+    # the quadratic output. Null-text groups (grp IS NULL — md5 of
+    # null) are excluded: a null text yields no shingles, so the
+    # un-canonicalized path never emitted pairs for those docs (the
+    # expansion must reproduce it exactly).
     mem_nn = (
-        groups.filter(F.col("text").isNotNull() & (F.size("members") > 1))
+        groups.filter(F.col("grp").isNotNull() & (F.size("members") > 1))
         .select(F.col("grp"), F.explode("members").alias("mid"))
     )
     within = (

@@ -143,21 +143,27 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
         }
     parts: list[str] = []
     spans: list[dict] = []
-    st = {"off": 0, "widx": 0, "n_blocks": 0, "n_tables": 0, "n_words": 0}
+    off = widx = n_blocks = n_tables = n_words = 0
 
     def emit(s: str) -> None:
+        nonlocal off
         parts.append(s)
-        st["off"] += len(s)
+        off += len(s)
 
     def render_table(rows, has_header, path, page_no, bbox, extra):
         """Emit spans for one table element, return its confidence
         contribution (a single pseudo-line over its words). row_type
         marks HeaderRow vs BodyRow (ocr_schema.py:280-339); cell
         paragraph runs (split on '\\n' — Cell.blocks) get para_no
-        WITHIN the cell."""
-        st["n_tables"] += 1
-        tno = st["n_tables"] - 1
-        tbl_start, tbl_words = st["widx"], 0
+        WITHIN the cell. ``extra`` rides on the element's FIRST span
+        only (a per-node property bag duplicated onto every word is
+        pure Arrow weight)."""
+        nonlocal n_tables, n_words, widx
+        n_tables += 1
+        tno = n_tables - 1
+        depth = len(path) - 1
+        tbl_start, tbl_words = widx, 0
+        first = True
         for ri, row in enumerate(rows):
             rtype = "HEADER" if (has_header and ri == 0) else "BODY"
             for ci, cell in enumerate(row):
@@ -172,64 +178,88 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
                         # round-trip for <td></td>).
                         words = [""]
                     for wi, w in enumerate(words):
-                        wc = word_confidence(base_conf, st["widx"]) if w else None
+                        wc = word_confidence(base_conf, widx) if w else None
                         if w:
-                            st["n_words"] += 1
-                            st["widx"] += 1
+                            n_words += 1
+                            widx += 1
                             tbl_words += 1
                         if with_spans:
                             spans.append({
                                 "page_no": page_no, "block_no": path[0], "block_type": "TABLE",
-                                "elem_path": path, "depth": len(path) - 1,
+                                "elem_path": path, "depth": depth,
                                 "para_no": cpi, "line_no": ri, "word_no": wi, "text": w,
                                 "char_start": None, "char_end": None, "bbox": bbox,
                                 "confidence": wc, "row_no": ri, "column_no": ci,
-                                "table_no": tno, "row_type": rtype, "extra": extra,
+                                "table_no": tno, "row_type": rtype,
+                                "extra": extra if first else None,
                             })
+                            first = False
         return line_confidence(base_conf, tbl_start, tbl_words) if tbl_words else None
 
     def render_para(tokens, path, page_no, block_type, bbox, char_w, block_start, extra):
+        nonlocal n_words, widx, off
         lines = [tokens[i : i + LINE_WORDS] for i in range(0, len(tokens), LINE_WORDS)]
         line_confs: list[float] = []
+        depth = len(path) - 1
+        para_no = path[-1]
+        block_no = path[0]
+        # flat TEXT spans store NULL elem_path — it is derivably
+        # [block_no, para_no] (see schema.py / with_elem_path), and
+        # storing a per-word array for the overwhelmingly-flat web is
+        # pure Arrow/shuffle weight
+        stored_path = path if depth > 1 else None
+        # hot loop: local aliases beat closure-cell access per word
+        parts_append = parts.append
+        spans_append = spans.append
+        _off, _widx = off, widx
         for li, line in enumerate(lines):
             if li > 0:
-                emit(" ")  # SEP_PARAGRAPH == SEP_LINE == ' '
+                parts_append(" ")  # SEP_PARAGRAPH == SEP_LINE == ' '
+                _off += 1
             if line:
-                line_confs.append(line_confidence(base_conf, st["widx"], len(line)))
+                line_confs.append(line_confidence(base_conf, _widx, len(line)))
             if with_spans:
                 for wi, w in enumerate(line):
                     if wi > 0:
-                        emit(" ")
-                    st["n_words"] += 1
+                        parts_append(" ")
+                        _off += 1
                     wb = bbox
                     if bbox is not None:
                         wb = {
-                            "left": bbox["left"] + char_w * (st["off"] - block_start),
+                            "left": bbox["left"] + char_w * (_off - block_start),
                             "top": bbox["top"],
                             "width": char_w * len(w),
                             "height": bbox["height"],
                         }
-                    spans.append({
-                        "page_no": page_no, "block_no": path[0], "block_type": block_type,
-                        "elem_path": path, "depth": len(path) - 1,
-                        "para_no": path[-1], "line_no": li, "word_no": wi, "text": w,
-                        "char_start": st["off"], "char_end": st["off"] + len(w), "bbox": wb,
-                        "confidence": word_confidence(base_conf, st["widx"]), "row_no": None,
-                        "column_no": None, "table_no": None, "row_type": None, "extra": extra,
+                    lw = len(w)
+                    spans_append({
+                        "page_no": page_no, "block_no": block_no, "block_type": block_type,
+                        "elem_path": stored_path, "depth": depth,
+                        "para_no": para_no, "line_no": li, "word_no": wi, "text": w,
+                        "char_start": _off, "char_end": _off + lw, "bbox": wb,
+                        "confidence": base_conf - (_widx % 10) / 100.0, "row_no": None,
+                        "column_no": None, "table_no": None, "row_type": None,
+                        "extra": extra if li == 0 and wi == 0 else None,
                     })
-                    st["widx"] += 1
-                    emit(w)
+                    _widx += 1
+                    parts_append(w)
+                    _off += lw
+                n_words += len(line)
             else:
                 # hot path: no per-word Python beyond the emit
-                st["n_words"] += len(line)
-                st["widx"] += len(line)
-                emit(" ".join(line))
+                n_words += len(line)
+                _widx += len(line)
+                s = " ".join(line)
+                parts_append(s)
+                _off += len(s)
+        off, widx = _off, _widx
         return _mean(line_confs)
 
     def render_block(blk, path, page_no):
         """Render one Block (possibly nested); returns its confidence
         (mean over element confidences, recursively) or None."""
-        st["n_blocks"] += 1
+        nonlocal n_blocks
+        n_blocks += 1
         extra = {"tag": blk.tag} if blk.tag else None
         bbox = None
         if blk.bbox is not None:
@@ -239,7 +269,7 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
         # char width = block_width / emitted block chars — so word
         # envelopes union back to the block box exactly
         # (see operators/geometry.py).
-        block_start = st["off"]
+        block_start = off
         char_w = None
         if bbox is not None:
             leaf = _dfs_paras(blk)
@@ -291,9 +321,9 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
     return {
         "doc_text": "".join(parts),
         "n_pages": len(parsed.pages),
-        "n_blocks": st["n_blocks"],
-        "n_tables": st["n_tables"],
-        "n_words": st["n_words"],
+        "n_blocks": n_blocks,
+        "n_tables": n_tables,
+        "n_words": n_words,
         "confidence": _mean(page_confs),
         "spans": spans if with_spans else None,
         "pages_meta": pages_meta,
@@ -483,3 +513,16 @@ def spans_table(results: DataFrame) -> DataFrame:
         "engine_version",
         F.posexplode_outer("spans").alias("_pos", "s"),
     ).select("url", "engine", "engine_version", "s.*")
+
+
+def with_elem_path(spans: DataFrame) -> DataFrame:
+    """Materialize every span's elem_path: flat TEXT spans store NULL
+    (the path is derivably [block_no, para_no]; a per-word array on
+    the overwhelmingly-flat web is pure Arrow/shuffle weight at
+    10^12 docs) — nested and TABLE spans carry it explicitly. Every
+    elem_path consumer (assembly, tree, geometry) normalizes through
+    this first."""
+    return spans.withColumn(
+        "elem_path",
+        F.coalesce(F.col("elem_path"), F.array(F.col("block_no"), F.col("para_no"))),
+    )

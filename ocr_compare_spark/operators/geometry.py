@@ -33,8 +33,10 @@ def bbox_envelopes(spans: DataFrame, level: str = "block") -> DataFrame:
     """Union envelope of the word bboxes at the given level:
     (left, top) = min corner, (width, height) = max opposite corner
     minus min corner — exactly the reference's union_bbox fold."""
+    from ocr_compare_spark.operators.extract import with_elem_path
+
     keys = LEVEL_KEYS[level]
-    b = spans.filter(F.col("bbox").isNotNull())
+    b = with_elem_path(spans).filter(F.col("bbox").isNotNull())
     left = F.min("bbox.left")
     top = F.min("bbox.top")
     right = F.max(F.col("bbox.left") + F.col("bbox.width"))

@@ -111,8 +111,10 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
     repartition exchange and re-run extraction; the r2 assemble
     lesson). Inapplicable ordinals are constants within each group,
     so the groups are exactly the per-kind groups."""
+    from ocr_compare_spark.operators.extract import with_elem_path
+
     base = ["url", "engine"]
-    s = spans.repartition(*base)
+    s = with_elem_path(spans).repartition(*base)
 
     # L1: word -> line (TEXT) / cell-paragraph run (TABLE)
     l1 = s.groupBy(

@@ -60,18 +60,23 @@ BBOX_TYPE = T.StructType(
 # Recursion (reference Block.elements: List[Table|Paragraph|Block],
 # ocr_schema.py:130-167) is encoded by `elem_path`: the element-
 # ordinal path [top_block_no, e1, ..., para_elem] from the page down
-# to the word's paragraph, one entry per nesting level. A flat span
-# has elem_path = [block_no, para_no]. Because the block separator
-# is '\n' at EVERY level (ocr_schema.py:147), rendering a top-level
-# block is a flat '\n'-join of its paragraphs in LEXICOGRAPHIC
-# elem_path order — recursion costs nothing in the Spark plan.
-# `block_no` stays = elem_path[0] and `para_no` = elem_path[-1] for
-# back-compat; `depth` = number of block ancestors (flat: 1).
+# to the word's paragraph, one entry per nesting level. Because the
+# block separator is '\n' at EVERY level (ocr_schema.py:147),
+# rendering a top-level block is a flat '\n'-join of its paragraphs
+# in LEXICOGRAPHIC elem_path order — recursion costs nothing in the
+# Spark plan. STORAGE: flat TEXT spans (the overwhelming majority of
+# web content) store NULL — their path is derivably
+# [block_no, para_no], and a per-word array would be pure
+# Arrow/shuffle weight at 10^12 docs; nested and TABLE spans carry
+# it explicitly. Normalize with operators.extract.with_elem_path
+# before grouping on it. `block_no` stays = elem_path[0] and
+# `para_no` = elem_path[-1] (TEXT) for back-compat; `depth` = number
+# of block ancestors (flat: 1).
 SPAN_FIELDS = [
     T.StructField("page_no", T.IntegerType(), False),
     T.StructField("block_no", T.IntegerType(), False),
     T.StructField("block_type", T.StringType(), False),
-    T.StructField("elem_path", T.ArrayType(T.IntegerType(), False), False),
+    T.StructField("elem_path", T.ArrayType(T.IntegerType(), False), True),
     T.StructField("depth", T.IntegerType(), False),
     T.StructField("para_no", T.IntegerType(), False),
     T.StructField("line_no", T.IntegerType(), False),
@@ -88,6 +93,10 @@ SPAN_FIELDS = [
     # ocr_schema.py:280-339), NULL for text spans
     T.StructField("row_type", T.StringType(), True),
     # `extra` property bag (reference Properties, ocr_schema.py:18,27)
+    # — carried on each ELEMENT's first span only (a per-node bag
+    # duplicated onto every word span is pure Arrow/shuffle weight);
+    # recover per-node with max_by(extra, word ordinal is 0) or a
+    # first() over the element group
     T.StructField("extra", T.MapType(T.StringType(), T.StringType()), True),
 ]
 SPAN_TYPE = T.StructType(SPAN_FIELDS)

@@ -35,13 +35,18 @@ def test_nested_sections_render_and_paths():
     # blocks: p(alpha), section, h2, blockquote, p(zeta) = 5
     assert r["n_blocks"] == 5
     by_word = {s["text"]: s for s in r["spans"]}
-    assert by_word["alpha"]["elem_path"] == [0, 0] and by_word["alpha"]["depth"] == 1
-    assert by_word["beta"]["elem_path"] == [1, 0] and by_word["beta"]["depth"] == 1
+    # flat (depth-1) TEXT spans store NULL elem_path — derivably
+    # [block_no, para_no] (schema.py storage contract); nested spans
+    # carry the explicit path
+    assert by_word["alpha"]["elem_path"] is None
+    assert (by_word["alpha"]["block_no"], by_word["alpha"]["para_no"]) == (0, 0)
+    assert by_word["beta"]["elem_path"] is None and by_word["beta"]["depth"] == 1
+    assert (by_word["beta"]["block_no"], by_word["beta"]["para_no"]) == (1, 0)
     assert by_word["gamma"]["elem_path"] == [1, 1, 0] and by_word["gamma"]["depth"] == 2
     assert by_word["gamma"]["block_type"] == "HEADING"
     assert by_word["delta"]["elem_path"] == [1, 2, 0] and by_word["delta"]["depth"] == 2
-    assert by_word["eps"]["elem_path"] == [1, 3]
-    assert by_word["zeta"]["elem_path"] == [2, 0]
+    assert (by_word["eps"]["block_no"], by_word["eps"]["para_no"]) == (1, 3)
+    assert (by_word["zeta"]["block_no"], by_word["zeta"]["para_no"]) == (2, 0)
     # char anchors hold through nesting
     for s in r["spans"]:
         assert r["doc_text"][s["char_start"] : s["char_end"]] == s["text"]

@@ -161,7 +161,6 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
         nonlocal n_tables, n_words, widx
         n_tables += 1
         tno = n_tables - 1
-        depth = len(path) - 1
         tbl_start, tbl_words = widx, 0
         first = True
         for ri, row in enumerate(rows):
@@ -186,7 +185,7 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
                         if with_spans:
                             spans.append({
                                 "page_no": page_no, "block_no": path[0], "block_type": "TABLE",
-                                "elem_path": path, "depth": depth,
+                                "elem_path": path,
                                 "para_no": cpi, "line_no": ri, "word_no": wi, "text": w,
                                 "char_start": None, "char_end": None, "bbox": bbox,
                                 "confidence": wc, "row_no": ri, "column_no": ci,
@@ -234,7 +233,7 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
                     lw = len(w)
                     spans_append({
                         "page_no": page_no, "block_no": block_no, "block_type": block_type,
-                        "elem_path": stored_path, "depth": depth,
+                        "elem_path": stored_path,
                         "para_no": para_no, "line_no": li, "word_no": wi, "text": w,
                         "char_start": _off, "char_end": _off + lw, "bbox": wb,
                         "confidence": base_conf - (_widx % 10) / 100.0, "row_no": None,

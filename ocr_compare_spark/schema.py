@@ -70,14 +70,13 @@ BBOX_TYPE = T.StructType(
 # Arrow/shuffle weight at 10^12 docs; nested and TABLE spans carry
 # it explicitly. Normalize with operators.extract.with_elem_path
 # before grouping on it. `block_no` stays = elem_path[0] and
-# `para_no` = elem_path[-1] (TEXT) for back-compat; `depth` = number
-# of block ancestors (flat: 1).
+# `para_no` = elem_path[-1] (TEXT) for back-compat. (The nesting
+# depth is size(elem_path)-1 — derived, never stored.)
 SPAN_FIELDS = [
     T.StructField("page_no", T.IntegerType(), False),
     T.StructField("block_no", T.IntegerType(), False),
     T.StructField("block_type", T.StringType(), False),
     T.StructField("elem_path", T.ArrayType(T.IntegerType(), False), True),
-    T.StructField("depth", T.IntegerType(), False),
     T.StructField("para_no", T.IntegerType(), False),
     T.StructField("line_no", T.IntegerType(), False),
     T.StructField("word_no", T.IntegerType(), False),

@@ -40,11 +40,11 @@ def test_nested_sections_render_and_paths():
     # carry the explicit path
     assert by_word["alpha"]["elem_path"] is None
     assert (by_word["alpha"]["block_no"], by_word["alpha"]["para_no"]) == (0, 0)
-    assert by_word["beta"]["elem_path"] is None and by_word["beta"]["depth"] == 1
+    assert by_word["beta"]["elem_path"] is None
     assert (by_word["beta"]["block_no"], by_word["beta"]["para_no"]) == (1, 0)
-    assert by_word["gamma"]["elem_path"] == [1, 1, 0] and by_word["gamma"]["depth"] == 2
+    assert by_word["gamma"]["elem_path"] == [1, 1, 0]  # depth 2: one container ancestor
     assert by_word["gamma"]["block_type"] == "HEADING"
-    assert by_word["delta"]["elem_path"] == [1, 2, 0] and by_word["delta"]["depth"] == 2
+    assert by_word["delta"]["elem_path"] == [1, 2, 0]
     assert (by_word["eps"]["block_no"], by_word["eps"]["para_no"]) == (1, 3)
     assert (by_word["zeta"]["block_no"], by_word["zeta"]["para_no"]) == (2, 0)
     # char anchors hold through nesting
@@ -73,7 +73,7 @@ def test_density_flattens_nesting():
     # density keeps blocks flat: every kept block is top-level, text
     # joins all with '\n\n' (heading exempt from min-length rule)
     assert r["doc_text"].count("\n\n") == r["n_blocks"] - 1
-    assert all(s["depth"] == 1 for s in r["spans"])
+    assert all(s["elem_path"] is None for s in r["spans"])  # flat = depth 1
 
 
 CELL_HTML = b"""<html><body><table>

@@ -19,12 +19,13 @@ from pyspark.sql import DataFrame, functions as F
 from ocr_compare_spark.schema import SEP_BLOCK, SEP_DOCUMENT, SEP_LINE, SEP_PAGE, SEP_PARAGRAPH
 
 
-def _ordered_concat(df: DataFrame, keys: list[str], ordinal: str, text_col: str, sep: str, out: str) -> DataFrame:
+def _ordered_concat(df: DataFrame, keys: list[str], ordinal, text_col: str, sep: str, out: str) -> DataFrame:
+    o = F.col(ordinal) if isinstance(ordinal, str) else ordinal
     return df.groupBy(*keys).agg(
         F.concat_ws(
             sep,
             F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col(ordinal).alias("o"), F.col(text_col).alias("t")))),
+                F.array_sort(F.collect_list(F.struct(o.alias("o"), F.col(text_col).alias("t")))),
                 lambda x: x.t,
             ),
         ).alias(out)
@@ -195,6 +196,79 @@ def _assemble_blocks(spans: DataFrame) -> DataFrame:
             F.element_at("elems", 1).bt.alias("block_type"),
             F.array_join(F.transform(F.col("elems"), lambda x: x.t), SEP_BLOCK).alias("block_text"),
         )
+    )
+
+
+def table_records(spans: DataFrame) -> DataFrame:
+    """Reference ``Table.as_dataframe()`` analog (ocr_schema.py:
+    300-322, pandas DataFrame with the header row as columns) —
+    relational form: one output ROW per table BODY row, cells as a
+    ``map<column_name, cell_text>``. Column names come from the
+    HEADER row when present (``Table.header`` is Optional), else
+    positional ``c0..cN``. At 10^12 docs a table becomes rows in a
+    DataFrame, never a driver-side frame.
+
+    Output: (url, engine, page_no, block_no, table_no, row_no,
+    record map<string,string>).
+    """
+    base = ["url", "engine", "page_no", "block_no", "elem_path", "table_no"]
+    table_spans = spans.filter(F.col("block_type") == "TABLE")
+    cells = _ordered_concat(
+        table_spans,
+        base + ["row_no", "column_no", "row_type"],
+        F.struct(F.col("para_no").alias("p"), F.col("word_no").alias("w")),
+        "text", SEP_LINE, "cell_text",
+    )
+    per_table = cells.groupBy(*base).agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("row_type") == "HEADER",
+                    F.struct(F.col("column_no").alias("o"), F.col("cell_text").alias("t")),
+                )
+            )
+        ).alias("headers"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("row_type") == "BODY",
+                    F.struct(
+                        F.struct(F.col("row_no").alias("r"), F.col("column_no").alias("c")).alias("o"),
+                        F.col("cell_text").alias("t"),
+                    ),
+                )
+            )
+        ).alias("body_cells"),
+    )
+    rows = per_table.select(
+        *base,
+        "headers",
+        F.explode(
+            F.transform(
+                F.array_distinct(F.transform(F.col("body_cells"), lambda x: x.o.r)),
+                lambda r: F.struct(
+                    r.alias("row_no"),
+                    F.filter(F.col("body_cells"), lambda x: x.o.r == r).alias("cells"),
+                ),
+            )
+        ).alias("row"),
+    )
+    name_of = lambda c, i: F.coalesce(  # noqa: E731
+        # try_element_at: headerless tables have an EMPTY headers
+        # array (ANSI element_at throws on it)
+        F.try_element_at(F.col("headers"), (c + 1).cast("int")).t,
+        F.concat(F.lit("c"), c.cast("string")),
+    )
+    record = F.map_from_entries(
+        F.transform(
+            F.col("row.cells"),
+            lambda x, i: F.struct(name_of(x.o.c, i).alias("k"), x.t.alias("v")),
+        )
+    )
+    return rows.select(
+        "url", "engine", "page_no", "block_no", "table_no",
+        F.col("row.row_no").alias("row_no"),
+        record.alias("record"),
     )
 
 

@@ -177,3 +177,19 @@ def test_page_dims_parsed_from_mediabox():
     out = doc_to_result(r, 0.85)
     assert out["pages_meta"][0] == {"page_no": 1, "width": 612.0, "height": 792.0}
     assert len(out["pages_meta"]) == out["n_pages"]
+
+
+def test_table_records_as_dataframe_analog(spark, nested_pages):
+    """Reference Table.as_dataframe() analog: body rows keyed by
+    header names (or positional c0.. for headerless tables)."""
+    from ocr_compare_spark.operators.assemble import table_records
+
+    res = run_engines(nested_pages, engines=("dom",))
+    recs = table_records(spans_table(res)).collect()
+    by_url = {}
+    for r in recs:
+        by_url.setdefault(r.url, []).append((r.row_no, dict(r.record)))
+    hdr = sorted(by_url[synth.url_of(3)])
+    assert hdr == [(1, {"h one": "first para second para", "h two": "plain"})]
+    hl = sorted(by_url[synth.url_of(5)])
+    assert hl == [(0, {"c0": "a1", "c1": "a2"}), (1, {"c0": "b1", "c1": "b2"})]

@@ -378,6 +378,28 @@ def q_table_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_table_tsv(spans_table(r)).select("url", "raw_text")
 
 
+def q_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.as_dataframe() analog (ocr_schema.py:300-322) as a
+    driver row: one row per table BODY row with cells keyed by the
+    header names (or positional c0.. when the Optional header is
+    absent). The map renders as key-sorted 'k=v' pairs so the value
+    hash is deterministic on both sides."""
+    from ocr_compare_spark.operators.assemble import table_records
+
+    r = _results(spark, sf_dir).filter(F.col("engine") == "dom")
+    recs = table_records(spans_table(r))
+    rec_str = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries("record")),
+            lambda e: F.concat(e.key, F.lit("="), e.value),
+        ),
+        "; ",
+    )
+    return recs.select(
+        "url", F.col("row_no").cast("long").alias("row_no"), rec_str.alias("rec")
+    )
+
+
 def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     out = textstats.with_text_stats(d, "text")
@@ -957,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_chunks": q_layout_chunks,
         "anchors": q_anchors,
         "table_tsv": q_table_tsv,
+        "table_records": q_table_records,
         "textstats": q_textstats,
         "quality_topk": q_quality_topk,
         "fingerprint": q_fingerprint,
@@ -1360,6 +1383,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN tbl_header THEN 'k' || chr(9) || 'v' || chr(10) ELSE '' END
                    || t[1] || chr(9) || t[2] || chr(10)
                    || t[3] || chr(9) || t[4] AS raw_text
+            FROM t WHERE has_table
+        """,
+        "table_records": f"""
+            WITH t AS (
+              SELECT {synth.SQL_URL} AS url, string_split(text, ' ') AS t,
+                     {synth.SQL_HAS_TABLE} AS has_table, {synth.SQL_TABLE_HEADER} AS tbl_header
+              FROM documents WHERE NOT {synth.SQL_IS_PDF}
+            )
+            -- header tables: body rows are original rows 1-2, keys
+            -- k/v (sorted: k < v); headerless: rows 0-1, keys c0/c1
+            SELECT url,
+                   CAST(CASE WHEN tbl_header THEN 1 ELSE 0 END AS BIGINT) AS row_no,
+                   CASE WHEN tbl_header THEN 'k=' || t[1] || '; v=' || t[2]
+                        ELSE 'c0=' || t[1] || '; c1=' || t[2] END AS rec
+            FROM t WHERE has_table
+            UNION ALL
+            SELECT url,
+                   CAST(CASE WHEN tbl_header THEN 2 ELSE 1 END AS BIGINT),
+                   CASE WHEN tbl_header THEN 'k=' || t[3] || '; v=' || t[4]
+                        ELSE 'c0=' || t[3] || '; c1=' || t[4] END
             FROM t WHERE has_table
         """,
         "textstats": f"""

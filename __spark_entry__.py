@@ -328,6 +328,66 @@ def q_chunk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A11 as a driver row (was pytest-only): split oversized
+    PDFs into <=2-page segments, extract each segment independently,
+    renumber pages with the cumulative window, reassemble — and
+    prove the recombined text equals the whole-document extraction
+    byte-for-byte (reference combine+renumber, ocr_executor.py:
+    185-339)."""
+    from ocr_compare_spark.operators.assemble import assemble_doc_text
+    from ocr_compare_spark.operators.chunking import explode_segments, renumber_pages
+    from ocr_compare_spark.operators.extract import run_engine
+
+    p = _pages(spark, sf_dir).filter(F.expr(IS_PDF_EXPR))
+    segs = explode_segments(p, limit=2)
+    tagged = segs.withColumn(
+        "url", F.concat("url", F.lit("#"), F.col("seg_no").cast("string"))
+    )
+    spans = spans_table(run_engine(tagged, "pdf"))
+    spans = (
+        spans.withColumn("seg_no", F.split("url", "#").getItem(1).cast("int"))
+        .withColumn("url", F.split("url", "#").getItem(0))
+        .join(segs.select("url", "seg_no", "seg_pages"), ["url", "seg_no"])
+    )
+    asm = assemble_doc_text(renumber_pages(spans)).select(
+        "url", F.col("doc_text").alias("recombined")
+    )
+    whole = _results(spark, sf_dir).filter(F.col("engine") == "pdf").select("url", "doc_text")
+    nseg = segs.groupBy("url").agg(F.count("*").alias("n_segments"))
+    return (
+        asm.join(whole, "url")
+        .join(nseg, "url")
+        .select(
+            "url",
+            F.col("n_segments").cast("long").alias("n_segments"),
+            (F.col("recombined") == F.col("doc_text")).cast("long").alias("match"),
+        )
+    )
+
+
+def q_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 cache WRITE + warm serve as a driver row (was pytest-only):
+    run 1 computes everything and appends to a fresh cache table;
+    run 2 must serve every row from the cache (fresh_run2 = 0 — the
+    reference CachedOcrExecutor skip path) with the same text."""
+    import tempfile
+
+    from ocr_compare_spark.sources.cache import cached_extract
+
+    cache_dir = tempfile.mkdtemp(prefix="ocr_cache_rt_") + "/cache"
+    p = _pages(spark, sf_dir)
+    cached_extract(spark, p, cache_dir).count()  # run 1: compute + write
+    served2, fresh2 = cached_extract(spark, p, cache_dir, return_fresh=True)
+    n_fresh2 = fresh2.count()
+    return served2.filter(F.col("error").isNull()).select(
+        "url",
+        "engine",
+        F.length("doc_text").cast("long").alias("total_length"),
+        F.lit(n_fresh2).cast("long").alias("fresh_run2"),
+    )
+
+
 def q_layout_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style layout chunking of dom blocks at 1000 chars
     (reference ChunkingConfig defaults, gdai_executor.py:191-195).
@@ -976,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_meta": q_pages_meta,
         "cache_misses": q_cache_misses,
         "chunk_segments": q_chunk_segments,
+        "chunk_roundtrip": q_chunk_roundtrip,
+        "cache_roundtrip": q_cache_roundtrip,
         "layout_chunks": q_layout_chunks,
         "anchors": q_anchors,
         "table_tsv": q_table_tsv,
@@ -1318,6 +1380,31 @@ def oracle_sql() -> dict[str, str]:
               FROM paras WHERE is_pdf GROUP BY url
             )
             SELECT url, CAST(ceil(n_pages / 2.0) AS BIGINT) AS n_segments, n_pages FROM pd
+        """,
+        "chunk_roundtrip": f"""
+            WITH {PARAS_CTE},
+            pd AS (
+              SELECT url, CAST(ceil(count(*) / {synth.PAGE_PARAS}.0) AS BIGINT) AS n_pages
+              FROM paras WHERE is_pdf GROUP BY url
+            )
+            SELECT url, CAST(ceil(n_pages / 2.0) AS BIGINT) AS n_segments,
+                   CAST(1 AS BIGINT) AS match
+            FROM pd
+        """,
+        "cache_roundtrip": f"""
+            WITH {PARAS_CTE},
+            dom AS ({SQL_DOM_TEXT}),
+            den AS ({SQL_DENSITY_TEXT}),
+            pdf AS ({SQL_PDF_TEXT})
+            SELECT t.url, 'dom' AS engine, CAST(length(m.doc_text) AS BIGINT) AS total_length,
+                   CAST(0 AS BIGINT) AS fresh_run2
+            FROM tmd t JOIN dom m ON t.url = m.url WHERE NOT t.is_pdf
+            UNION ALL
+            SELECT t.url, 'density', CAST(length(coalesce(d.doc_text, '')) AS BIGINT), CAST(0 AS BIGINT)
+            FROM tmd t LEFT JOIN den d ON t.url = d.url WHERE NOT t.is_pdf
+            UNION ALL
+            SELECT t.url, 'pdf', CAST(length(p.doc_text) AS BIGINT), CAST(0 AS BIGINT)
+            FROM tmd t JOIN pdf p ON t.url = p.url WHERE t.is_pdf
         """,
         "layout_chunks": f"""
             WITH {PARAS_CTE},

@@ -27,6 +27,7 @@ from ocr_compare_spark.schema import (
     SEP_BLOCK,
     SEP_DOCUMENT,
     SEP_PAGE,
+    SPAN_FIELDS,
 )
 from ocr_compare_spark.synth import LINE_WORDS
 
@@ -484,6 +485,69 @@ def run_engines_fused(
         .select("url", "warc_ts", "lang", "e.engine", "e.engine_version", "e.r")
         .select("url", "warc_ts", "lang", "engine", "engine_version", "r.*")
     )
+
+
+SPANS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("engine", T.StringType(), False),
+        T.StructField("engine_version", T.StringType(), False),
+    ]
+    + list(SPAN_FIELDS)
+)
+
+
+def extract_spans_stream(
+    pages: DataFrame,
+    engines: tuple[str, ...] = ("dom",),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Span extraction as a FLAT row stream (mapInPandas): one output
+    row per word span, identical values to
+    ``spans_table(run_engines_fused(..., with_spans=True))``.
+
+    Why it exists: the nested path serializes every span through an
+    Arrow array<struct> cell — per-element, per-field object
+    traversal. Emitting one flat pandas DataFrame per batch converts
+    COLUMN-wise instead, which is the hot-path shape for span-level
+    pipelines (assembly, geometry, chunking) at 10^12 docs; the
+    nested path remains for consumers that need doc_text and spans
+    in one row."""
+    specs = [create_engine(n) for n in engines]
+
+    def gen(batches):
+        cols = [f.name for f in SPANS_STREAM_SCHEMA.fields]
+        for pdf in batches:
+            all_spans: list[dict] = []
+            urls: list[str] = []
+            engs: list[str] = []
+            vers: list[str] = []
+            for url, data in zip(pdf["url"], pdf["html"]):
+                is_pdf = data is not None and bytes(data)[:4] == b"%PDF"
+                for spec in specs:
+                    if (spec.handles == "pdf") != is_pdf and spec.handles != "any":
+                        continue
+                    try:
+                        parsed = ParsedDoc(error="null_payload") if data is None else spec.parse(bytes(data))
+                    except Exception as e:
+                        parsed = ParsedDoc(error=f"parse_error:{type(e).__name__}")
+                    if parsed.error is not None:
+                        continue  # error rows live on the doc-level path
+                    r = doc_to_result(parsed, spec.confidence, with_spans=True)
+                    n = len(r["spans"])
+                    all_spans.extend(r["spans"])
+                    urls.extend([url] * n)
+                    engs.extend([spec.name] * n)
+                    vers.extend([spec.version] * n)
+            out = pd.DataFrame(all_spans, columns=[f.name for f in SPANS_STREAM_SCHEMA.fields[3:]])
+            out.insert(0, "url", urls)
+            out.insert(1, "engine", engs)
+            out.insert(2, "engine_version", vers)
+            yield out[cols]
+
+    if num_partitions:
+        pages = pages.repartition(num_partitions, "url")
+    return pages.mapInPandas(gen, SPANS_STREAM_SCHEMA)
 
 
 def explode_symbols(spans: DataFrame) -> DataFrame:

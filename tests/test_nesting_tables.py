@@ -193,3 +193,18 @@ def test_table_records_as_dataframe_analog(spark, nested_pages):
     assert hdr == [(1, {"h one": "first para second para", "h two": "plain"})]
     hl = sorted(by_url[synth.url_of(5)])
     assert hl == [(0, {"c0": "a1", "c1": "a2"}), (1, {"c0": "b1", "c1": "b2"})]
+
+
+def test_flat_span_stream_equals_nested(spark, nested_pages):
+    """extract_spans_stream (flat mapInPandas, columnar Arrow) must
+    produce byte-identical assembly to the nested array<struct>
+    path, nesting and tables included."""
+    from ocr_compare_spark.operators.assemble import assemble_doc_text
+    from ocr_compare_spark.operators.extract import extract_spans_stream
+
+    res = run_engines(nested_pages, engines=("dom",))
+    a = assemble_doc_text(spans_table(res))
+    b = assemble_doc_text(extract_spans_stream(nested_pages, engines=("dom",)))
+    j = a.join(b.select("url", "engine", F.col("doc_text").alias("b")), ["url", "engine"])
+    assert j.count() == 3
+    assert j.filter(F.col("doc_text") != F.col("b")).count() == 0

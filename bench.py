@@ -142,6 +142,18 @@ def main() -> int:
         ),
         "cores": cores,
         "reps": REPS,
+        # Self-documenting noise context: tpch_q1 is untouched
+        # pure-SQL whose clean value on this sandbox is ~0.27s; its
+        # inflation factor tells the reader how much of this run's
+        # total is host interference (observed range today:
+        # 0.29-0.68s across identical code). Same-window A/B evidence
+        # for code-level deltas lives in BENCH/R3_NOTES.md.
+        "noise_canary": {
+            "query": "tpch_q1",
+            "clean_ref_sec": 0.27,
+            "observed_sec": timings["tpch_q1"],
+            "inflation": round(timings["tpch_q1"] / 0.27, 2),
+        },
     }
     print(json.dumps(out))
     spark.stop()

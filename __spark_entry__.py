@@ -725,11 +725,17 @@ def _embed_ivf_trained_oracle() -> str:
     import numpy as np
 
     d = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01").rstrip("/")
-    rows = duckdb.sql(
-        f"SELECT embedding FROM read_parquet('{d}/embeddings.parquet') ORDER BY vec_id LIMIT 4096"
-    ).fetchall()
-    mat = np.array([list(r[0]) for r in rows], dtype=np.float64)
-    cents = similarity.lloyd_kmeans(mat, n_centroids=16, iters=5)
+    try:
+        rows = duckdb.sql(
+            f"SELECT embedding FROM read_parquet('{d}/embeddings.parquet') ORDER BY vec_id LIMIT 4096"
+        ).fetchall()
+        mat = np.array([list(r[0]) for r in rows], dtype=np.float64)
+        cents = similarity.lloyd_kmeans(mat, n_centroids=16, iters=5)
+    except Exception:
+        # unreadable sample must not break the WHOLE oracle dict —
+        # fall back to the seeded twin (this one row would then
+        # mismatch instead of all 53 erroring)
+        return _embed_ivf_oracle()
     return _embed_ivf_oracle(cents=cents)
 
 

@@ -120,13 +120,25 @@ def main() -> int:
     # doesn't help; interleaving decorrelates the reps (measured:
     # per-phase swings of 3-5x between whole runs, e.g. compare_align
     # 2.0s vs 9.8s, with identical code).
-    timings = {name: float("inf") for name in queries}
-    for _ in range(REPS):
-        for name, fn in queries.items():
-            t0 = time.time()
-            fn()
-            timings[name] = min(timings[name], time.time() - t0)
-    timings = {name: round(v, 3) for name, v in timings.items()}
+    def run_attempt() -> dict[str, float]:
+        t = {name: float("inf") for name in queries}
+        for _ in range(REPS):
+            for name, fn in queries.items():
+                t0 = time.time()
+                fn()
+                t[name] = min(t[name], time.time() - t0)
+        return {name: round(v, 3) for name, v in t.items()}
+
+    # Self-defending against host-noise windows: when the untouched
+    # pure-SQL canary (clean value ~0.27s) exceeds 0.35s the whole
+    # attempt sat in an interference window — rerun once and report
+    # the cleaner attempt, recording BOTH in the JSON so no manual
+    # discard judgment is needed.
+    CANARY_LIMIT = 0.35
+    attempts = [run_attempt()]
+    if attempts[0]["tpch_q1"] > CANARY_LIMIT:
+        attempts.append(run_attempt())
+    timings = min(attempts, key=lambda t: t["tpch_q1"])
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -153,7 +165,16 @@ def main() -> int:
             "clean_ref_sec": 0.27,
             "observed_sec": timings["tpch_q1"],
             "inflation": round(timings["tpch_q1"] / 0.27, 2),
+            "rerun_limit_sec": CANARY_LIMIT,
+            "attempts": [
+                {"canary_sec": a["tpch_q1"], "total_sec": round(sum(a.values()), 3)}
+                for a in attempts
+            ],
         },
+        # spans_assemble times the PIPELINE stage (flat span-stream
+        # extraction + assembly cascade), not assembly alone — the
+        # assembly-only A/B numbers live in BENCH/R3_NOTES.md.
+        "spans_assemble_includes_extraction": True,
     }
     print(json.dumps(out))
     spark.stop()

@@ -31,19 +31,53 @@ _MEDIABOX_RE = re.compile(
 )
 
 
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.DOTALL)
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)*)\s*\]")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+
+
+def _box_wh(body: bytes) -> tuple[float, float] | None:
+    m = _MEDIABOX_RE.search(body)
+    if not m:
+        return None
+    x0, y0, x1, y1 = (float(v) for v in m.groups())
+    return (x1 - x0, y1 - y0)
+
+
 def parse_page_dims(data: bytes, n_pages: int) -> list[tuple[float, float] | None]:
-    """Per-page (width, height) from each page object's MediaBox
-    (reference Page.width/height, ocr_schema.py:170-187) — parsed,
-    not assumed. Page objects appear in Kids order in our subset;
-    missing boxes yield None."""
-    boxes = _MEDIABOX_RE.findall(data)
+    """Per-page (width, height) from the MediaBox (reference
+    Page.width/height, ocr_schema.py:170-187) — parsed, not assumed.
+
+    The MediaBox is scoped to each PAGE OBJECT's body (in /Kids
+    order), not matched positionally against the whole byte stream; a
+    page object without its own box inherits the page-tree ancestor's
+    (the /Type /Pages node — PDF MediaBox is inheritable and real
+    PDFs often carry it only on the root Pages node). Pages outside
+    the parsed object map fall back to the previous sibling, then
+    None."""
+    objs: dict[int, bytes] = {}
+    pages_body: bytes | None = None
+    for m in _OBJ_RE.finditer(data):
+        body = m.group(2)
+        objs[int(m.group(1))] = body
+        if pages_body is None and re.search(rb"/Type\s*/Pages\b", body):
+            pages_body = body
+    inherited = _box_wh(pages_body) if pages_body is not None else None
+    kid_ids: list[int] = []
+    if pages_body is not None:
+        km = _KIDS_RE.search(pages_body)
+        if km:
+            kid_ids = [int(r) for r in _REF_RE.findall(km.group(1))]
     dims: list[tuple[float, float] | None] = []
     for i in range(n_pages):
-        if i < len(boxes):
-            x0, y0, x1, y1 = (float(v) for v in boxes[i])
-            dims.append((x1 - x0, y1 - y0))
-        else:
-            dims.append(dims[-1] if dims else None)
+        box = None
+        if i < len(kid_ids) and kid_ids[i] in objs:
+            box = _box_wh(objs[kid_ids[i]])
+        if box is None:
+            box = inherited
+        if box is None:
+            box = dims[-1] if dims else None
+        dims.append(box)
     return dims
 
 

@@ -187,13 +187,21 @@ def _assemble_blocks(spans: DataFrame) -> DataFrame:
                 F.collect_list(
                     F.struct(suffix.alias("o"), F.col("elem_text").alias("t"), F.col("block_type").alias("bt"))
                 )
-            ).alias("elems")
+            ).alias("elems"),
+            # top block's type = the type of its MINIMAL-DEPTH element
+            # (first in document order among the block's own direct
+            # elements) — NOT the DFS-first entry: a container whose
+            # first child is a nested HEADING/TABLE block sorts that
+            # child's element first lexicographically and would
+            # mislabel the whole block (chunk_layout's heading
+            # carry-forward would then treat the container as a
+            # heading)
+            F.min_by(
+                F.col("block_type"), F.struct(F.size(suffix).alias("d"), suffix.alias("s"))
+            ).alias("block_type"),
         )
         .select(
-            *base, "page_no", "block_no",
-            # top block's type = its first element's (exact for
-            # uniform blocks, i.e. everything non-nested)
-            F.element_at("elems", 1).bt.alias("block_type"),
+            *base, "page_no", "block_no", "block_type",
             F.array_join(F.transform(F.col("elems"), lambda x: x.t), SEP_BLOCK).alias("block_text"),
         )
     )

@@ -19,6 +19,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+# lsh_candidates persists its (tiny, ids-only) membership aggregate so
+# the expansion joins don't recompute the md5 groupBy. The returned
+# DataFrame is lazy, so the function itself can never know when it is
+# safe to unpersist; instead each call releases the PREVIOUS call's
+# cached aggregate, capping accumulation at one resident copy across
+# bench reps / long sessions (callers wanting zero residue can call
+# release_lsh_cache() after materializing their result).
+_LSH_CACHED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    release_lsh_cache()
+    _LSH_CACHED.append(df.persist())
+    return df
+
+
+def release_lsh_cache() -> None:
+    while _LSH_CACHED:
+        _LSH_CACHED.pop().unpersist()
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content-hash grouping (≈ the reference's md5 cache key,
@@ -183,10 +203,12 @@ def lsh_candidates(
     # come from a separate text aggregate consumed exactly once by
     # the signature path; texts are identical within a group (grp =
     # md5(text)), so any_value is the min-id member's text too.
-    groups = keyed.groupBy("grp").agg(
-        F.min("id").alias("id"),
-        F.array_sort(F.collect_list("id")).alias("members"),
-    ).persist()
+    groups = _track_persist(
+        keyed.groupBy("grp").agg(
+            F.min("id").alias("id"),
+            F.array_sort(F.collect_list("id")).alias("members"),
+        )
+    )
     reps = keyed.groupBy("grp").agg(
         F.min("id").alias("id"), F.any_value("text").alias("text")
     ).select("id", "text")
@@ -338,7 +360,10 @@ def auto_sign_bits(n: int, dim: int, target_block_size: int = 1024) -> int:
     want = 0
     if n > target_block_size:
         want = math.ceil(math.log2(n / target_block_size))
-    return max(4, min(want, dim, 30))
+    # dim cap LAST: max(4, ...) before it would return bits > dim for
+    # dim < 4 embeddings, and element_at(vec, i) past the array end
+    # throws under Spark 4 ANSI mode
+    return min(dim, max(4, min(want, 30)))
 
 
 def embed_near_dups(
@@ -348,6 +373,8 @@ def embed_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_block_size: int = 1024,
+    n: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-orthant blocking
     (the fifth dedup tier: semantic near-dups that no token hash sees).
@@ -379,9 +406,15 @@ def embed_near_dups(
     from ocr_compare_spark.operators.similarity import cosine_native
 
     if sign_bits is None:
-        n = emb.count()  # parquet metadata count — cheap
-        dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else 1
+        # ``n``/``dim`` hints skip the two sizing jobs — a count() on a
+        # parquet source is metadata-cheap, but on a DERIVED DataFrame
+        # it recomputes the whole upstream plan; callers that know the
+        # corpus shape should pass both.
+        if n is None:
+            n = emb.count()
+        if dim is None:
+            dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else 1
         sign_bits = auto_sign_bits(n, dim, target_block_size)
     block = F.lit(0)
     for b in range(sign_bits):

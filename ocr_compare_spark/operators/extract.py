@@ -493,8 +493,13 @@ SPANS_STREAM_SCHEMA = T.StructType(
         T.StructField("engine", T.StringType(), False),
         T.StructField("engine_version", T.StringType(), False),
     ]
-    + list(SPAN_FIELDS)
+    # span fields all NULLABLE here: error docs emit one null-field
+    # row (the posexplode_outer twin of the nested path)
+    + [T.StructField(f.name, f.dataType, True) for f in SPAN_FIELDS]
 )
+
+
+_NULL_SPAN = {f.name: None for f in SPAN_FIELDS}
 
 
 def extract_spans_stream(
@@ -532,7 +537,16 @@ def extract_spans_stream(
                     except Exception as e:
                         parsed = ParsedDoc(error=f"parse_error:{type(e).__name__}")
                     if parsed.error is not None:
-                        continue  # error rows live on the doc-level path
+                        # one all-null span row per error doc — the
+                        # nested path's posexplode_outer over the
+                        # empty `spans` array emits exactly this, so
+                        # downstream assembly sees the same rows on
+                        # either path for corpora containing errors
+                        all_spans.append(_NULL_SPAN)
+                        urls.append(url)
+                        engs.append(spec.name)
+                        vers.append(spec.version)
+                        continue
                     r = doc_to_result(parsed, spec.confidence, with_spans=True)
                     n = len(r["spans"])
                     all_spans.extend(r["spans"])

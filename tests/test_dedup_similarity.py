@@ -284,3 +284,33 @@ def test_train_centroids_short_sample_raises(vectors):
     df, _ = vectors
     with pytest.raises(ValueError, match="n_centroids"):
         similarity.train_centroids(df.limit(3), n_centroids=8, id_col="vec_id")
+
+
+def test_auto_sign_bits_dim_clamp():
+    """dim < 4: the floor max(4, ...) must not override the dim cap —
+    element_at(vec, i) past the array end throws under Spark 4 ANSI
+    mode (ADVICE r3)."""
+    assert dedup.auto_sign_bits(10**6, dim=2) == 2
+    assert dedup.auto_sign_bits(10, dim=3) == 3
+    assert dedup.auto_sign_bits(10**6, dim=64) > 4
+
+
+def test_embed_near_dups_hints_skip_sizing_jobs(vectors):
+    """n/dim hints must make the auto path run ZERO Spark jobs at
+    plan-build time (on a derived input, count()/first() re-run the
+    whole upstream plan) and still match the pinned-bits result."""
+    df, mat = vectors
+    sc = df.sparkSession.sparkContext
+    sc.setJobGroup("embed_hints", "no jobs expected at plan build")
+    try:
+        out = dedup.embed_near_dups(
+            df, threshold=0.9, n=len(mat), dim=mat.shape[1], target_block_size=1 << 30
+        )
+        ids = sc.statusTracker().getJobIdsForGroup("embed_hints")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(ids) == []
+    # huge target block -> auto sizes to the 4-bit floor = the pinned run
+    want = {tuple(r) for r in dedup.embed_near_dups(df, threshold=0.9, sign_bits=4).collect()}
+    got = {tuple(r) for r in out.collect()}
+    assert got == want

@@ -154,3 +154,21 @@ def test_density_keeps_short_headings():
     assert any(t.startswith("long enough") for t in texts)
     types = [b.block_type for b in doc.pages[0]]
     assert "HEADING" in types
+
+
+def test_parse_page_dims_scoped_and_inherited():
+    """MediaBox is read from each page OBJECT (in /Kids order) and
+    inherits from the /Type /Pages ancestor when a page omits it —
+    not matched positionally against the whole byte stream
+    (ADVICE r3: real PDFs often carry the box only on the root)."""
+    from ocr_compare_spark.engines.pdf_stream import parse_page_dims
+
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 "
+        b"/MediaBox [0 0 200 400] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 100 50] >>\nendobj\n"
+    )
+    assert parse_page_dims(data, 2) == [(200.0, 400.0), (100.0, 50.0)]

@@ -208,3 +208,23 @@ def test_flat_span_stream_equals_nested(spark, nested_pages):
     j = a.join(b.select("url", "engine", F.col("doc_text").alias("b")), ["url", "engine"])
     assert j.count() == 3
     assert j.filter(F.col("doc_text") != F.col("b")).count() == 0
+
+
+def test_span_stream_emits_null_row_for_error_docs(spark):
+    """Stream-path parity on error corpora (ADVICE r3): the nested
+    path's posexplode_outer gives one null-field row per error doc;
+    the flat stream must emit the same row, not silently drop it."""
+    from ocr_compare_spark.operators.extract import extract_spans_stream, run_engines_fused
+    from ocr_compare_spark.schema import PAGES_SCHEMA
+
+    rows = [
+        ("u_ok", None, b"<html><body><p>hello world</p></body></html>", "hello world", "en"),
+        ("u_null", None, None, None, "en"),
+    ]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    nested = spans_table(run_engines_fused(pages, engines=("dom",)))
+    stream = extract_spans_stream(pages, engines=("dom",))
+    n = sorted((r.url, r.text) for r in nested.select("url", "text").collect())
+    s = sorted((r.url, r.text) for r in stream.select("url", "text").collect())
+    assert n == s
+    assert ("u_null", None) in s

@@ -1002,6 +1002,84 @@ def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five relational demo queries (window top-k, anti join, semi
+    join + agg, 3-way join top-10, ROLLUP) folded into ONE gated row
+    set: the driver's correctness gate records at most 50 rows, and
+    gating these individually pushed three registry entries past the
+    cap in round 3 (they were green in the r1/r2 gates and still pass
+    check_oracles — this keeps every entry gated). Each sub-result is
+    normalized to (q, k1, k2, v1, v2) and unioned; the oracle is the
+    same UNION ALL over the five SQL twins."""
+
+    def norm(df: DataFrame, tag: str, k1, k2, v1, v2) -> DataFrame:
+        null_s = F.lit(None).cast("string")
+        null_d = F.lit(None).cast("double")
+        return df.select(
+            F.lit(tag).alias("q"),
+            k1.cast("string").alias("k1"),
+            (k2.cast("string") if k2 is not None else null_s).alias("k2"),
+            (v1.cast("double") if v1 is not None else null_d).alias("v1"),
+            (v2.cast("double") if v2 is not None else null_d).alias("v2"),
+        )
+
+    parts = [
+        norm(q_top_customers(spark, sf_dir), "top_customers",
+             F.col("n_name"), F.col("c_custkey"), F.col("rnk"), F.col("revenue")),
+        norm(q_customers_no_orders(spark, sf_dir), "no_orders",
+             F.col("c_custkey"), None, None, None),
+        norm(q_order_priority_semi(spark, sf_dir), "prio_semi",
+             F.col("o_orderpriority"), None, F.col("n_orders"), None),
+        norm(q_tpch_q3ish(spark, sf_dir), "q3_top10",
+             F.col("l_orderkey"), None, F.col("revenue"), None),
+        norm(q_rollup_lineitem(spark, sf_dir), "rollup",
+             F.col("l_returnflag"), F.col("l_linestatus"), F.col("n"), F.col("sum_qty")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 STATEFUL streaming dedup as a driver row (was pytest-only
+    through r3): pages streamed from a file source, first-seen-per-
+    content-hash via applyInPandasWithState (explicit GroupState,
+    streaming/jobs.py:first_seen_stream), AvailableNow trigger,
+    parquet sink with exactly-once streaming checkpoints. WHICH
+    member of a duplicate group wins follows arrival order, so the
+    query returns the deterministic part — the emitted KEY SET (one
+    row per distinct text), joined with batch-side group sizes — and
+    the oracle recomputes both from `documents` (the batch twin of
+    dedup_exact's contract)."""
+    import tempfile
+
+    from ocr_compare_spark.streaming.jobs import first_seen_stream
+
+    base = tempfile.mkdtemp(prefix="ocr_stream_dedup_")
+    inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    p = _pages(spark, sf_dir).select("url", "text").filter(F.col("text").isNotNull())
+    p.write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema("url string, text string").parquet(inp)
+    q = (
+        first_seen_stream(stream, hash_col="text")
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = spark.read.parquet(outp).select("content_hash")
+    sizes = p.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count("*").alias("n_docs")
+    )
+    return kept.join(sizes, "content_hash").select(
+        F.col("content_hash").alias("text_hash"), "n_docs"
+    )
+
+
 # ------------------------------------------------------------ contract
 
 
@@ -1068,16 +1146,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_union": q_bbox_union,
         "doc_dims": q_doc_dims,
         "stream_extract": q_stream_extract,
+        "stream_dedup": q_stream_dedup,
         "param_grid": q_param_grid,
         "host_stats_salted": q_host_stats_salted,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "tpch_q1": q_tpch_q1,
-        "top_customers": q_top_customers,
-        "customers_no_orders": q_customers_no_orders,
-        "order_priority_semi": q_order_priority_semi,
-        "tpch_q3ish": q_tpch_q3ish,
-        "rollup_lineitem": q_rollup_lineitem,
+        # the five relational demos are gated as ONE suite row set —
+        # the r3 gate recorded exactly 50 rows and dropped the last 3
+        # individually-registered demos; the registry is now exactly
+        # 50 so EVERY entry gets a gate row (q_top_customers etc.
+        # remain importable/tested individually)
+        "tpch_suite": q_tpch_suite,
     }
 
 
@@ -1778,42 +1858,53 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
-        "top_customers": """
+        "tpch_suite": """
             WITH rev AS (
               SELECT o_custkey, sum(o_totalprice) AS revenue FROM orders GROUP BY o_custkey
-            ), r AS (
-              SELECT n.n_name, c.c_custkey, rev.revenue,
-                     row_number() OVER (PARTITION BY n.n_name ORDER BY rev.revenue DESC, c.c_custkey ASC) AS rnk
-              FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
-                       JOIN nation n ON c.c_nationkey = n.n_nationkey
+            ), tc AS (
+              SELECT n_name, c_custkey, revenue, rnk FROM (
+                SELECT n.n_name, c.c_custkey, rev.revenue,
+                       row_number() OVER (PARTITION BY n.n_name ORDER BY rev.revenue DESC, c.c_custkey ASC) AS rnk
+                FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+                         JOIN nation n ON c.c_nationkey = n.n_nationkey
+              ) WHERE rnk <= 3
+            ), no_orders AS (
+              SELECT c_custkey FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ), prio AS (
+              SELECT o_orderpriority, count(*) AS n_orders
+              FROM orders o
+              WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+              GROUP BY o_orderpriority
+            ), q3 AS (
+              SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY l_orderkey
+              ORDER BY revenue DESC, l_orderkey ASC
+              LIMIT 10
+            ), ru AS (
+              SELECT l_returnflag, l_linestatus, count(*) AS n,
+                     round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem
+              GROUP BY ROLLUP (l_returnflag, l_linestatus)
             )
-            SELECT n_name, CAST(rnk AS BIGINT) AS rnk, c_custkey, round(revenue, 2) AS revenue
-            FROM r WHERE rnk <= 3
+            SELECT 'top_customers' AS q, n_name AS k1, CAST(c_custkey AS VARCHAR) AS k2,
+                   CAST(rnk AS DOUBLE) AS v1, round(revenue, 2) AS v2 FROM tc
+            UNION ALL
+            SELECT 'no_orders', CAST(c_custkey AS VARCHAR), NULL, NULL, NULL FROM no_orders
+            UNION ALL
+            SELECT 'prio_semi', o_orderpriority, NULL, CAST(n_orders AS DOUBLE), NULL FROM prio
+            UNION ALL
+            SELECT 'q3_top10', CAST(l_orderkey AS VARCHAR), NULL, revenue, NULL FROM q3
+            UNION ALL
+            SELECT 'rollup', l_returnflag, l_linestatus, CAST(n AS DOUBLE), sum_qty FROM ru
         """,
-        "customers_no_orders": """
-            SELECT c_custkey FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        """,
-        "order_priority_semi": """
-            SELECT o_orderpriority, count(*) AS n_orders
-            FROM orders o
-            WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
-            GROUP BY o_orderpriority
-        """,
-        "tpch_q3ish": """
-            SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE c_mktsegment = 'BUILDING'
-            GROUP BY l_orderkey
-            ORDER BY revenue DESC, l_orderkey ASC
-            LIMIT 10
-        """,
-        "rollup_lineitem": """
-            SELECT l_returnflag, l_linestatus, count(*) AS n,
-                   round(sum(l_quantity), 2) AS sum_qty
-            FROM lineitem
-            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        "stream_dedup": """
+            SELECT md5(text) AS text_hash, count(*) AS n_docs
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY md5(text)
         """,
     }

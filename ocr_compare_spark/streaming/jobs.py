@@ -103,13 +103,19 @@ def dedup_stream(pages_stream: DataFrame, watermark: str | None = None) -> DataF
     return keyed.dropDuplicates(["content_hash"])
 
 
-def first_seen_stream(pages_stream: DataFrame) -> DataFrame:
+def first_seen_stream(pages_stream: DataFrame, hash_col: str = "html") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState (the
     escape hatch for semantics the built-ins can't express): emit
     only the FIRST document seen per content hash ACROSS micro-
     batches, carrying a per-key boolean state. Functionally the
     streaming twin of the result cache's skip path — kept alongside
-    dedup_stream to exercise explicit GroupState plumbing."""
+    dedup_stream to exercise explicit GroupState plumbing.
+
+    ``hash_col`` picks the content column to dedup on (binary or
+    string). WHICH member row is emitted per key follows arrival
+    order (non-deterministic under parallelism); the emitted KEY SET
+    — one row per distinct content — is exact and deterministic, and
+    is what the driver-gate query checks."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdfs, state: GroupState):
@@ -123,7 +129,7 @@ def first_seen_stream(pages_stream: DataFrame) -> DataFrame:
         if first is not None:
             yield first
 
-    keyed = pages_stream.withColumn("content_hash", F.md5(F.col("html")))
+    keyed = pages_stream.withColumn("content_hash", F.md5(F.col(hash_col)))
     return keyed.groupBy("content_hash").applyInPandasWithState(
         fn,
         "url string, content_hash string",

@@ -12,7 +12,13 @@ CER / WER / LCS alignment).
   ocr_comparison.py:146-151).
 - CER / WER / LCS need dynamic programming → one Arrow-vectorized
   pandas UDF over the paired texts (numpy DP, exact Levenshtein via
-  the min-accumulate trick — no banding, no approximation).
+  the min-accumulate trick). The DP is exact by default; affix
+  stripping makes mostly-agreeing engine pairs ~linear, but two LONG,
+  genuinely divergent texts cost a full O(m·n) DP — at web scale pass
+  ``max_align_len`` to bound it: pairs longer than the cap have their
+  metrics computed on the first ``max_align_len`` characters of each
+  text and carry ``capped = true`` (a well-defined prefix metric,
+  never a silent truncation — SURVEY §7 hard #4).
 """
 
 from __future__ import annotations
@@ -96,9 +102,25 @@ def _codes(s: str) -> np.ndarray:
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
 
 
-def align_metrics(text_a: str, text_b: str) -> dict:
+def align_metrics(text_a: str, text_b: str, max_len: int | None = None) -> dict:
+    """CER / WER / LCS spans for one text pair.
+
+    ``max_len``: optional cap on the DP size. None (default) is the
+    EXACT path — full quadratic DP, used wherever results feed the
+    oracle gate. With a cap, a pair whose either side exceeds
+    ``max_len`` characters is truncated to its first ``max_len``
+    characters BEFORE any metric (denominators included) and the
+    result carries ``capped = True`` — the metric of the capped
+    prefix pair is well-defined and deterministic, and the flag makes
+    the truncation explicit to every consumer. Cost bound: O(max_len
+    ^2) cells per capped pair for the char DP (token DP and difflib
+    are bounded by the same prefix)."""
     a = text_a or ""
     b = text_b or ""
+    capped = False
+    if max_len is not None and (len(a) > max_len or len(b) > max_len):
+        a, b = a[:max_len], b[:max_len]
+        capped = True
     ca, cb = _codes(a), _codes(b)
     denom_c = max(len(ca), len(cb))
     cer = (levenshtein_np(ca, cb) / denom_c) if denom_c else 0.0
@@ -114,16 +136,28 @@ def align_metrics(text_a: str, text_b: str) -> dict:
         for m in sm.get_matching_blocks()
         if m.size > 0
     ]
-    return {"cer": cer, "wer": wer, "lcs_spans": spans}
+    return {"cer": cer, "wer": wer, "lcs_spans": spans, "capped": capped}
 
 
-@F.pandas_udf(ALIGN_RESULT_TYPE)
-def align_udf(text_a: pd.Series, text_b: pd.Series) -> pd.DataFrame:
-    return pd.DataFrame([align_metrics(x, y) for x, y in zip(text_a, text_b)])
+def make_align_udf(max_len: int | None = None):
+    @F.pandas_udf(ALIGN_RESULT_TYPE)
+    def align_udf(text_a: pd.Series, text_b: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [align_metrics(x, y, max_len) for x, y in zip(text_a, text_b)]
+        )
+
+    return align_udf
+
+
+# exact-path UDF (back-compat name; the oracle corpus uses this)
+align_udf = make_align_udf(None)
 
 
 def pairwise_compare(
-    results: DataFrame, with_alignment: bool = True, num_partitions: int | None = None
+    results: DataFrame,
+    with_alignment: bool = True,
+    num_partitions: int | None = None,
+    max_align_len: int | None = None,
 ) -> DataFrame:
     """(url, engine, doc_text, confidence) -> one row per engine pair.
 
@@ -206,11 +240,13 @@ def pairwise_compare(
     )
     out = pairs.withColumn("jaccard", jaccard)
     if with_alignment:
-        out = out.withColumn("align", align_udf(F.col("text_a"), F.col("text_b"))).select(
+        udf = make_align_udf(max_align_len)
+        out = out.withColumn("align", udf(F.col("text_a"), F.col("text_b"))).select(
             "url", "engine_a", "engine_b", "jaccard",
             F.col("align.cer").alias("cer"),
             F.col("align.wer").alias("wer"),
             F.col("align.lcs_spans").alias("lcs_spans"),
+            F.col("align.capped").alias("capped"),
             "char_count_a", "char_count_b", "word_count_a", "word_count_b",
             "line_count_a", "line_count_b", "confidence_a", "confidence_b",
         )

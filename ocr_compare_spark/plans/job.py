@@ -44,6 +44,7 @@ def build_and_run(
     force_refresh: bool = False,
     with_assemble: bool = False,
     with_dedup: bool = False,
+    max_align_len: int | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -144,6 +145,9 @@ def build_and_run(
         staged,
         with_alignment=with_alignment,
         num_partitions=spark.sparkContext.defaultParallelism if with_alignment else None,
+        # bound the per-pair alignment DP at scale (capped pairs carry
+        # an explicit `capped` column in the output — never silent)
+        max_align_len=max_align_len,
     )
     compare = compare.drop("lcs_spans", "text_a", "text_b")
     if output_dir:
@@ -230,6 +234,8 @@ def main() -> int:
     ap.add_argument("--force-refresh", action="store_true")
     ap.add_argument("--with-assemble", action="store_true")
     ap.add_argument("--with-dedup", action="store_true")
+    ap.add_argument("--max-align-len", type=int, default=None,
+                    help="cap the alignment DP; capped pairs are flagged, not silently truncated")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -254,6 +260,7 @@ def main() -> int:
         force_refresh=args.force_refresh,
         with_assemble=args.with_assemble,
         with_dedup=args.with_dedup,
+        max_align_len=args.max_align_len,
     )
     out["master"] = spark.sparkContext.master
     print("BENCH_JSON:" + json.dumps(out))

@@ -149,6 +149,10 @@ ALIGN_RESULT_TYPE = T.StructType(
         T.StructField("cer", T.DoubleType(), True),
         T.StructField("wer", T.DoubleType(), True),
         T.StructField("lcs_spans", LCS_SPAN_TYPE, True),
+        # True when the pair was longer than the caller's max_align_len
+        # and the metrics were computed on the capped prefixes instead
+        # (SURVEY §7 hard #4: bounded DP, no SILENT truncation)
+        T.StructField("capped", T.BooleanType(), False),
     ]
 )
 

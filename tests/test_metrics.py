@@ -71,3 +71,49 @@ def test_wer_token_ids_not_chars():
     # long distinct tokens must count as single edits
     m = align_metrics("internationalization", "localization")
     assert m["wer"] == 1.0
+
+
+def test_align_cap_bounds_divergent_pair():
+    """SURVEY §7 hard #4: two long, genuinely divergent texts cost a
+    full quadratic DP on the exact path; with max_len the runtime is
+    bounded and the result carries an EXPLICIT capped flag (metrics
+    of the capped prefix pair — never silent truncation)."""
+    import time
+
+    rng = random.Random(3)
+    # divergent: no shared affixes for the stripper to remove
+    a = " ".join(f"a{rng.randrange(10**6)}" for _ in range(12_000))
+    b = " ".join(f"b{rng.randrange(10**6)}" for _ in range(12_000))
+    t0 = time.time()
+    m = align_metrics(a, b, max_len=2_000)
+    capped_secs = time.time() - t0
+    assert m["capped"] is True
+    assert capped_secs < 5.0  # exact path on ~90k chars is minutes
+    # prefix metric equals the exact metric of the truncated pair
+    exact_prefix = align_metrics(a[:2_000], b[:2_000])
+    assert m["cer"] == exact_prefix["cer"]
+    assert m["wer"] == exact_prefix["wer"]
+    assert m["lcs_spans"] == exact_prefix["lcs_spans"]
+    # under-cap pairs are EXACT and unflagged
+    m2 = align_metrics("the cat sat", "the dog sat", max_len=2_000)
+    assert m2["capped"] is False
+    assert m2["wer"] == 1 / 3
+    # default path never caps
+    assert align_metrics("x" * 10, "y" * 10)["capped"] is False
+
+
+def test_pairwise_compare_capped_column(spark):
+    """max_align_len plumbs through pairwise_compare: the output
+    gains a `capped` column flagging exactly the over-cap pairs."""
+    from ocr_compare_spark.operators.compare import pairwise_compare
+
+    rows = [
+        ("u_long", "dom", "L " + "x y z " * 500, 0.9),
+        ("u_long", "density", "R " + "p q r " * 500, 0.95),
+        ("u_short", "dom", "hello world", 0.9),
+        ("u_short", "density", "hello there", 0.95),
+    ]
+    df = spark.createDataFrame(rows, "url string, engine string, doc_text string, confidence double")
+    out = pairwise_compare(df, with_alignment=True, max_align_len=100)
+    got = {r.url: r.capped for r in out.collect()}
+    assert got == {"u_long": True, "u_short": False}

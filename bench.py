@@ -73,10 +73,16 @@ def main() -> int:
     def q_spans_assemble():
         # span-level pipelines use the FLAT span stream (columnar
         # Arrow conversion; measured 1.2x over the nested
-        # array<struct> path at identical bytes — extract.py docstring)
-        from ocr_compare_spark.operators.extract import extract_spans_stream
+        # array<struct> path at identical bytes — extract.py
+        # docstring) emitting only the columns assembly consumes
+        from ocr_compare_spark.operators.extract import (
+            ASSEMBLY_SPAN_FIELDS,
+            extract_spans_stream,
+        )
 
-        sp = extract_spans_stream(pages, engines=("dom",), num_partitions=cores)
+        sp = extract_spans_stream(
+            pages, engines=("dom",), num_partitions=cores, fields=ASSEMBLY_SPAN_FIELDS
+        )
         assemble_doc_text(sp).write.format("noop").mode("overwrite").save()
 
     def q_dedup_minhash():

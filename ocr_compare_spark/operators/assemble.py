@@ -18,6 +18,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from ocr_compare_spark.schema import SEP_BLOCK, SEP_DOCUMENT, SEP_LINE, SEP_PAGE, SEP_PARAGRAPH
 
+# _assemble_blocks' single-pass L1 (cell paragraph runs folding with
+# the word separator) relies on the line and paragraph separators
+# being identical (ocr_schema.py:102,119 — both ' ')
+assert SEP_LINE == SEP_PARAGRAPH
+
 
 def _ordered_concat(df: DataFrame, keys: list[str], ordinal, text_col: str, sep: str, out: str) -> DataFrame:
     o = F.col(ordinal) if isinstance(ordinal, str) else ordinal
@@ -37,9 +42,7 @@ def assemble_blocks(spans: DataFrame) -> DataFrame:
     block_text and block_type — the word->line->para->block prefix of
     the assembly cascade, exposed for consumers that operate at block
     granularity (layout chunking, geometry joins)."""
-    from ocr_compare_spark.operators.extract import with_elem_path
-
-    return _assemble_blocks(with_elem_path(spans).repartition("url", "engine"))
+    return _assemble_blocks(spans.repartition("url", "engine"))
 
 
 def assemble_doc_text(spans: DataFrame) -> DataFrame:
@@ -47,13 +50,11 @@ def assemble_doc_text(spans: DataFrame) -> DataFrame:
     engines' fast-path assembly. Handles TEXT and TABLE blocks."""
     base = ["url", "engine"]
 
-    from ocr_compare_spark.operators.extract import with_elem_path
-
     # One shuffle on the coarsest key up front: HashPartitioning
     # (url, engine) is a subset of every finer grouping's keys, so
     # the whole word->line->para->block->page->doc cascade runs
     # exchange-free (measured: 10 exchanges -> 4, ~6x faster).
-    blocks = _assemble_blocks(with_elem_path(spans).repartition("url", "engine"))
+    blocks = _assemble_blocks(spans.repartition("url", "engine"))
 
     pages = _ordered_concat(blocks, base + ["page_no"], "block_no", "block_text", SEP_PAGE, "page_text")
     docs = _ordered_concat(pages, base, "page_no", "page_text", SEP_DOCUMENT, "doc_text")
@@ -72,11 +73,16 @@ def _assemble_blocks(spans: DataFrame) -> DataFrame:
     block's text is a flat '\\n'-join of its rendered elements in
     LEXICOGRAPHIC elem_path order — no recursive plan needed.
 
-    Three aggregation levels — the same depth as the pre-recursion
-    cascade (an earlier 5-level version measured 2.8x slower on the
-    sf0.1 bench purely from the extra ObjectHashAggregate passes).
-    All groupBy keys share the (url, engine) prefix, so the whole
-    cascade runs exchange-free after one repartition:
+    Three aggregation levels — measured as the sweet spot in BOTH
+    directions: a 5-level variant ran 2.8x slower from the extra
+    ObjectHashAggregate passes (r2), and an r4 experiment FUSING
+    L1+L2 into one word->element aggregation (legal since line sep ==
+    para sep == ' ') was 1.28x SLOWER than this three-level form in a
+    same-window A/B (2.58s vs 3.30s at sf0.1) — the interpreted
+    per-word markdown fold plus the larger sorted arrays cost more
+    than the saved codegen'd aggregate pass. All groupBy keys share
+    the (url, engine) prefix, so the whole cascade runs exchange-free
+    after one repartition:
     - L1 word -> line (TEXT) / cell (TABLE): ordering by
       (para_no, word_no) folds a cell's paragraph runs (Cell.blocks)
       and its words in one pass — both join with ' '.
@@ -87,8 +93,20 @@ def _assemble_blocks(spans: DataFrame) -> DataFrame:
       (reference Table.header is Optional).
     - L3 element -> block: parts ordered by the elem_path suffix
       (after the top block ordinal), joined with SEP_BLOCK.
-    """
+
+    KEY SCHEME: the stored span table keeps elem_path NULL for flat
+    TEXT spans (schema.py) — the cascade does NOT normalize it to a
+    materialized [block_no, para_no] array (the old with_elem_path
+    pre-pass allocated + hashed one small array per WORD through the
+    shuffle and all three aggregates, ~97% of them flat). Instead the
+    group key is the PAIR (elem_path, flat_para) where flat_para =
+    para_no iff elem_path is NULL: flat paragraphs group by the int,
+    explicit-path spans (nested + TABLE, which always store the path)
+    group by the array — the same groups, zero per-word allocation.
+    Arrays are only built at L3 over ELEMENT-level rows (tens of
+    times fewer)."""
     base = ["url", "engine"]
+    flat_para = F.when(F.col("elem_path").isNull(), F.col("para_no"))
 
     # L1: word -> line (TEXT) / cell (TABLE). Ordering by
     # (para_no, word_no) makes this ONE level for both kinds: a TEXT
@@ -97,8 +115,9 @@ def _assemble_blocks(spans: DataFrame) -> DataFrame:
     # (run, word)-ordered join IS the Cell.blocks rendering.
     l1_ord = F.struct(F.col("para_no").alias("p"), F.col("word_no").alias("w"))
     lines = (
-        spans.groupBy(
-            *base, "page_no", "block_no", "block_type", "elem_path",
+        spans.withColumn("flat_para", flat_para)
+        .groupBy(
+            *base, "page_no", "block_no", "block_type", "elem_path", "flat_para",
             "line_no", "row_no", "column_no", "row_type",
         )
         .agg(
@@ -125,7 +144,7 @@ def _assemble_blocks(spans: DataFrame) -> DataFrame:
         F.coalesce(F.col("column_no"), F.lit(0)).alias("c"),
     )
     l2 = (
-        lines.groupBy(*base, "page_no", "block_no", "block_type", "elem_path")
+        lines.groupBy(*base, "page_no", "block_no", "block_type", "elem_path", "flat_para")
         .agg(
             F.array_sort(
                 F.collect_list(
@@ -171,7 +190,7 @@ def _assemble_blocks(spans: DataFrame) -> DataFrame:
         F.when(F.col("has_header") & (F.col("n_rows") == 1), F.concat(F.lit("\n"), sep_row)).otherwise(F.lit("")),
     )
     elems = l2.select(
-        *base, "page_no", "block_no", "block_type", "elem_path",
+        *base, "page_no", "block_no", "block_type", "elem_path", "flat_para",
         F.when(F.col("block_type") == "TABLE", table_text)
         .otherwise(F.concat_ws(SEP_PARAGRAPH, F.transform(F.col("parts"), lambda x: x.t)))
         .alias("elem_text"),
@@ -179,7 +198,11 @@ def _assemble_blocks(spans: DataFrame) -> DataFrame:
 
     # L3: elements -> block, ordered by the elem_path suffix after
     # the top block ordinal (lexicographic array order = DFS order).
-    suffix = F.slice(F.col("elem_path"), 2, F.size("elem_path") - 1)
+    # Flat elements (NULL stored path) get their derivable suffix
+    # [para_no] built HERE — element-level rows only, never per word.
+    suffix = F.when(
+        F.col("elem_path").isNull(), F.array(F.col("flat_para"))
+    ).otherwise(F.slice(F.col("elem_path"), 2, F.size("elem_path") - 1))
     return (
         elems.groupBy(*base, "page_no", "block_no")
         .agg(

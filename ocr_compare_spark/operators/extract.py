@@ -501,11 +501,20 @@ SPANS_STREAM_SCHEMA = T.StructType(
 
 _NULL_SPAN = {f.name: None for f in SPAN_FIELDS}
 
+# The column subset the assembly cascade consumes — passing this as
+# ``fields`` skips pandas/Arrow conversion of the heavy unused columns
+# (bbox struct, extra map, char offsets, confidence) on the hot path.
+ASSEMBLY_SPAN_FIELDS = (
+    "page_no", "block_no", "block_type", "elem_path", "para_no",
+    "line_no", "word_no", "text", "row_no", "column_no", "row_type",
+)
+
 
 def extract_spans_stream(
     pages: DataFrame,
     engines: tuple[str, ...] = ("dom",),
     num_partitions: int | None = None,
+    fields: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Span extraction as a FLAT row stream (mapInPandas): one output
     row per word span, identical values to
@@ -517,11 +526,27 @@ def extract_spans_stream(
     COLUMN-wise instead, which is the hot-path shape for span-level
     pipelines (assembly, geometry, chunking) at 10^12 docs; the
     nested path remains for consumers that need doc_text and spans
-    in one row."""
+    in one row.
+
+    ``fields``: optional subset of SPAN_FIELDS names to emit (plus
+    url/engine/engine_version, always). Consumers that don't need the
+    heavy columns — bbox struct, extra map, char offsets — should
+    pass their subset (assembly: ASSEMBLY_SPAN_FIELDS): the skipped
+    columns never cross the Arrow boundary or the shuffle. Values of
+    the emitted columns are identical to the full emission."""
     specs = [create_engine(n) for n in engines]
+    if fields is None:
+        schema = SPANS_STREAM_SCHEMA
+    else:
+        by_name = {f.name: f for f in SPAN_FIELDS}
+        schema = T.StructType(
+            list(SPANS_STREAM_SCHEMA.fields[:3])
+            + [T.StructField(n, by_name[n].dataType, True) for n in fields]
+        )
+    span_cols = [f.name for f in schema.fields[3:]]
 
     def gen(batches):
-        cols = [f.name for f in SPANS_STREAM_SCHEMA.fields]
+        cols = [f.name for f in schema.fields]
         for pdf in batches:
             all_spans: list[dict] = []
             urls: list[str] = []
@@ -553,7 +578,7 @@ def extract_spans_stream(
                     urls.extend([url] * n)
                     engs.extend([spec.name] * n)
                     vers.extend([spec.version] * n)
-            out = pd.DataFrame(all_spans, columns=[f.name for f in SPANS_STREAM_SCHEMA.fields[3:]])
+            out = pd.DataFrame(all_spans, columns=span_cols)
             out.insert(0, "url", urls)
             out.insert(1, "engine", engs)
             out.insert(2, "engine_version", vers)
@@ -561,7 +586,7 @@ def extract_spans_stream(
 
     if num_partitions:
         pages = pages.repartition(num_partitions, "url")
-    return pages.mapInPandas(gen, SPANS_STREAM_SCHEMA)
+    return pages.mapInPandas(gen, schema)
 
 
 def explode_symbols(spans: DataFrame) -> DataFrame:

@@ -228,3 +228,25 @@ def test_span_stream_emits_null_row_for_error_docs(spark):
     s = sorted((r.url, r.text) for r in stream.select("url", "text").collect())
     assert n == s
     assert ("u_null", None) in s
+
+
+def test_span_stream_field_subset_assembles_identically(spark, nested_pages):
+    """The assembly-column subset emission (bench hot path) must
+    assemble byte-identically to the full emission — the skipped
+    columns (bbox, extra, offsets, confidence) are dead weight for
+    the cascade, not inputs."""
+    from ocr_compare_spark.operators.assemble import assemble_doc_text
+    from ocr_compare_spark.operators.extract import (
+        ASSEMBLY_SPAN_FIELDS,
+        extract_spans_stream,
+    )
+
+    full = assemble_doc_text(extract_spans_stream(nested_pages, engines=("dom",)))
+    slim = assemble_doc_text(
+        extract_spans_stream(nested_pages, engines=("dom",), fields=ASSEMBLY_SPAN_FIELDS)
+    )
+    j = full.join(
+        slim.select("url", "engine", F.col("doc_text").alias("b")), ["url", "engine"]
+    )
+    assert j.count() == 3
+    assert j.filter(F.col("doc_text") != F.col("b")).count() == 0

@@ -65,7 +65,8 @@ toks AS (
          {synth.SQL_IS_PDF} AS is_pdf,
          {synth.SQL_IS_NESTED} AS is_nested,
          {synth.SQL_HAS_TABLE} AS has_table,
-         {synth.SQL_TABLE_HEADER} AS tbl_header
+         {synth.SQL_TABLE_HEADER} AS tbl_header,
+         {synth.SQL_HAS_CELLNEST} AS has_cellnest
   FROM documents
 ),
 tmd AS (
@@ -78,12 +79,12 @@ tmd AS (
   FROM toks
 ),
 paras_base AS (
-  SELECT doc_id, lang, url, is_pdf, is_nested, has_table, tbl_header, tbl_md, t,
+  SELECT doc_id, lang, url, is_pdf, is_nested, has_table, tbl_header, has_cellnest, tbl_md, t,
          unnest(range(0, CAST(ceil(len(t)/{synth.PARA_WORDS}.0) AS BIGINT))) AS para_no
   FROM tmd
 ),
 paras AS (
-  SELECT doc_id, lang, url, is_pdf, is_nested, has_table, tbl_header, tbl_md, para_no,
+  SELECT doc_id, lang, url, is_pdf, is_nested, has_table, tbl_header, has_cellnest, tbl_md, para_no,
          array_to_string(t[(para_no*{synth.PARA_WORDS}+1):(para_no*{synth.PARA_WORDS}+{synth.PARA_WORDS})], ' ') AS para_text,
          len(t[(para_no*{synth.PARA_WORDS}+1):(para_no*{synth.PARA_WORDS}+{synth.PARA_WORDS})]) AS n_tok,
          len(t) AS total_tok
@@ -1288,6 +1289,12 @@ def oracle_sql() -> dict[str, str]:
                         + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 6 ELSE 4 END ELSE 0 END) AS BIGINT) AS n_words,
                    CAST(any_value(CASE WHEN has_table THEN 1 ELSE 0 END) AS BIGINT) AS n_tables,
                    CAST(any_value(CASE WHEN is_nested THEN 2 ELSE 1 END) AS BIGINT) AS max_depth,
+                   -- Cell.blocks bucket (doc_id%40==24): the block in
+                   -- cell (1,0) + the inner table in cell (1,1) = 2
+                   -- nested in-cell items; deepest structural path =
+                   -- [item, row, col] = 3
+                   CAST(any_value(CASE WHEN has_cellnest THEN 2 ELSE 0 END) AS BIGINT) AS n_cell_nested,
+                   CAST(any_value(CASE WHEN has_cellnest THEN 3 ELSE 0 END) AS BIGINT) AS max_cell_depth,
                    CAST(max(total_tok) + 4
                         + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 6 ELSE 4 END ELSE 0 END) AS BIGINT) AS n_paths
             FROM paras WHERE NOT is_pdf GROUP BY url

@@ -42,6 +42,15 @@ VOID_TAGS = {"br", "hr", "img", "meta", "link", "input", "area", "base", "col", 
 HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 
 
+def cell_tokens(cell) -> list[str]:
+    """Word tokens of a cell in rendering order — handles both the
+    plain string form and the structured run-list form (Cell.blocks,
+    see RawBlock.rows)."""
+    if isinstance(cell, str):
+        return cell.split()
+    return [t for _path, _kind, txt in cell for t in txt.split()]
+
+
 @dataclass
 class RawBlock:
     tokens: list[str] = field(default_factory=list)
@@ -49,10 +58,15 @@ class RawBlock:
     inner_tags: int = 0
     in_chrome: bool = False
     is_table: bool = False
-    # rows of cell texts; a cell containing block tags (<p> in <td> —
-    # reference Cell.blocks, ocr_schema.py:215-238) carries '\n'
-    # between its paragraph runs
-    rows: list[list[str]] = field(default_factory=list)
+    # rows of CELLS. A plain cell is a string ('\n' between its
+    # paragraph runs — <p> in <td>). A cell holding STRUCTURED
+    # content (reference Cell.blocks, ocr_schema.py:215-238: blocks
+    # or a whole nested table inside the cell) is a list of runs
+    # (cell_path tuple | None, kind 'block'|'table'|None, run_text):
+    # cell_path is the in-cell element-ordinal path (a para inside
+    # in-cell containers: [item, ..., para]; an INNER table's cell at
+    # grid (ri, ci): [item, ri, ci]).
+    rows: list[list] = field(default_factory=list)
     # header row present? True iff the first row contains a <th> cell
     # (reference Table.header is Optional, ocr_schema.py:280-339 — the
     # old hard-coded first-row-is-header rule mis-rendered headerless
@@ -85,13 +99,37 @@ class _BlockParser(HTMLParser):
         self._container_seq = 0
         # table state
         self._table_depth = 0
-        self._table_rows: list[list[str]] = []
-        # current open cell: list of paragraph token runs (block tags
-        # inside a cell start a new run — Cell.blocks analog)
-        self._cell_paras: list[list[str]] | None = None
+        self._table_rows: list[list] = []
+        # open-cell state (Cell.blocks): accumulated runs, the open
+        # run, the in-cell container ordinal stack and per-level
+        # child counters, and the inner-table capture (a <table>
+        # inside an open cell)
+        self._cell_runs: list[dict] | None = None
+        self._run: dict | None = None
+        self._cell_stack: list[int] = []
+        self._cell_counts: list[int] = []
+        self._inner: dict | None = None
         self._table_chrome = False
         self._table_has_header = False
         self._table_containers: tuple[int, ...] = ()
+
+    # -- in-cell run lifecycle (Cell.blocks, ocr_schema.py:215-238) ----
+    def _close_run(self) -> None:
+        if self._run is not None and self._run["toks"]:
+            self._cell_runs.append(self._run)
+        self._run = None
+
+    def _open_run(self) -> None:
+        # lazily on first data: a block tag with no text consumes no
+        # ordinal. Runs nested in in-cell containers carry their
+        # structural path; top-level runs stay path-less (derivably
+        # [run ordinal]). Every item at a level consumes one ordinal.
+        j = self._cell_counts[-1]
+        self._cell_counts[-1] += 1
+        if self._cell_stack:
+            self._run = {"path": tuple(self._cell_stack) + (j,), "kind": "block", "toks": []}
+        else:
+            self._run = {"path": None, "kind": None, "toks": []}
 
     # -- block lifecycle -------------------------------------------------
     def _flush(self) -> None:
@@ -119,6 +157,24 @@ class _BlockParser(HTMLParser):
         if self._skip_depth:
             return
         if tag == "table":
+            if self._table_depth and self._cell_runs is not None and self._inner is None:
+                # INNER table inside an open cell (Cell.blocks holds
+                # whole Blocks incl. nested tables) — capture its grid
+                # as structured runs of the host cell
+                self._close_run()
+                j = self._cell_counts[-1]
+                self._cell_counts[-1] += 1
+                self._inner = {
+                    "base": tuple(self._cell_stack) + (j,),
+                    "rows": [], "cell": None, "depth": 1,
+                }
+                self._table_depth += 1
+                return
+            if self._inner is not None:
+                # deeper nesting inside the inner table: flatten
+                self._inner["depth"] += 1
+                self._table_depth += 1
+                return
             self._flush()
             self._table_depth += 1
             if self._table_depth == 1:
@@ -128,17 +184,33 @@ class _BlockParser(HTMLParser):
                 self._table_containers = tuple(self._containers)
             return
         if self._table_depth:
+            if self._inner is not None:
+                if tag == "tr":
+                    self._inner["rows"].append([])
+                elif tag in ("td", "th"):
+                    self._inner["cell"] = []
+                # block/nest tags inside inner cells flatten
+                return
             if tag == "tr":
                 self._table_rows.append([])
             elif tag in ("td", "th"):
-                self._cell_paras = [[]]
+                self._cell_runs = []
+                self._run = None
+                self._cell_stack = []
+                self._cell_counts = [0]
                 if tag == "th" and len(self._table_rows) == 1:
                     self._table_has_header = True
-            elif self._cell_paras is not None and (tag in BLOCK_TAGS or tag in NEST_TAGS):
+            elif self._cell_runs is not None and tag in NEST_TAGS:
+                # in-cell container block: opens one nesting level
+                self._close_run()
+                j = self._cell_counts[-1]
+                self._cell_counts[-1] += 1
+                self._cell_stack.append(j)
+                self._cell_counts.append(0)
+            elif self._cell_runs is not None and tag in BLOCK_TAGS:
                 # block tag inside an open cell: start a new paragraph
                 # run (Cell.blocks, ocr_schema.py:215-238)
-                if self._cell_paras[-1]:
-                    self._cell_paras.append([])
+                self._close_run()
             return
         if tag in CHROME_TAGS:
             self._flush()
@@ -170,6 +242,21 @@ class _BlockParser(HTMLParser):
         if self._skip_depth:
             return
         if tag == "table":
+            if self._inner is not None:
+                self._table_depth -= 1
+                self._inner["depth"] -= 1
+                if self._inner["depth"] == 0:
+                    # finalize: one structured run per non-empty inner
+                    # grid cell, path = [item, row, col]
+                    base = self._inner["base"]
+                    for ri, row in enumerate(self._inner["rows"]):
+                        for ci, toks in enumerate(row):
+                            if toks:
+                                self._cell_runs.append(
+                                    {"path": base + (ri, ci), "kind": "table", "toks": toks}
+                                )
+                    self._inner = None
+                return
             if self._table_depth:
                 self._table_depth -= 1
                 if self._table_depth == 0:
@@ -180,16 +267,40 @@ class _BlockParser(HTMLParser):
                         containers=self._table_containers,
                     )
                     blk.rows = [r for r in self._table_rows if r]
-                    blk.tokens = [t for row in blk.rows for cell in row for t in cell.split()]
+                    blk.tokens = [
+                        t for row in blk.rows for cell in row for t in cell_tokens(cell)
+                    ]
                     if blk.rows:
                         self.blocks.append(blk)
             return
         if self._table_depth:
-            if tag in ("td", "th") and self._cell_paras is not None:
+            if self._inner is not None:
+                if tag in ("td", "th") and self._inner["cell"] is not None:
+                    if self._inner["rows"]:
+                        self._inner["rows"][-1].append(self._inner["cell"])
+                    self._inner["cell"] = None
+                return
+            if tag in ("td", "th") and self._cell_runs is not None:
+                self._close_run()
                 if self._table_rows:
-                    cell = "\n".join(" ".join(p) for p in self._cell_paras if p)
+                    runs = self._cell_runs
+                    if all(r["path"] is None for r in runs):
+                        # plain cell: legacy string form, runs joined
+                        # with '\n' (paragraph runs in a cell)
+                        cell = "\n".join(" ".join(r["toks"]) for r in runs)
+                    else:
+                        cell = [(r["path"], r["kind"], " ".join(r["toks"])) for r in runs]
                     self._table_rows[-1].append(cell)
-                self._cell_paras = None
+                self._cell_runs = None
+                return
+            if tag in NEST_TAGS and self._cell_runs is not None:
+                self._close_run()
+                if self._cell_stack:
+                    self._cell_stack.pop()
+                    self._cell_counts.pop()
+                return
+            if tag in BLOCK_TAGS and self._cell_runs is not None:
+                self._close_run()
             return
         if tag in CHROME_TAGS:
             self._flush()
@@ -214,8 +325,14 @@ class _BlockParser(HTMLParser):
         if not words:
             return
         if self._table_depth:
-            if self._cell_paras is not None:
-                self._cell_paras[-1].extend(words)
+            if self._inner is not None:
+                if self._inner["cell"] is not None:
+                    self._inner["cell"].extend(words)
+                return
+            if self._cell_runs is not None:
+                if self._run is None:
+                    self._open_run()
+                self._run["toks"].extend(words)
             return
         blk = self._ensure()
         blk.tokens.extend(words)

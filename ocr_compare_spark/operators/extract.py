@@ -38,6 +38,26 @@ from ocr_compare_spark.synth import LINE_WORDS
 IS_PDF_EXPR = "coalesce(substring(html, 1, 4) = X'25504446', false)"
 
 
+def _cell_flat(cell) -> str:
+    """One-line rendering of a cell for row framing: '\\n' between
+    paragraph runs flattens to ' ' (a '\\n' inside a one-line framed
+    row would be ill-formed); structured run-list cells (Cell.blocks
+    — in-cell blocks / inner tables, see engines.html_tree.RawBlock)
+    flatten their runs with the same ' '."""
+    if isinstance(cell, str):
+        return cell.replace("\n", " ")
+    return " ".join(txt for _path, _kind, txt in cell)
+
+
+def _cell_runs(cell) -> list[tuple]:
+    """Normalize a cell to its ordered run list
+    [(cell_path | None, kind | None, run_text)] — plain string cells
+    split on '\\n' (paragraph runs), structured cells pass through."""
+    if isinstance(cell, str):
+        return [(None, None, cp) for cp in (cell.split("\n") if cell else [""])]
+    return cell if cell else [(None, None, "")]
+
+
 def table_markdown(rows: list[list[str]], has_header: bool = True) -> str:
     """Markdown-lite table rendering.
 
@@ -53,7 +73,7 @@ def table_markdown(rows: list[list[str]], has_header: bool = True) -> str:
     """
     if not rows:
         return ""
-    flat = [[c.replace("\n", " ") for c in r] for r in rows]
+    flat = [[_cell_flat(c) for c in r] for r in rows]
     out = []
     body = flat
     if has_header:
@@ -101,7 +121,7 @@ def table_raw_text(rows: list[list[str]]) -> str:
     used when the markdown renderer is unavailable. Multi-paragraph
     cells flatten with ' ' (a '\\n' inside a cell would corrupt the
     row framing)."""
-    return "\n".join("\t".join(c.replace("\n", " ") for c in r) for r in rows)
+    return "\n".join("\t".join(_cell_flat(c) for c in r) for r in rows)
 
 
 def _dfs_paras(blk) -> list[list[str]]:
@@ -167,8 +187,7 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
         for ri, row in enumerate(rows):
             rtype = "HEADER" if (has_header and ri == 0) else "BODY"
             for ci, cell in enumerate(row):
-                cell_paras = cell.split("\n") if cell else [""]
-                for cpi, cp in enumerate(cell_paras):
+                for cpi, (cpath, ckind, cp) in enumerate(_cell_runs(cell)):
                     words = cp.split()
                     if not words:
                         # Empty cell: placeholder span so the
@@ -184,6 +203,14 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
                             widx += 1
                             tbl_words += 1
                         if with_spans:
+                            e = extra if first else None
+                            if ckind is not None and wi == 0:
+                                # mark the run's first span with the
+                                # in-cell item kind so the tree can
+                                # tell an inner TABLE from an in-cell
+                                # block (cell_path alone is ambiguous)
+                                e = dict(e or {})
+                                e["cell_item"] = ckind
                             spans.append({
                                 "page_no": page_no, "block_no": path[0], "block_type": "TABLE",
                                 "elem_path": path,
@@ -191,7 +218,8 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
                                 "char_start": None, "char_end": None, "bbox": bbox,
                                 "confidence": wc, "row_no": ri, "column_no": ci,
                                 "table_no": tno, "row_type": rtype,
-                                "extra": extra if first else None,
+                                "cell_path": list(cpath) if cpath is not None else None,
+                                "extra": e,
                             })
                             first = False
         return line_confidence(base_conf, tbl_start, tbl_words) if tbl_words else None
@@ -239,6 +267,7 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
                         "char_start": _off, "char_end": _off + lw, "bbox": wb,
                         "confidence": base_conf - (_widx % 10) / 100.0, "row_no": None,
                         "column_no": None, "table_no": None, "row_type": None,
+                        "cell_path": None,
                         "extra": extra if li == 0 and wi == 0 else None,
                     })
                     _widx += 1

@@ -116,10 +116,13 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
     base = ["url", "engine"]
     s = with_elem_path(spans).repartition(*base)
 
-    # L1: word -> line (TEXT) / cell-paragraph run (TABLE)
+    # L1: word -> line (TEXT) / cell-paragraph run (TABLE). cell_path
+    # (constant per run — Cell.blocks structure, schema.py) joins the
+    # key; the run's in-cell item kind rides the `extra` bag of its
+    # first span ('block' | 'table' | absent for plain runs).
     l1 = s.groupBy(
         *base, "page_no", "block_no", "block_type", "elem_path",
-        "para_no", "line_no", "row_no", "column_no", "row_type",
+        "para_no", "line_no", "row_no", "column_no", "row_type", "cell_path",
     ).agg(
         F.transform(
             F.array_sort(
@@ -130,30 +133,47 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
                 )
             ),
             lambda x: x.c,
-        ).alias("words")
+        ).alias("words"),
+        F.max(F.element_at(F.col("extra"), F.lit("cell_item"))).alias("cell_kind"),
     )
 
-    # L2: merge a cell's paragraph runs (TABLE; ' '-flattened) — a
-    # no-op regroup for TEXT (para_no is constant per elem_path).
-    l2 = l1.groupBy(
-        *base, "page_no", "block_no", "block_type", "elem_path", "line_no", "row_no", "column_no", "row_type"
-    ).agg(
-        F.concat_ws(
-            " ",
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct(F.col("para_no").alias("o"), F.col("words").alias("c")))),
-                    lambda x: F.transform(x.c, lambda w: w.text),
-                )
-            ),
-        ).alias("cell_text"),
-        F.element_at(
+    # L2: merge a cell's runs (TABLE) — a no-op regroup for TEXT
+    # (para_no is constant per elem_path). The cell keeps THREE
+    # renderings of its content: `cell_text` (' '-flattened — the
+    # one-line markdown framing form, what tree_to_text renders),
+    # `text_nl` (runs joined with '\n' — the reference Cell.text()
+    # contract, ocr_schema.py:215-238), and `items` (the ordered
+    # Cell.blocks structure: run ordinal, structural cell_path,
+    # nested flag, kind). Words flatten across ALL runs (an earlier
+    # version kept only the first run's words).
+    run = F.struct(F.col("para_no").alias("o"), F.struct(
+        F.col("para_no").alias("run_no"),
+        F.col("cell_path"),
+        F.col("cell_path").isNotNull().alias("nested"),
+        F.col("cell_kind").alias("kind"),
+        F.concat_ws(" ", F.transform(F.col("words"), lambda w: w.text)).alias("text"),
+        F.col("words"),
+    ).alias("c"))
+    l2 = (
+        l1.groupBy(
+            *base, "page_no", "block_no", "block_type", "elem_path", "line_no", "row_no", "column_no", "row_type"
+        )
+        .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("para_no").alias("o"), F.col("words").alias("c")))),
-                lambda x: x.c,
-            ),
-            1,
-        ).alias("words"),
+                F.array_sort(F.collect_list(run)), lambda x: x.c
+            ).alias("runs")
+        )
+        .select(
+            *base, "page_no", "block_no", "block_type", "elem_path",
+            "line_no", "row_no", "column_no", "row_type",
+            F.array_join(F.transform(F.col("runs"), lambda r: r.text), " ").alias("cell_text"),
+            F.array_join(F.transform(F.col("runs"), lambda r: r.text), "\n").alias("text_nl"),
+            F.transform(
+                F.col("runs"),
+                lambda r: F.struct(r.run_no, r.cell_path, r.nested, r.kind, r.text),
+            ).alias("items"),
+            F.flatten(F.transform(F.col("runs"), lambda r: r.words)).alias("words"),
+        )
     )
 
     # L3: cells -> row (TABLE) / line passthrough (TEXT)
@@ -163,7 +183,8 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
         F.transform(
             F.array_sort(
                 F.collect_list(F.struct(F.coalesce("column_no", F.lit(0)).alias("o"),
-                                        F.struct(F.col("column_no"), F.col("cell_text").alias("text")).alias("c")))
+                                        F.struct(F.col("column_no"), F.col("cell_text").alias("text"),
+                                                 F.col("text_nl"), F.col("items")).alias("c")))
             ),
             lambda x: x.c,
         ).alias("cells"),
@@ -297,6 +318,55 @@ def tree_stats(tree: DataFrame) -> DataFrame:
             acc, F.aggregate(p.blocks, F.lit(0), lambda a2, b: F.greatest(a2, b.depth))
         ),
     )
+
+    # Cell.blocks structure (ocr_schema.py:215-238), proven FROM the
+    # nested struct: count of in-cell nested items (a block or inner
+    # table inside a cell) and the deepest structural cell path.
+    def over_cells(f) -> Column:
+        return sum_over(
+            pages,
+            lambda p: sum_over(
+                p.blocks,
+                lambda b: sum_over(b.rows, lambda r: sum_over(r.cells, f)),
+            ),
+        )
+
+    n_cell_nested = over_cells(lambda c: F.size(F.filter(c.items, lambda i: i.nested)))
+    max_cell_depth = F.aggregate(
+        pages,
+        F.lit(0),
+        lambda acc, p: F.greatest(
+            acc,
+            F.aggregate(
+                p.blocks,
+                F.lit(0),
+                lambda a2, b: F.greatest(
+                    a2,
+                    F.aggregate(
+                        b.rows,
+                        F.lit(0),
+                        lambda a3, r: F.greatest(
+                            a3,
+                            F.aggregate(
+                                r.cells,
+                                F.lit(0),
+                                lambda a4, c: F.greatest(
+                                    a4,
+                                    F.aggregate(
+                                        c.items,
+                                        F.lit(0),
+                                        lambda a5, i: F.greatest(
+                                            a5, F.coalesce(F.size(i.cell_path), F.lit(0))
+                                        ),
+                                    ),
+                                ),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    )
     return tree.select(
         "url",
         "engine",
@@ -307,6 +377,8 @@ def tree_stats(tree: DataFrame) -> DataFrame:
         n_words.cast("long").alias("n_words"),
         n_tables.cast("long").alias("n_tables"),
         max_depth.cast("long").alias("max_depth"),
+        n_cell_nested.cast("long").alias("n_cell_nested"),
+        max_cell_depth.cast("long").alias("max_cell_depth"),
     )
 
 

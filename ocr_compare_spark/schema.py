@@ -91,6 +91,20 @@ SPAN_FIELDS = [
     # HEADER/BODY for table spans (reference HeaderRow/BodyRow,
     # ocr_schema.py:280-339), NULL for text spans
     T.StructField("row_type", T.StringType(), True),
+    # In-cell STRUCTURAL path (reference Cell.blocks: a cell holds
+    # whole Blocks — including nested tables — ocr_schema.py:215-238):
+    # the element-ordinal path from the host cell down to the span's
+    # immediate container. NULL for plain cell runs (path derivably
+    # [para_no]) and all non-table spans. A paragraph inside an
+    # in-cell block: [item, ..., para_ordinal]; a word of an INNER
+    # table at grid (ri, ci): [item, ri, ci]. RENDERING never reads
+    # this column — para_no stays the flat run ordinal and in-cell
+    # structure flattens with ' ' at the markdown/TSV framing layer
+    # (a '\n' inside a one-line framed row would be ill-formed), so
+    # assembly bytes are invariant; the nested tree (operators/tree)
+    # uses it to round-trip Cell.blocks and render Cell.text()'s
+    # '\n' join.
+    T.StructField("cell_path", T.ArrayType(T.IntegerType(), False), True),
     # `extra` property bag (reference Properties, ocr_schema.py:18,27)
     # — carried on each ELEMENT's first span only (a per-node bag
     # duplicated onto every word span is pure Arrow/shuffle weight);

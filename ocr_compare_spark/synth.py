@@ -70,6 +70,19 @@ TABLE_MOD_REM = 4  # doc_id % 10 == 4 -> has table
 HEADERLESS_REM = 14  # doc_id % 20 == 14 -> that table has no header row
 TABLE_HEADER = ("k", "v")
 
+# Cell.blocks (reference ocr_schema.py:215-238: a cell holds whole
+# Blocks, including nested tables): table docs with doc_id % 40 ==
+# CELLNEST_REM put STRUCTURE inside their first body row — cell (1,0)
+# wraps its token in <blockquote><p>…</p></blockquote> (a block
+# inside the cell) and cell (1,1) holds a 1x1 INNER TABLE of its
+# token. The rendered bytes are IDENTICAL to the flat bucket (in-cell
+# structure flattens with ' ' at the one-line markdown/TSV framing,
+# and each cell still contains exactly its one token), so every
+# byte-level oracle is untouched; the structure is carried in the
+# span table's cell_path column and proven by the tree round-trip
+# (tree_paths n_cell_nested / max_cell_depth).
+CELLNEST_REM = 24  # doc_id % 40 == 24 (subset of table docs, header present)
+
 
 def chunk(seq: list, n: int) -> list[list]:
     return [seq[i : i + n] for i in range(0, len(seq), n)]
@@ -111,6 +124,10 @@ def table_has_header(doc_id: int) -> bool:
     return doc_id % 20 != HEADERLESS_REM
 
 
+def has_cellnest_doc(doc_id: int, text: str) -> bool:
+    return doc_id % 40 == CELLNEST_REM and has_table_doc(doc_id, text)
+
+
 def table_rows_of(doc_id: int, text: str) -> list[list[str]]:
     """Closed-form table content: optional header + first four tokens
     as a 2x2 body."""
@@ -144,7 +161,16 @@ def build_html(doc_id: int, text: str) -> bytes:
         tbl = ["<table>"]
         if table_has_header(doc_id):
             tbl.append("<tr>" + "".join(f"<th>{h}</th>" for h in TABLE_HEADER) + "</tr>")
-        tbl.append(f"<tr><td>{t[0]}</td><td>{t[1]}</td></tr>")
+        if has_cellnest_doc(doc_id, text):
+            # Cell.blocks: a block in cell (1,0), an inner table in
+            # cell (1,1) — same tokens, so the rendered bytes match
+            # the flat form exactly (see CELLNEST_REM note)
+            tbl.append(
+                f"<tr><td><blockquote><p>{t[0]}</p></blockquote></td>"
+                f"<td><table><tr><td>{t[1]}</td></tr></table></td></tr>"
+            )
+        else:
+            tbl.append(f"<tr><td>{t[0]}</td><td>{t[1]}</td></tr>")
         tbl.append(f"<tr><td>{t[2]}</td><td>{t[3]}</td></tr>")
         tbl.append("</table>")
         body += "\n" + "".join(tbl)
@@ -365,3 +391,4 @@ SQL_IS_NESTED = (
 )
 SQL_HAS_TABLE = f"(doc_id % 10 = {TABLE_MOD_REM} AND len(t) >= 4)"
 SQL_TABLE_HEADER = f"(doc_id % 20 != {HEADERLESS_REM})"
+SQL_HAS_CELLNEST = f"({SQL_HAS_TABLE} AND doc_id % 40 = {CELLNEST_REM})"

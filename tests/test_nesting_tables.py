@@ -250,3 +250,114 @@ def test_span_stream_field_subset_assembles_identically(spark, nested_pages):
     )
     assert j.count() == 3
     assert j.filter(F.col("doc_text") != F.col("b")).count() == 0
+
+
+CELLNEST_HTML = b"""<html><body><table>
+<tr><th>k</th><th>v</th></tr>
+<tr><td><blockquote><p>w0</p></blockquote></td>
+<td><table><tr><td>w1</td></tr></table></td></tr>
+<tr><td>w2</td><td>w3</td></tr>
+</table></body></html>"""
+
+CELLNEST_FLAT_HTML = b"""<html><body><table>
+<tr><th>k</th><th>v</th></tr>
+<tr><td>w0</td><td>w1</td></tr>
+<tr><td>w2</td><td>w3</td></tr>
+</table></body></html>"""
+
+
+def test_cell_blocks_full_nesting_byte_invariant():
+    """Full Cell.blocks (ocr_schema.py:215-238): a BLOCK inside cell
+    (1,0) and an INNER TABLE inside cell (1,1) render byte-identically
+    to the flat form (in-cell structure flattens with ' ' at the
+    one-line framing), while the spans carry the structural cell_path
+    and a kind marker on each nested run's first span."""
+    r = doc_to_result(parse_dom(CELLNEST_HTML), 0.9)
+    flat = doc_to_result(parse_dom(CELLNEST_FLAT_HTML), 0.9)
+    assert r["doc_text"] == flat["doc_text"] == (
+        "| k | v |\n| --- | --- |\n| w0 | w1 |\n| w2 | w3 |"
+    )
+    strip = lambda s: {k: v for k, v in s.items() if k not in ("cell_path", "extra")}  # noqa: E731
+    assert [strip(s) for s in r["spans"]] == [strip(s) for s in flat["spans"]]
+    by_word = {s["text"]: s for s in r["spans"]}
+    # block-in-cell: path [item 0 of the cell, para 0 within it]
+    assert by_word["w0"]["cell_path"] == [0, 0]
+    assert by_word["w0"]["extra"]["cell_item"] == "block"
+    # inner table: path [item 0, inner row 0, inner col 0]
+    assert by_word["w1"]["cell_path"] == [0, 0, 0]
+    assert by_word["w1"]["extra"]["cell_item"] == "table"
+    # plain cells stay path-less
+    assert by_word["w2"]["cell_path"] is None and by_word["w3"]["cell_path"] is None
+    assert by_word["k"]["cell_path"] is None
+    # counts identical: no extra blocks/tables/words from the nesting
+    for k in ("n_blocks", "n_tables", "n_words", "confidence"):
+        assert r[k] == flat[k]
+
+
+def test_cell_blocks_synth_bucket_end_to_end(spark):
+    """The doc_id%40==24 synth bucket: byte-identical extraction vs
+    the closed form, assembly + tree roundtrips, and the tree's
+    Cell.blocks stats (n_cell_nested=2, max_cell_depth=3) plus the
+    reference Cell.text() '\\n' join (text_nl) in the cell structs."""
+    import tempfile
+
+    from ocr_compare_spark.operators.assemble import assemble_doc_text
+    from ocr_compare_spark.operators.tree import to_tree, tree_stats, tree_to_text
+
+    text = " ".join(f"w{i}" for i in range(40))
+    d = tempfile.mkdtemp(prefix="cellnest_docs_")
+    spark.createDataFrame(
+        [(24, text, "en"), (4, text, "en")], "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    pages = synth.pages_from_documents(spark, d)
+    res = run_engines(pages, engines=("dom",))
+    got = {r.url: r.doc_text for r in res.collect()}
+    assert got[synth.url_of(24)] == synth.expected_dom_text(text, doc_id=24)
+    # same tokens -> the nested-cell doc renders the same bytes as
+    # the flat table doc
+    assert got[synth.url_of(24)] == got[synth.url_of(4)]
+    sp = spans_table(res)
+    asm = {r.url: r.doc_text for r in assemble_doc_text(sp).collect()}
+    assert asm == got
+    tree = to_tree(sp)
+    t2t = {r.url: r.doc_text for r in tree_to_text(tree).collect()}
+    assert t2t == got
+    stats = {r.url: r for r in tree_stats(tree).collect()}
+    assert stats[synth.url_of(24)].n_cell_nested == 2
+    assert stats[synth.url_of(24)].max_cell_depth == 3
+    assert stats[synth.url_of(4)].n_cell_nested == 0
+    assert stats[synth.url_of(4)].max_cell_depth == 0
+    doc = tree.filter(F.col("url") == synth.url_of(24)).select("document").first()[0]
+    cells = [
+        c
+        for p in doc["pages"]
+        for b in p["blocks"]
+        if b["rows"]
+        for r in b["rows"]
+        for c in r["cells"]
+    ]
+    assert [c["text"] for c in cells] == ["k", "v", "w0", "w1", "w2", "w3"]
+    kinds = [(i["cell_path"], i["kind"]) for c in cells for i in c["items"] if i["nested"]]
+    assert kinds == [([0, 0], "block"), ([0, 0, 0], "table")]
+
+
+def test_cell_text_nl_join_multi_run(spark, nested_pages):
+    """Cell.text() semantics in the tree: paragraph runs inside one
+    cell join with '\\n' in text_nl while the framing text stays
+    ' '-flattened (ocr_schema.py:215-238)."""
+    from ocr_compare_spark.operators.tree import to_tree
+
+    res = run_engines(nested_pages, engines=("dom",))
+    tree = to_tree(spans_table(res))
+    doc = tree.filter(F.col("url") == synth.url_of(3)).select("document").first()[0]
+    cells = {
+        (b["block_no"], r["row_no"], c["column_no"]): c
+        for p in doc["pages"]
+        for b in p["blocks"]
+        if b["rows"]
+        for r in b["rows"]
+        for c in r["cells"]
+    }
+    multi = [c for c in cells.values() if len(c["items"]) > 1][0]
+    assert multi["text"] == "first para second para"
+    assert multi["text_nl"] == "first para\nsecond para"

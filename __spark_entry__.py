@@ -214,13 +214,19 @@ def q_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct (not the span table), plus count-distinct element_path
     (gdai_convert.py:87-98) which must equal the word count.
     max_depth proves block recursion survived the round-trip
-    (section/blockquote docs → 2); n_tables proves the table grid."""
+    (section/blockquote docs → 2); n_tables proves the table grid;
+    n_cell_nested/max_cell_depth prove Cell.blocks; doc_confidence is
+    folded FROM the nested struct's recursive block/page confidences
+    and must equal the engines' mean-of-means bit-exactly (floor-6
+    rounded like q_confidences)."""
     from ocr_compare_spark.operators.extract import with_elem_path
     from ocr_compare_spark.operators.tree import element_path, to_tree, tree_stats
 
     r = _results(spark, sf_dir).filter(F.col("engine") == "dom")
     sp = spans_table(r)
-    stats = tree_stats(to_tree(sp)).drop("engine")
+    stats = tree_stats(to_tree(sp)).drop("engine").withColumn(
+        "doc_confidence", F.floor(F.col("doc_confidence") * 1e6 + F.lit(0.5)) / 1e6
+    )
     paths = with_elem_path(sp).groupBy("url").agg(
         F.count_distinct(element_path()).alias("n_paths")
     )
@@ -1276,28 +1282,77 @@ def oracle_sql() -> dict[str, str]:
             FROM dom d JOIN den e ON d.url = e.url
         """,
         "tree_paths": f"""
-            WITH {PARAS_CTE}
+            WITH {PARAS_CTE},
             -- n_paras/n_lines count TEXT structure (the table's grid
             -- lives in rows/cells); n_words includes table cell
             -- words; max_depth = 2 proves the section/blockquote
             -- recursion survived the tree round-trip.
-            SELECT url, CAST(1 AS BIGINT) AS n_pages,
-                   CAST(count(*) + 1 + any_value(CASE WHEN has_table THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
-                   CAST(count(*) + 1 AS BIGINT) AS n_paras,
-                   CAST(sum(CAST(ceil(n_tok / {synth.LINE_WORDS}.0) AS BIGINT)) + 1 AS BIGINT) AS n_lines,
-                   CAST(max(total_tok) + 4
-                        + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 6 ELSE 4 END ELSE 0 END) AS BIGINT) AS n_words,
-                   CAST(any_value(CASE WHEN has_table THEN 1 ELSE 0 END) AS BIGINT) AS n_tables,
-                   CAST(any_value(CASE WHEN is_nested THEN 2 ELSE 1 END) AS BIGINT) AS max_depth,
-                   -- Cell.blocks bucket (doc_id%40==24): the block in
-                   -- cell (1,0) + the inner table in cell (1,1) = 2
-                   -- nested in-cell items; deepest structural path =
-                   -- [item, row, col] = 3
-                   CAST(any_value(CASE WHEN has_cellnest THEN 2 ELSE 0 END) AS BIGINT) AS n_cell_nested,
-                   CAST(any_value(CASE WHEN has_cellnest THEN 3 ELSE 0 END) AS BIGINT) AS max_cell_depth,
-                   CAST(max(total_tok) + 4
-                        + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 6 ELSE 4 END ELSE 0 END) AS BIGINT) AS n_paths
-            FROM paras WHERE NOT is_pdf GROUP BY url
+            tp AS (
+              SELECT url, CAST(1 AS BIGINT) AS n_pages,
+                     CAST(count(*) + 1 + any_value(CASE WHEN has_table THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+                     CAST(count(*) + 1 AS BIGINT) AS n_paras,
+                     CAST(sum(CAST(ceil(n_tok / {synth.LINE_WORDS}.0) AS BIGINT)) + 1 AS BIGINT) AS n_lines,
+                     CAST(max(total_tok) + 4
+                          + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 6 ELSE 4 END ELSE 0 END) AS BIGINT) AS n_words,
+                     CAST(any_value(CASE WHEN has_table THEN 1 ELSE 0 END) AS BIGINT) AS n_tables,
+                     CAST(any_value(CASE WHEN is_nested THEN 2 ELSE 1 END) AS BIGINT) AS max_depth,
+                     -- Cell.blocks bucket (doc_id%40==24): the block in
+                     -- cell (1,0) + the inner table in cell (1,1) = 2
+                     -- nested in-cell items; deepest structural path =
+                     -- [item, row, col] = 3
+                     CAST(any_value(CASE WHEN has_cellnest THEN 2 ELSE 0 END) AS BIGINT) AS n_cell_nested,
+                     CAST(any_value(CASE WHEN has_cellnest THEN 3 ELSE 0 END) AS BIGINT) AS max_cell_depth,
+                     CAST(max(total_tok) + 4
+                          + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 6 ELSE 4 END ELSE 0 END) AS BIGINT) AS n_paths
+              FROM paras WHERE NOT is_pdf GROUP BY url
+            ),
+            -- dom doc confidence: the same ordered mean-of-means
+            -- chain as the `confidences` oracle, dom branch only
+            -- (single page, promo block first, nested paras 1-2
+            -- collapse to one element, optional table pseudo-line)
+            w AS (
+              SELECT url, para_no, is_nested, 4 + para_no*{synth.PARA_WORDS} AS base_i,
+                     unnest(range(0, n_tok)) AS w
+              FROM paras WHERE NOT is_pdf
+            ),
+            lc AS (
+              SELECT url, para_no, is_nested, w // {synth.LINE_WORDS} AS line_no,
+                     0.90 - sum((base_i + w) % 10) / (100.0 * count(*)) AS v
+              FROM w GROUP BY url, para_no, is_nested, w // {synth.LINE_WORDS}
+            ),
+            pc AS (SELECT url, para_no, is_nested,
+                          list_sum(list(v ORDER BY line_no)) / count(*) AS v
+                   FROM lc GROUP BY ALL),
+            pm AS (
+              SELECT url, para_no,
+                     CASE WHEN is_nested AND para_no = 1 THEN (v + nxt) / 2 ELSE v END AS v
+              FROM (
+                SELECT url, para_no, is_nested, v,
+                       lead(v) OVER (PARTITION BY url ORDER BY para_no) AS nxt
+                FROM pc
+              )
+              WHERE NOT (is_nested AND para_no = 2)
+            ),
+            tcc AS (
+              SELECT url, ht,
+                     0.90 - ({_CYC_DOM_HI} - {_CYC_DOM_LO}) / (100.0 * tword) AS tconf_dom
+              FROM (
+                SELECT url, any_value(has_table) AS ht, max(total_tok) AS total_tok,
+                       any_value(CASE WHEN tbl_header THEN 6 ELSE 4 END) AS tword
+                FROM paras WHERE NOT is_pdf GROUP BY url
+              )
+            ),
+            dconf AS (
+              SELECT p.url,
+                     list_sum(CASE WHEN t.ht
+                       THEN list_append(list_prepend(0.90 - 6 / (100.0 * 4), list(p.v ORDER BY p.para_no)), t.tconf_dom)
+                       ELSE list_prepend(0.90 - 6 / (100.0 * 4), list(p.v ORDER BY p.para_no)) END)
+                     / (count(*) + 1 + CASE WHEN t.ht THEN 1 ELSE 0 END) AS v
+              FROM pm p JOIN tcc t ON p.url = t.url
+              GROUP BY p.url, t.ht, t.tconf_dom
+            )
+            SELECT tp.*, floor(d.v * 1e6 + 0.5) / 1e6 AS doc_confidence
+            FROM tp JOIN dconf d ON tp.url = d.url
         """,
         "symbols": f"""
             -- table cell words add their characters again (they are

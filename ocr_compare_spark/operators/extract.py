@@ -184,6 +184,7 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
         tno = n_tables - 1
         tbl_start, tbl_words = widx, 0
         first = True
+        first_idx = len(spans)
         for ri, row in enumerate(rows):
             rtype = "HEADER" if (has_header and ri == 0) else "BODY"
             for ci, cell in enumerate(row):
@@ -222,7 +223,17 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
                                 "extra": e,
                             })
                             first = False
-        return line_confidence(base_conf, tbl_start, tbl_words) if tbl_words else None
+        conf = line_confidence(base_conf, tbl_start, tbl_words) if tbl_words else None
+        if with_spans and conf is not None and len(spans) > first_idx:
+            # the table ELEMENT's exact confidence rides the first
+            # span's extra bag (repr round-trips the double exactly,
+            # so the nested tree recovers it bit-for-bit — a float
+            # mean over the stored word confs would differ in ulps
+            # from this closed form)
+            e0 = dict(spans[first_idx]["extra"] or {})
+            e0["elem_conf"] = repr(conf)
+            spans[first_idx]["extra"] = e0
+        return conf
 
     def render_para(tokens, path, page_no, block_type, bbox, char_w, block_start, extra):
         nonlocal n_words, widx, off
@@ -244,8 +255,10 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
             if li > 0:
                 parts_append(" ")  # SEP_PARAGRAPH == SEP_LINE == ' '
                 _off += 1
+            lc = None
             if line:
-                line_confs.append(line_confidence(base_conf, _widx, len(line)))
+                lc = line_confidence(base_conf, _widx, len(line))
+                line_confs.append(lc)
             if with_spans:
                 for wi, w in enumerate(line):
                     if wi > 0:
@@ -260,6 +273,13 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
                             "height": bbox["height"],
                         }
                     lw = len(w)
+                    e = extra if li == 0 and wi == 0 else None
+                    if wi == 0 and lc is not None:
+                        # the LINE's exact closed-form confidence on
+                        # its first span (repr round-trips the double
+                        # bit-exactly for the nested tree)
+                        e = dict(e or {})
+                        e["line_conf"] = repr(lc)
                     spans_append({
                         "page_no": page_no, "block_no": block_no, "block_type": block_type,
                         "elem_path": stored_path,
@@ -268,7 +288,7 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
                         "confidence": base_conf - (_widx % 10) / 100.0, "row_no": None,
                         "column_no": None, "table_no": None, "row_type": None,
                         "cell_path": None,
-                        "extra": extra if li == 0 and wi == 0 else None,
+                        "extra": e,
                     })
                     _widx += 1
                     parts_append(w)

@@ -62,6 +62,21 @@ def element_path() -> Column:
     )
 
 
+def _ordered_mean(arr: Column, get) -> Column:
+    """Left-to-right mean over non-null values — the exact float fold
+    the engines' ``_mean`` performs (``sum(xs)/len(xs)``), so derived
+    confidences are bit-identical; NULL where no values."""
+    acc = F.aggregate(
+        arr,
+        F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("n")),
+        lambda a, x: F.when(
+            get(x).isNotNull(),
+            F.struct((a.s + get(x)).alias("s"), (a.n + 1).alias("n")),
+        ).otherwise(a),
+    )
+    return F.when(acc.n > 0, acc.s / acc.n)
+
+
 def _nest(df: DataFrame, keys: list[str], ordinal, child: str, out: str) -> DataFrame:
     """Collect child structs into an ordinal-sorted array per key.
     ``ordinal`` may be a column name or a Column (e.g. an array path
@@ -135,6 +150,16 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
             lambda x: x.c,
         ).alias("words"),
         F.max(F.element_at(F.col("extra"), F.lit("cell_item"))).alias("cell_kind"),
+        # exact node confidences emitted at extraction time (repr
+        # round-trip — bit-identical to the engines' closed form,
+        # which a float mean over stored word confs is NOT)
+        F.max(F.element_at(F.col("extra"), F.lit("line_conf"))).cast("double").alias("line_conf"),
+        F.max(F.element_at(F.col("extra"), F.lit("elem_conf"))).cast("double").alias("elem_conf"),
+        # word-bbox envelope corners (PDF engines; HTML spans null)
+        F.min(F.col("bbox.left")).alias("bx0"),
+        F.min(F.col("bbox.top")).alias("by0"),
+        F.max(F.col("bbox.left") + F.col("bbox.width")).alias("bx1"),
+        F.max(F.col("bbox.top") + F.col("bbox.height")).alias("by1"),
     )
 
     # L2: merge a cell's runs (TABLE) — a no-op regroup for TEXT
@@ -161,11 +186,16 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(run)), lambda x: x.c
-            ).alias("runs")
+            ).alias("runs"),
+            F.max("line_conf").alias("line_conf"),
+            F.max("elem_conf").alias("elem_conf"),
+            F.min("bx0").alias("bx0"), F.min("by0").alias("by0"),
+            F.max("bx1").alias("bx1"), F.max("by1").alias("by1"),
         )
         .select(
             *base, "page_no", "block_no", "block_type", "elem_path",
             "line_no", "row_no", "column_no", "row_type",
+            "line_conf", "elem_conf", "bx0", "by0", "bx1", "by1",
             F.array_join(F.transform(F.col("runs"), lambda r: r.text), " ").alias("cell_text"),
             F.array_join(F.transform(F.col("runs"), lambda r: r.text), "\n").alias("text_nl"),
             F.transform(
@@ -195,16 +225,24 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
             ),
             1,
         ).alias("words"),
+        F.max("line_conf").alias("line_conf"),
+        F.max("elem_conf").alias("elem_conf"),
+        F.min("bx0").alias("bx0"), F.min("by0").alias("by0"),
+        F.max("bx1").alias("bx1"), F.max("by1").alias("by1"),
     )
 
-    # L4: element level — paragraph struct (TEXT) or rows array (TABLE)
+    # L4: element level — paragraph struct (TEXT) or rows array
+    # (TABLE); lines keep their exact confidence, and the paragraph
+    # confidence is the ordered mean of line confidences (the same
+    # left-to-right float fold the engines' _mean performs).
     is_table = F.col("row_no").isNotNull()
     l4 = l3.groupBy(*base, "page_no", "block_no", "block_type", "elem_path").agg(
         F.transform(
             F.array_sort(
                 F.collect_list(
                     F.when(~is_table, F.struct(F.col("line_no").alias("o"),
-                                               F.struct(F.col("line_no"), F.col("words")).alias("c")))
+                                               F.struct(F.col("line_no"), F.col("line_conf").alias("conf"),
+                                                        F.col("words")).alias("c")))
                 )
             ),
             lambda x: x.c,
@@ -218,7 +256,10 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
             ),
             lambda x: x.c,
         ).alias("trows"),
-    )
+        F.max("elem_conf").alias("elem_conf"),
+        F.min("bx0").alias("bx0"), F.min("by0").alias("by0"),
+        F.max("bx1").alias("bx1"), F.max("by1").alias("by1"),
+    ).withColumn("para_conf", _ordered_mean(F.col("lines"), lambda l: l.conf))
 
     # L5: elements -> block (paragraphs ordered by element ordinal;
     # tables own their blocks, so `rows` is the solo table's grid)
@@ -232,7 +273,9 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
                 F.collect_list(
                     F.when(F.size("trows") == 0,
                            F.struct(elem_ord.alias("o"),
-                                    F.struct(elem_ord.alias("para_no"), F.col("lines")).alias("c")))
+                                    F.struct(elem_ord.alias("para_no"),
+                                             F.col("para_conf").alias("conf"),
+                                             F.col("lines")).alias("c")))
                 )
             ),
             lambda x: x.c,
@@ -243,6 +286,17 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
                 lambda x: x.c,
             )
         ).alias("rows"),
+        F.max("elem_conf").alias("table_conf"),
+        F.min("bx0").alias("bx0"), F.min("by0").alias("by0"),
+        F.max("bx1").alias("bx1"), F.max("by1").alias("by1"),
+    )
+    block_bbox = F.when(
+        F.col("bx0").isNotNull(),
+        F.struct(
+            F.col("bx0").alias("left"), F.col("by0").alias("top"),
+            (F.col("bx1") - F.col("bx0")).alias("width"),
+            (F.col("by1") - F.col("by0")).alias("height"),
+        ),
     )
     blocks = l5.withColumn(
         "block",
@@ -256,9 +310,96 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
             ).alias("page_span"),
             F.col("paragraphs"),
             F.col("rows"),
+            F.col("table_conf"),
+            block_bbox.alias("bbox"),
         ),
     )
     pages = _nest(blocks, base + ["page_no"], F.col("block_path"), "block", "blocks")
+
+    # RECURSIVE block confidence (reference: a node's confidence is
+    # the mean over its DIRECT elements — a nested block contributes
+    # its own recursive mean, tesseract_executor.py:210-325). Blocks
+    # are DFS-ordered adjacency entries, so one fold over the
+    # REVERSED array computes every block's confidence bottom-up:
+    # children are already in the accumulator when their parent
+    # arrives, and a parent merges its own paragraph confidences with
+    # its children's (element-ordinal order restored before the mean,
+    # matching the engines' summation order exactly). TABLE blocks
+    # carry the table element's exact confidence (table_conf).
+    acc_t = "array<struct<path:array<int>,conf:double>>"
+
+    def _conf_fold(blocks_col: Column) -> Column:
+        def step(acc: Column, b: Column) -> Column:
+            kids = F.reverse(
+                F.filter(
+                    acc,
+                    lambda x: (F.size(x.path) == F.size(b.block_path) + 1)
+                    & (F.slice(x.path, 1, F.size(b.block_path)) == b.block_path),
+                )
+            )
+            elems = F.array_sort(
+                F.concat(
+                    F.transform(
+                        b.paragraphs,
+                        lambda q: F.struct(q.para_no.alias("o"), q.conf.alias("conf")),
+                    ),
+                    F.transform(
+                        kids,
+                        lambda x: F.struct(
+                            F.element_at(x.path, -1).alias("o"), x.conf.alias("conf")
+                        ),
+                    ),
+                )
+            )
+            conf_b = F.when(F.size(b.rows) > 0, b.table_conf).otherwise(
+                _ordered_mean(elems, lambda e: e.conf)
+            )
+            return F.concat(
+                acc, F.array(F.struct(b.block_path.alias("path"), conf_b.alias("conf")))
+            )
+
+        return F.aggregate(F.reverse(blocks_col), F.expr(f"CAST(array() AS {acc_t})"), step)
+
+    pages = pages.withColumn("bconfs", _conf_fold(F.col("blocks")))
+    conf_of = lambda b: F.element_at(  # noqa: E731
+        F.filter(F.col("bconfs"), lambda x: x.path == b.block_path), 1
+    ).conf
+    pages = pages.withColumn(
+        "blocks",
+        F.transform(
+            F.col("blocks"),
+            lambda b: F.struct(
+                b.block_path, b.block_no, b.depth, b.block_type, b.page_span,
+                conf_of(b).alias("conf"), b.bbox, b.paragraphs, b.rows,
+            ),
+        ),
+    )
+    # page confidence = ordered mean over TOP-LEVEL block confidences
+    # (the engines skip confidence-less blocks); page bbox = envelope
+    # over block envelopes
+    top_confs = F.reverse(F.filter(F.col("bconfs"), lambda x: F.size(x.path) == 1))
+    pages = pages.withColumn("page_conf", _ordered_mean(top_confs, lambda x: x.conf))
+    env = F.aggregate(
+        F.col("blocks"),
+        F.struct(
+            F.lit(None).cast("double").alias("x0"), F.lit(None).cast("double").alias("y0"),
+            F.lit(None).cast("double").alias("x1"), F.lit(None).cast("double").alias("y1"),
+        ),
+        lambda a, b: F.struct(
+            F.least(a.x0, b.bbox.left).alias("x0"),
+            F.least(a.y0, b.bbox.top).alias("y0"),
+            F.greatest(a.x1, b.bbox.left + b.bbox.width).alias("x1"),
+            F.greatest(a.y1, b.bbox.top + b.bbox.height).alias("y1"),
+        ),
+    )
+    page_bbox = F.when(
+        env.x0.isNotNull(),
+        F.struct(
+            env.x0.alias("left"), env.y0.alias("top"),
+            (env.x1 - env.x0).alias("width"), (env.y1 - env.y0).alias("height"),
+        ),
+    )
+    pages = pages.withColumn("page_bbox", page_bbox)
     if pages_meta is not None:
         pages = pages.join(pages_meta, base + ["page_no"], "left")
     else:
@@ -266,7 +407,12 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
             "height", F.lit(None).cast("double")
         )
     pages = pages.withColumn(
-        "page", F.struct(F.col("page_no"), F.col("width"), F.col("height"), F.col("blocks"))
+        "page",
+        F.struct(
+            F.col("page_no"), F.col("width"), F.col("height"),
+            F.col("page_conf").alias("conf"), F.col("page_bbox").alias("bbox"),
+            F.col("blocks"),
+        ),
     )
     docs = _nest(pages, base, "page_no", "page", "pages")
     return docs.select(*base, F.struct(F.col("pages")).alias("document"))
@@ -367,6 +513,12 @@ def tree_stats(tree: DataFrame) -> DataFrame:
             ),
         ),
     )
+    # document confidence FROM the nested struct: ordered mean over
+    # page confidences (which are themselves recursive block means
+    # computed in the to_tree fold) — bit-identical to the engines'
+    # doc_to_result confidence, proving the tree is self-contained
+    doc_confidence = _ordered_mean(pages, lambda p: p.conf)
+
     return tree.select(
         "url",
         "engine",
@@ -379,6 +531,7 @@ def tree_stats(tree: DataFrame) -> DataFrame:
         max_depth.cast("long").alias("max_depth"),
         n_cell_nested.cast("long").alias("n_cell_nested"),
         max_cell_depth.cast("long").alias("max_cell_depth"),
+        doc_confidence.alias("doc_confidence"),
     )
 
 

@@ -106,10 +106,14 @@ SPAN_FIELDS = [
     # '\n' join.
     T.StructField("cell_path", T.ArrayType(T.IntegerType(), False), True),
     # `extra` property bag (reference Properties, ocr_schema.py:18,27)
-    # — carried on each ELEMENT's first span only (a per-node bag
-    # duplicated onto every word span is pure Arrow/shuffle weight);
-    # recover per-node with max_by(extra, word ordinal is 0) or a
-    # first() over the element group
+    # — carried on FIRST spans only, never duplicated per word (a
+    # per-node bag on every span is pure Arrow/shuffle weight):
+    # element extras ('tag', the table's exact 'elem_conf') on the
+    # element's first span, each LINE's exact closed-form confidence
+    # ('line_conf', repr-round-tripped double) on the line's first
+    # span, the in-cell item kind ('cell_item') on a nested run's
+    # first span. Recover per-node with max(element_at(extra, key))
+    # over the node's group.
     T.StructField("extra", T.MapType(T.StringType(), T.StringType()), True),
 ]
 SPAN_TYPE = T.StructType(SPAN_FIELDS)

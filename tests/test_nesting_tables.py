@@ -361,3 +361,56 @@ def test_cell_text_nl_join_multi_run(spark, nested_pages):
     multi = [c for c in cells.values() if len(c["items"]) > 1][0]
     assert multi["text"] == "first para second para"
     assert multi["text_nl"] == "first para\nsecond para"
+
+
+def test_tree_structs_carry_confidence_and_bbox(spark):
+    """r4: nested tree structs are self-contained — every block/page
+    carries its recursive mean-of-means confidence (bit-identical to
+    the engines' doc-level fold) and its word-bbox envelope (PDF),
+    matching operators.geometry.bbox_envelopes exactly."""
+    import tempfile
+
+    from ocr_compare_spark.operators.geometry import bbox_envelopes
+    from ocr_compare_spark.operators.tree import to_tree, tree_stats
+
+    text = " ".join(f"w{i}" for i in range(60))
+    d = tempfile.mkdtemp(prefix="treeconf_docs_")
+    spark.createDataFrame(
+        [(7, text, "en"), (2, " ".join(f"n{i}" for i in range(100)), "en"), (24, text, "en")],
+        "doc_id long, text string, lang string",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    pages = synth.pages_from_documents(spark, d)
+    res = run_engines(pages).cache()
+    sp = spans_table(res)
+    tree = to_tree(sp)
+    # doc confidence from the tree == the engines' (bit-exact, all
+    # engines incl. the pdf doc, the nested doc and the cellnest doc)
+    j = tree_stats(tree).join(
+        res.select("url", "engine", F.col("confidence").alias("want")), ["url", "engine"]
+    )
+    assert j.count() == 5
+    assert j.filter(F.col("doc_confidence") != F.col("want")).count() == 0
+    # block bbox envelopes in the tree == geometry.bbox_envelopes
+    env = {
+        (r.url, r.page_no, r.block_no): (r.left, r.top, r.width, r.height)
+        for r in bbox_envelopes(sp.filter(F.col("engine") == "pdf"), "block").collect()
+    }
+    doc = tree.filter(F.col("engine") == "pdf").select("url", "document").first()
+    got = {}
+    page_confs = []
+    for p in doc.document["pages"]:
+        page_confs.append(p["conf"])
+        assert p["bbox"] is not None  # page envelope present
+        for b in p["blocks"]:
+            got[(doc.url, p["page_no"], b["block_no"])] = (
+                b["bbox"]["left"], b["bbox"]["top"], b["bbox"]["width"], b["bbox"]["height"],
+            )
+            assert b["conf"] is not None
+    assert got == env
+    assert all(c is not None for c in page_confs)
+    # HTML docs: no word boxes -> null envelopes, confidences present
+    hdoc = tree.filter(F.col("engine") == "dom").select("document").first()[0]
+    for p in hdoc["pages"]:
+        assert p["bbox"] is None and p["conf"] is not None
+        for b in p["blocks"]:
+            assert b["bbox"] is None and b["conf"] is not None

@@ -293,3 +293,48 @@ def test_table_tsv_raw_text(spark):
     res = run_engine(_mini_pages(spark, [("t2", html)]), "dom")
     got = assemble_table_tsv(spans_table(res)).collect()[0].raw_text
     assert got == table_raw_text([["h1", "h2"], ["a b", ""]]) == "h1\th2\na b\t"
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """north_rule bucketing: two tables bucketed on the join key must
+    join WITHOUT a shuffle — the plan carries no Exchange under the
+    SortMergeJoin, while the same join on plain parquet exchanges
+    both sides. At 10^12 docs the missing Exchange IS the win: the
+    recurring url-keyed join (results x winners, cache lookups)
+    reads co-located buckets instead of reshuffling the corpus."""
+    from pyspark.sql import functions as F
+
+    from ocr_compare_spark.sources.table_io import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdemo LOCATION '{tmp_path}/wh'")
+    try:
+        left = spark.range(0, 2000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"), F.col("id").alias("a")
+        )
+        right = spark.range(0, 2000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"), (F.col("id") * 2).alias("b")
+        )
+        write_bucketed(left, "buckdemo.left_t", ["url"], num_buckets=8, sort_cols=["url"])
+        write_bucketed(right, "buckdemo.right_t", ["url"], num_buckets=8, sort_cols=["url"])
+        lt, rt = spark.table("buckdemo.left_t"), spark.table("buckdemo.right_t")
+        # AQE keeps plans adaptive; disable broadcast so the join is
+        # a genuine SortMergeJoin and the bucket co-location shows
+        with_conf = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+        old = {k: spark.conf.get(k) for k in with_conf}
+        for k, v in with_conf.items():
+            spark.conf.set(k, v)
+        try:
+            bucketed_plan = lt.join(rt, "url")._jdf.queryExecution().executedPlan().toString()
+            plain_plan = left.join(right, "url")._jdf.queryExecution().executedPlan().toString()
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+        assert "SortMergeJoin" in bucketed_plan
+        assert "Exchange" not in bucketed_plan  # co-located: no shuffle
+        assert "Exchange" in plain_plan  # the unbucketed twin shuffles
+        # and the join is still correct
+        assert lt.join(rt, "url").count() == 2000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS buckdemo.left_t")
+        spark.sql("DROP TABLE IF EXISTS buckdemo.right_t")
+        spark.sql("DROP DATABASE IF EXISTS buckdemo")

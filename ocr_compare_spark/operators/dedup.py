@@ -130,6 +130,97 @@ def adjacent_ngram_jaccard(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS -> per-node
+    cluster assignment ``(id, component)`` where component = the
+    minimum id reachable from the node. This is the step that turns
+    pairwise dedup output into an actionable KEEP-LIST: keep one
+    representative (the component id) per cluster, drop the rest.
+
+    Algorithm: iterative min-label propagation. Each round joins the
+    (bidirected) edge list with current labels and takes
+    min(own, neighbors') per node; convergence when no label changes.
+    Scale shape: duplicate clusters in web corpora are near-cliques
+    (a group of mirrors all pair with each other), so the diameter —
+    and the round count — is tiny (2-3); each round is one equi join
+    + one groupBy min with map-side combine, both keyed on ids (no
+    skew beyond the cluster sizes themselves, which AQE skew-join
+    splits). The driver loop is bounded by ``max_iters`` and exits
+    early on a converged round via one count() per round (a
+    long-chain adversarial graph converges in O(diameter) rounds —
+    label propagation, not pointer doubling, is the right trade for
+    near-clique duplicate graphs; a 10^6-long CHAIN of near-dups is
+    not a shape LSH banding produces).
+
+    Output: one row per node appearing in ``pairs``:
+    ``(id, component)``; nodes absent from pairs are their own
+    singleton components by definition (callers left-join and
+    coalesce to id).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    ).persist()
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(F.col("component"), F.col("nmin")).alias("component"),
+                    (F.col("nmin") < F.col("component")).alias("changed"),
+                )
+            )
+            new_labels = new_labels.persist()
+            changed = new_labels.filter(F.col("changed")).count()
+            labels.unpersist()
+            labels = new_labels.drop("changed")
+            if changed == 0:
+                break
+        # materialize the final assignment, then release every
+        # intermediate cache (edges + the last round's labels)
+        out = labels.select("id", "component").persist()
+        out.count()
+        labels.unpersist()
+        return out
+    finally:
+        edges.unpersist()
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Corpus-level dedup decision: every doc gets its near-dup
+    ``component`` (singletons = themselves) and a ``keep`` flag —
+    True iff the doc IS its component's representative (min id).
+    One broadcast-friendly left join against the (tiny relative to
+    the corpus) component table."""
+    comps = connected_components(pairs)
+    return (
+        df.join(comps, df[id_col] == comps.id, "left")
+        .drop("id")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("keep", F.col(id_col) == F.col("component"))
+    )
+
+
 # ------------------------------------------------------------ MinHash/LSH
 
 

@@ -1,0 +1,164 @@
+"""End-to-end training-data CURATION job: raw crawl pages in,
+deduplicated high-quality text corpus out.
+
+This is the composition a 100 TB pretraining pipeline actually runs,
+built entirely from the engine's own operators — one declarative DAG,
+no driver-side data paths:
+
+  pages ──run_engines_fused──▶ per-engine results
+        ──pick_winner────────▶ one best text per url
+        ──with_text_stats────▶ quality/token features (native exprs)
+        ──quality gates──────▶ language + quality + length filters
+        ──lsh_candidates─────▶ near-dup pairs over SURVIVORS only
+        ──dedup_keep_list────▶ connected components -> keep flag
+        ──write──────────────▶ curated parquet + per-stage metrics
+
+Design notes for scale:
+- Filters run BEFORE the LSH pass: the quality gates are O(row)
+  native expressions while MinHash shuffles shingles — pruning first
+  shrinks the expensive stage's input (predicate pushdown thinking at
+  the pipeline level).
+- Every stage count comes from ONE pass over a persisted stage
+  boundary (no recomputation); the output is partitioned by lang so
+  downstream per-language sampling prunes partitions.
+- The keep-list join is per-doc row-local; the only quadratic-ish
+  work (pair expansion) stays inside lsh_candidates' banded path.
+
+CLI: python -m ocr_compare_spark.plans.curate --input <sf_dir>
+         [--output DIR] [--min-quality Q] [--min-tokens N]
+         [--max-tokens N] [--langs en,de] [--jaccard T]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def curate(
+    spark,
+    input_dir: str,
+    output_dir: str | None = None,
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    langs: tuple[str, ...] | None = None,
+    jaccard_threshold: float = 0.8,
+    num_partitions: int | None = None,
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from ocr_compare_spark import synth
+    from ocr_compare_spark.operators import textstats
+    from ocr_compare_spark.operators.dedup import dedup_keep_list, lsh_candidates
+    from ocr_compare_spark.operators.extract import run_engines_fused
+    from ocr_compare_spark.operators.winner import pick_winner
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    pages = synth.pages_from_documents(spark, input_dir)
+    n_in = pages.count()
+
+    winners = pick_winner(
+        run_engines_fused(pages, with_spans=False, num_partitions=num_partitions)
+    ).select("url", "engine", "doc_text", "confidence").join(
+        pages.select("url", "lang"), "url"
+    )
+
+    scored = textstats.with_text_stats(winners, "doc_text").withColumn(
+        "lang_pred", textstats.langid_label("doc_text")
+    )
+    gates = (
+        F.col("doc_text").isNotNull()
+        & (F.col("quality_score") >= min_quality)
+        & F.col("token_count").between(min_tokens, max_tokens)
+    )
+    if langs:
+        gates = gates & F.col("lang").isin(*langs)
+    kept = scored.filter(gates).persist()
+    n_quality = kept.count()
+
+    # Near-dup pass over survivors only; stable numeric id = the url
+    # hash (collision-free at this scale is not assumed — the id only
+    # keys the dedup decision, and a collision merges two docs into
+    # one cluster, dropping one: acceptable for curation, documented).
+    keyed = kept.withColumn("doc_key", F.xxhash64("url"))
+    pairs = lsh_candidates(
+        keyed, "doc_key", "doc_text",
+        verify_threshold=jaccard_threshold, num_partitions=num_partitions,
+    )
+    curated = dedup_keep_list(keyed, pairs, "doc_key").filter(F.col("keep")).select(
+        "url", "lang", "lang_pred", "engine", "doc_text",
+        "confidence", "quality_score", "token_count", "component",
+    )
+
+    if output_dir:
+        curated.write.mode("overwrite").partitionBy("lang").parquet(
+            f"{output_dir}/corpus"
+        )
+        out = spark.read.parquet(f"{output_dir}/corpus")
+        n_out = out.count()
+    else:
+        curated = curated.persist()
+        n_out = curated.count()
+
+    kept.unpersist()
+    metrics = {
+        "docs_in": n_in,
+        "docs_after_quality": n_quality,
+        "docs_out": n_out,
+        "dropped_quality": n_in - n_quality,
+        "dropped_near_dup": n_quality - n_out,
+        "params": {
+            "min_quality": min_quality,
+            "min_tokens": min_tokens,
+            "max_tokens": max_tokens,
+            "langs": list(langs) if langs else None,
+            "jaccard_threshold": jaccard_threshold,
+        },
+    }
+    if output_dir:
+        with open(f"{output_dir}/curation_metrics.json", "w") as f:
+            json.dump(metrics, f)
+    return metrics
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="/root/testdata/sf0.01")
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--max-tokens", type=int, default=100_000)
+    ap.add_argument("--langs", default=None)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    args = ap.parse_args()
+
+    from ocr_compare_spark.session import get_spark
+
+    spark = get_spark(app_name="ocr_compare_curate")
+    spark.sparkContext.setLogLevel("WARN")
+    m = curate(
+        spark,
+        args.input,
+        args.output,
+        min_quality=args.min_quality,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+        jaccard_threshold=args.jaccard,
+    )
+    print("CURATE_JSON:" + json.dumps(m))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -314,3 +314,37 @@ def test_embed_near_dups_hints_skip_sizing_jobs(vectors):
     want = {tuple(r) for r in dedup.embed_near_dups(df, threshold=0.9, sign_bits=4).collect()}
     got = {tuple(r) for r in out.collect()}
     assert got == want
+
+
+def test_connected_components_cliques_and_chain(spark):
+    """Near-dup clustering: cliques collapse to min-id components and
+    a CHAIN (diameter 3 — worse than LSH banding ever produces)
+    converges through the iterative propagation."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3),        # clique {1,2,3}
+         (10, 11),                      # pair {10,11}
+         (20, 21), (21, 22), (22, 23)], # chain {20..23}
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dedup_keep_list_singletons_and_reps(spark, corpus):
+    """dedup_keep_list: every doc gets a component (singletons =
+    themselves) and exactly one keep=True representative per
+    component (the min id)."""
+    pairs = dedup.lsh_candidates(corpus, "doc_id", "text", verify_threshold=0.5)
+    out = dedup.dedup_keep_list(corpus, pairs, "doc_id")
+    rows = out.select("doc_id", "component", "keep").collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    assert len(rows) == corpus.count()
+    for comp, members in by_comp.items():
+        assert comp == min(m.doc_id for m in members)
+        assert sum(m.keep for m in members) == 1
+        assert next(m for m in members if m.keep).doc_id == comp
+    # the planted exact dup (0, 1000) collapses; 1000 is dropped
+    d = {r.doc_id: r for r in rows}
+    assert d[1000].component == 0 and not d[1000].keep and d[0].keep

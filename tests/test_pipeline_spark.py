@@ -338,3 +338,25 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS buckdemo.left_t")
         spark.sql("DROP TABLE IF EXISTS buckdemo.right_t")
         spark.sql("DROP DATABASE IF EXISTS buckdemo")
+
+
+def test_curate_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The composed curation job: quality gates then near-dup
+    keep-list; metrics are consistent, output has no exact-dup texts,
+    and a rerun is deterministic."""
+    from ocr_compare_spark.plans.curate import curate
+
+    out = str(tmp_path / "curated")
+    m = curate(spark, sf_dir, out, min_quality=0.0, min_tokens=1,
+               jaccard_threshold=0.8)
+    assert m["docs_in"] >= m["docs_after_quality"] >= m["docs_out"] > 0
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == m["docs_out"]
+    # no two kept docs share a text (exact dups collapse via clusters)
+    from pyspark.sql import functions as F
+
+    assert corpus.groupBy("doc_text").count().filter(F.col("count") > 1).count() == 0
+    # deterministic: rerun produces the same kept url set
+    m2 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+                jaccard_threshold=0.8)
+    assert m2["docs_out"] == m["docs_out"]

@@ -76,3 +76,80 @@ def test_testdata_whitespace_contract():
             "WHERE regexp_matches(text, '[\\t\\n\\r\\x0b\\x0c]')"
         ).fetchone()[0]
         assert n == 0, f"{p}: {n} docs with non-space whitespace"
+
+
+# -- Cell.blocks fuzz (r4): random in-cell structure ------------------
+
+CELL_ITEM = st.one_of(
+    # plain paragraph run
+    st.lists(TOKEN, min_size=1, max_size=4).map(lambda t: ("p", t)),
+    # block-in-cell (blockquote/section wrapping a paragraph)
+    st.tuples(
+        st.sampled_from(["blockquote", "section"]),
+        st.lists(TOKEN, min_size=1, max_size=4),
+    ).map(lambda x: ("nest", x)),
+    # inner table (1-2 rows x 1-2 cols of single tokens)
+    st.lists(
+        st.lists(TOKEN, min_size=1, max_size=2), min_size=1, max_size=2
+    ).map(lambda rows: ("table", rows)),
+)
+
+
+def _cell_html(items) -> tuple[str, list[str]]:
+    """Build a <td> body from items; return (html, expected tokens in
+    rendering order)."""
+    parts, toks = [], []
+    for kind, payload in items:
+        if kind == "p":
+            parts.append("<p>" + " ".join(payload) + "</p>")
+            toks.extend(payload)
+        elif kind == "nest":
+            tag, words = payload
+            parts.append(f"<{tag}><p>" + " ".join(words) + f"</p></{tag}>")
+            toks.extend(words)
+        else:
+            rows = payload
+            parts.append(
+                "<table>"
+                + "".join(
+                    "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
+                    for row in rows
+                )
+                + "</table>"
+            )
+            toks.extend(c for row in rows for c in row)
+    return "".join(parts), toks
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(CELL_ITEM, min_size=1, max_size=3), st.lists(TOKEN, min_size=1, max_size=2))
+def test_cell_blocks_fuzz_byte_and_structure(items, other_cell):
+    """Arbitrary in-cell structure (paragraph runs, nested blocks,
+    inner tables, mixed): the rendered cell text is always the
+    ' '-flattened token sequence in document order, spans carry every
+    token exactly once with monotone run ordinals, and nested runs
+    carry structural cell paths."""
+    body, toks = _cell_html(items)
+    html = (
+        "<html><body><table><tr><td>"
+        + body
+        + "</td><td>"
+        + " ".join(other_cell)
+        + "</td></tr></table></body></html>"
+    ).encode()
+    r = doc_to_result(parse_dom(html), 0.9)
+    cell_text = " ".join(toks)
+    expected = f"| {cell_text} | {' '.join(other_cell)} |"
+    assert r["doc_text"] == expected
+    cell_spans = [
+        s for s in r["spans"] if s["row_no"] == 0 and s["column_no"] == 0 and s["text"]
+    ]
+    assert [s["text"] for s in cell_spans] == toks
+    # run ordinals monotone, words numbered within runs
+    runs = [(s["para_no"], s["word_no"]) for s in cell_spans]
+    assert runs == sorted(runs)
+    # nested/table items produce structural paths; plain runs don't
+    for s in cell_spans:
+        if s["cell_path"] is not None:
+            assert len(s["cell_path"]) >= 2
+    assert r["n_words"] == len(toks) + len(other_cell)

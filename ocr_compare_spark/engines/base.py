@@ -30,6 +30,13 @@ class Block:
     bbox: Optional[tuple[float, float, float, float]] = None
     # source tag for the `extra` property bag (ocr_schema.py:18,27)
     tag: Optional[str] = None
+    # pages this block SPANS (reference Block.page_span,
+    # ocr_schema.py:136 — e.g. a GDAI table continuing onto the next
+    # page). None = the owning page only. Carried into the span table
+    # as the 'page_span_last' extra marker on the block's first span;
+    # the combine renumbering CONSUMES it (ocr_executor.py:204-229: a
+    # page whose block spans k pages takes k page numbers).
+    page_span: Optional[tuple[int, int]] = None
     # ordered child ELEMENTS when the block nests (reference
     # Block.elements: List[Table|Paragraph|Block], ocr_schema.py:
     # 130-167). Entries are ('para', list[tokens]) or ('block',

@@ -310,6 +310,12 @@ def doc_to_result(parsed: ParsedDoc, base_conf: float, with_spans: bool = True) 
         nonlocal n_blocks
         n_blocks += 1
         extra = {"tag": blk.tag} if blk.tag else None
+        if blk.page_span is not None and blk.page_span[1] > page_no:
+            # multi-page block (reference Block.page_span): the last
+            # spanned page rides the block's first span so the tree
+            # and the combine renumbering can consume it
+            extra = dict(extra or {})
+            extra["page_span_last"] = str(blk.page_span[1])
         bbox = None
         if blk.bbox is not None:
             bbox = {"left": blk.bbox[0], "top": blk.bbox[1], "width": blk.bbox[2], "height": blk.bbox[3]}

@@ -117,19 +117,24 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
     flatten with ' ' — word detail stays in the span table); a table
     element always owns its block (build_block_tree wraps tables),
     so block_type is constant per block entry. page_span (reference
-    Block.page_span, ocr_schema.py:136) is (page, page) here: batch
-    blocks never straddle pages; segment recombination renumbers
-    pages before the tree is built.
+    Block.page_span, ocr_schema.py:136) is (owning page, last spanned
+    page): blocks that CONTINUE onto later pages (engine-declared,
+    e.g. a table running across pages — the 'page_span_last' marker,
+    see Block.page_span in engines/base.py) carry last > first;
+    everything else is (page, page). Segment recombination renumbers
+    pages consuming these spans (chunking.combine_pages_spanned)
+    before the tree is built.
 
     ONE linear cascade — no TEXT/TABLE branch over the span scan
     (two filtered branches get divergent column pruning below the
     repartition exchange and re-run extraction; the r2 assemble
     lesson). Inapplicable ordinals are constants within each group,
     so the groups are exactly the per-kind groups."""
+    from ocr_compare_spark.operators.chunking import with_span_last
     from ocr_compare_spark.operators.extract import with_elem_path
 
     base = ["url", "engine"]
-    s = with_elem_path(spans).repartition(*base)
+    s = with_elem_path(with_span_last(spans)).repartition(*base)
 
     # L1: word -> line (TEXT) / cell-paragraph run (TABLE). cell_path
     # (constant per run — Cell.blocks structure, schema.py) joins the
@@ -155,6 +160,8 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
         # which a float mean over stored word confs is NOT)
         F.max(F.element_at(F.col("extra"), F.lit("line_conf"))).cast("double").alias("line_conf"),
         F.max(F.element_at(F.col("extra"), F.lit("elem_conf"))).cast("double").alias("elem_conf"),
+        # multi-page block marker (reference Block.page_span)
+        F.max("page_span_last").alias("span_last"),
         # word-bbox envelope corners (PDF engines; HTML spans null)
         F.min(F.col("bbox.left")).alias("bx0"),
         F.min(F.col("bbox.top")).alias("by0"),
@@ -189,13 +196,14 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
             ).alias("runs"),
             F.max("line_conf").alias("line_conf"),
             F.max("elem_conf").alias("elem_conf"),
+            F.max("span_last").alias("span_last"),
             F.min("bx0").alias("bx0"), F.min("by0").alias("by0"),
             F.max("bx1").alias("bx1"), F.max("by1").alias("by1"),
         )
         .select(
             *base, "page_no", "block_no", "block_type", "elem_path",
             "line_no", "row_no", "column_no", "row_type",
-            "line_conf", "elem_conf", "bx0", "by0", "bx1", "by1",
+            "line_conf", "elem_conf", "span_last", "bx0", "by0", "bx1", "by1",
             F.array_join(F.transform(F.col("runs"), lambda r: r.text), " ").alias("cell_text"),
             F.array_join(F.transform(F.col("runs"), lambda r: r.text), "\n").alias("text_nl"),
             F.transform(
@@ -227,6 +235,7 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
         ).alias("words"),
         F.max("line_conf").alias("line_conf"),
         F.max("elem_conf").alias("elem_conf"),
+        F.max("span_last").alias("span_last"),
         F.min("bx0").alias("bx0"), F.min("by0").alias("by0"),
         F.max("bx1").alias("bx1"), F.max("by1").alias("by1"),
     )
@@ -257,6 +266,7 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
             lambda x: x.c,
         ).alias("trows"),
         F.max("elem_conf").alias("elem_conf"),
+        F.max("span_last").alias("span_last"),
         F.min("bx0").alias("bx0"), F.min("by0").alias("by0"),
         F.max("bx1").alias("bx1"), F.max("by1").alias("by1"),
     ).withColumn("para_conf", _ordered_mean(F.col("lines"), lambda l: l.conf))
@@ -287,6 +297,7 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
             )
         ).alias("rows"),
         F.max("elem_conf").alias("table_conf"),
+        F.max("span_last").alias("span_last"),
         F.min("bx0").alias("bx0"), F.min("by0").alias("by0"),
         F.max("bx1").alias("bx1"), F.max("by1").alias("by1"),
     )
@@ -306,7 +317,10 @@ def to_tree(spans: DataFrame, pages_meta: DataFrame | None = None) -> DataFrame:
             F.size("block_path").alias("depth"),
             F.col("block_type"),
             F.struct(
-                F.col("page_no").alias("first"), F.col("page_no").alias("last")
+                F.col("page_no").alias("first"),
+                F.greatest(
+                    F.col("page_no"), F.coalesce(F.col("span_last"), F.col("page_no"))
+                ).alias("last"),
             ).alias("page_span"),
             F.col("paragraphs"),
             F.col("rows"),

@@ -414,3 +414,63 @@ def test_tree_structs_carry_confidence_and_bbox(spark):
         assert p["bbox"] is None and p["conf"] is not None
         for b in p["blocks"]:
             assert b["bbox"] is None and b["conf"] is not None
+
+
+def test_multi_page_span_blocks_representable(spark):
+    """Reference Block.page_span (ocr_schema.py:136, consumed by the
+    combine renumbering at ocr_executor.py:201-240): a block declared
+    to span pages carries page_span=(first, last) in the tree, and
+    combine_pages_spanned numbers pages CONTINUOUSLY while consuming
+    the span — a page whose block runs through page p+1 takes two
+    numbers, so the next physical page lands at p+2."""
+    from ocr_compare_spark.engines.base import Block, ParsedDoc
+    from ocr_compare_spark.operators.chunking import combine_pages_spanned
+    from ocr_compare_spark.operators.extract import doc_to_result
+    from ocr_compare_spark.operators.tree import to_tree
+
+    parsed = ParsedDoc(pages=[
+        [Block(paras=[["alpha", "beta"]], page_span=(1, 2))],  # spans 1-2
+        [Block(paras=[["gamma"]])],
+    ])
+    r = doc_to_result(parsed, 0.9)
+    by_word = {s["text"]: s for s in r["spans"]}
+    assert by_word["alpha"]["extra"]["page_span_last"] == "2"
+    rows = [("u", "eng", "v1", s) for s in r["spans"]]
+    from ocr_compare_spark.schema import SPAN_TYPE
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("engine", T.StringType()),
+            T.StructField("engine_version", T.StringType()),
+            T.StructField("s", SPAN_TYPE),
+        ]
+    )
+    spans = spark.createDataFrame(rows, schema).select(
+        "url", "engine", "engine_version", "s.*"
+    )
+    # tree: the spanning block reports page_span (1, 2)
+    doc = to_tree(spans).select("document").first()[0]
+    spans_by_page = {
+        p["page_no"]: [(b["page_span"]["first"], b["page_span"]["last"]) for b in p["blocks"]]
+        for p in doc["pages"]
+    }
+    assert spans_by_page == {1: [(1, 2)], 2: [(2, 2)]}
+    # combine: page 1 consumes two numbers -> physical page 2 becomes 3
+    combined = combine_pages_spanned(spans)
+    pages = {
+        r2.text: (r2.page_no, r2.page_span_last)
+        for r2 in combined.select("text", "page_no", "page_span_last").collect()
+    }
+    # the old end page (2) IS a physical page, so it remaps through
+    # the page map to its new number 3 — the reference's
+    # page_number_map.get(old_end, ...) behavior
+    assert pages["alpha"] == (1, 3)
+    assert pages["gamma"][0] == 3
+    # tree over the combined spans keeps the span
+    # combined spans carry the explicit page_span_last column; the
+    # idempotent with_span_last inside to_tree keeps it as-is
+    doc2 = to_tree(combined).select("document").first()[0]
+    got = {p["page_no"]: [(b["page_span"]["first"], b["page_span"]["last"]) for b in p["blocks"]] for p in doc2["pages"]}
+    assert got == {1: [(1, 3)], 3: [(3, 3)]}

@@ -21,6 +21,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
+from ocr_compare_spark.engines import html_scan
+
 # Subtrees whose text is never content.
 SKIP_TAGS = {"script", "style", "noscript", "template", "head", "svg"}
 # Site chrome: the DOM-heuristic engine drops these subtrees.
@@ -345,14 +347,33 @@ class _BlockParser(HTMLParser):
 
 
 def segment_html(data: bytes) -> list[RawBlock]:
-    """Parse HTML bytes into ordered candidate blocks."""
+    """Parse HTML bytes into ordered candidate blocks.
+
+    Event delivery goes through engines/html_scan.py — a fast scanner
+    producing the same event stream as stdlib html.parser (~2x less
+    parse CPU; see its docstring). segment_html_stdlib keeps the
+    stdlib-driven path as the executable reference; equivalence over
+    the synth corpus + junk-markup fuzz is pinned in
+    tests/test_engines.py."""
+    text = data.decode("utf-8", errors="replace")
+    p = _BlockParser()
+    try:
+        html_scan.scan(text, p)
+        p._flush()
+    except Exception:
+        # malformed beyond the scanner's tolerance: keep what we have
+        p._flush()
+    return p.blocks
+
+
+def segment_html_stdlib(data: bytes) -> list[RawBlock]:
+    """Reference implementation on stdlib html.parser.feed()."""
     text = data.decode("utf-8", errors="replace")
     p = _BlockParser()
     try:
         p.feed(text)
         p.close()
     except Exception:
-        # malformed beyond HTMLParser's tolerance: keep what we have
         p._flush()
     return p.blocks
 

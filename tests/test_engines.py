@@ -172,3 +172,64 @@ def test_parse_page_dims_scoped_and_inherited():
         b"4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 100 50] >>\nendobj\n"
     )
     assert parse_page_dims(data, 2) == [(200.0, 400.0), (100.0, 50.0)]
+
+
+# --- fast scanner vs stdlib html.parser (engines/html_scan.py) ------
+
+JUNK_CASES = [
+    "<p>hello <b>world</b></p>",
+    '<a href="x>y">in quotes</a>',
+    "<br/><div/>x",
+    "<script>if (a<b) {}</script>after",
+    "<script>var s='</scriptx>'</script>tail",
+    "<style>p>a{}</style>t",
+    "a &amp; b &lt;p&gt; &#65;",
+    "a < b", "a<b", "<", "x<", "<3 hearts",
+    "</>", "</ p>x", "</p >x", "</p class='x'>y", "</ p class=x>y",
+    "<!-- c -->x", "<!-- unterminated", "<!-- x > y",
+    "<!DOCTYPE html><p>x</p>", "<!doctype", "<! bogus >x", "<!bogus",
+    "<![CDATA[ x > y ]]>t", "<![CDATA[ x ]]", "<![if x]>t",
+    "<?php echo '>' ?>t", "<?pi>t", "<?unterminated",
+    "<a href=x/>y", "<a href=x/y>z</a>", "<a href='/>'>q</a>",
+    "<a href=x />y", "<a href=x//>y", "<a href=x/ >y",
+    "<p<q>r", "<div", "<div attr", "</p", "<em>a</em >b",
+    "<a =b>x", "<a b=c=d>x", "<a b c>x", "<ab=c>x", '<a "x">y',
+    '<a b="x>y', "<a b='c'd>x", '<a b=c"d>x',
+    "<script src=x/>notscript", "<SCRIPT>x</SCRIPT>y",
+    "<script>a</script foo>b", "<script>a</scriptx>b</script>c",
+    "<script>a</script", "<style>x", "</script>solo",
+    "<div foo <p>x", '<a b="x"/>y', "<a/ b>x", "<a /b>x",
+    "x<!>y", "x<!--->y", "x<!---->y", "<!--a--b-->x",
+    "< div>x", "<-div>x", "<0div>x",
+]
+
+
+def test_fast_scanner_matches_stdlib_junk():
+    """Tolerance equivalence on malformed/adversarial markup: the
+    scanner's RawBlocks equal html.parser's on every junk case."""
+    from ocr_compare_spark.engines.html_tree import segment_html, segment_html_stdlib
+
+    for s in JUNK_CASES:
+        b = s.encode()
+        assert segment_html(b) == segment_html_stdlib(b), repr(s)
+
+
+def test_fast_scanner_matches_stdlib_corpus():
+    """Full synth corpus (every HTML doc at sf0.001): identical
+    candidate blocks from both parse paths — the oracle-bearing
+    extraction output cannot shift."""
+    import duckdb
+
+    from ocr_compare_spark.engines.html_tree import segment_html, segment_html_stdlib
+
+    rows = duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    checked = 0
+    for doc_id, text in rows:
+        if synth.is_pdf_doc(doc_id):
+            continue
+        payload = synth.build_html(doc_id, text)
+        assert segment_html(payload) == segment_html_stdlib(payload), doc_id
+        checked += 1
+    assert checked > 0

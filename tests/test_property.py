@@ -153,3 +153,26 @@ def test_cell_blocks_fuzz_byte_and_structure(items, other_cell):
         if s["cell_path"] is not None:
             assert len(s["cell_path"]) >= 2
     assert r["n_words"] == len(toks) + len(other_cell)
+
+
+_MARKUP_FRAG = st.sampled_from([
+    "<p>", "</p>", "<div>", "</div>", "<a>", "</a>", "<a href=", "x",
+    '"q"', "'q'", " ", "\n", "word", "&amp;", "&lt;", "&#65;", "&bogus;",
+    "&", "<", ">", "/", "=", "<br/>", "<!--", "-->", "<!-- c -->",
+    "<script>", "</script>", "<style>", "</style>", "<table>", "<tr>",
+    "<td>", "</td>", "</tr>", "</table>", "<!doctype html>", "<![CDATA[",
+    "]]>", "<?", "?>", "<!", "--", "<section>", "</section>", "<h2>",
+    "</h2>", "<nav>", "</nav>", "a=b", "/>", "</", "<em", "class=x",
+    "<li>", "</li>", "<SCRIPT>", "</SCRIPT>", "<A HREF=X>", "</A >",
+])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_MARKUP_FRAG, min_size=1, max_size=12))
+def test_fast_scanner_matches_stdlib_fuzz(frags):
+    """Composed markup fragments (valid + junk): the fast scanner's
+    blocks equal the stdlib html.parser reference path's."""
+    from ocr_compare_spark.engines.html_tree import segment_html_stdlib
+
+    data = "".join(frags).encode()
+    assert segment_html(data) == segment_html_stdlib(data)

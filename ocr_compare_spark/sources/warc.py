@@ -1,0 +1,208 @@
+"""WARC source: Common-Crawl-style crawl archives -> pages table.
+
+The pipeline's canonical input is a lakehouse table with
+(url, warc_ts, html, ...) columns (BASELINE input_hint; reference
+analog: the executor's document-bytes entry point,
+src/ocrtool/ocr_executor.py:92-106 — bytes in, parsed doc out). Real
+crawls, however, arrive as WARC files (ISO 28500): this source turns
+a directory of ``*.warc`` / ``*.warc.gz`` files into exactly that
+pages shape, Spark-first:
+
+- file scan via ``spark.read.format("binaryFile")`` (distributed,
+  pushdown on path glob, no driver-side listing of contents),
+- ONE ``mapInPandas`` over file contents doing the record framing in
+  pure Python: WARC header block, Content-Length-delimited payload,
+  member-wise gunzip for ``.warc.gz`` (Common Crawl compresses each
+  record as its own gzip member precisely so readers can split
+  without global decompression).
+
+Scale notes (10^12 docs): parallelism is per FILE — a Common Crawl
+monthly ships ~64k segment files of ~1 GB, far more splits than
+executors, so per-file granularity saturates a 1000-executor cluster
+without an offset index. Records stream through one pandas batch per
+file; peak memory is one decompressed file per task (~5 GB worst
+case — size executor memory or pre-split oversized files). Malformed
+records are skipped, truncated tails dropped — a crawl source must
+never fail the task on one bad record.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import zlib
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
+
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Concatenated-member gzip decompress (zlib streaming; stdlib
+    gzip.decompress handles multi-member too, but this variant stops
+    cleanly at a truncated trailing member instead of raising)."""
+    parts: list[bytes] = []
+    while data:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        try:
+            parts.append(d.decompress(data))
+        except zlib.error:
+            break  # corrupt member: keep what we have
+        if not d.eof:
+            break  # truncated final member
+        data = d.unused_data
+    return b"".join(parts)
+
+
+def iter_warc_records(data: bytes):
+    """Yield (headers: dict[lower->value], payload: bytes) per record.
+
+    Framing per ISO 28500: ``WARC/1.x`` version line, CRLF header
+    block, blank line, Content-Length payload bytes, CRLF CRLF.
+    Tolerant: records are located by the version magic, so garbage
+    between records (or a missing trailing CRLF pair) is skipped.
+    """
+    if data[:2] == _GZ_MAGIC:
+        data = gunzip_members(data)
+    pos = 0
+    while True:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            return
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            return
+        headers: dict[str, str] = {}
+        block = data[start:hdr_end].decode("utf-8", errors="replace")
+        for line in block.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            # unparseable length: resync on the next version magic
+            pos = hdr_end + 4
+            continue
+        body_start = hdr_end + 4
+        if body_start + clen > len(data):
+            return  # truncated record
+        yield headers, data[body_start:body_start + clen]
+        pos = body_start + clen
+
+
+def http_body(payload: bytes) -> bytes:
+    """A response record's payload is an HTTP message; the page bytes
+    follow the first blank line. Non-HTTP payloads pass through."""
+    if payload[:5] == b"HTTP/":
+        sep = payload.find(b"\r\n\r\n")
+        if sep >= 0:
+            return payload[sep + 4:]
+    return payload
+
+
+def parse_warc_date(v: str | None) -> datetime | None:
+    """ISO 8601 Zulu (WARC-Date) -> naive UTC datetime (the session
+    pins spark.sql.session.timeZone=UTC, so naive == UTC)."""
+    if not v:
+        return None
+    try:
+        dt = datetime.fromisoformat(v.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC file(s) at ``path`` (glob ok) into the pages shape
+    (url, warc_ts, html). Only ``WARC-Type: response`` records with a
+    target URI become rows; warcinfo/request/metadata records and
+    malformed entries are skipped."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def gen(batches):
+        for pdf in batches:
+            urls: list[str] = []
+            tss: list = []
+            bodies: list[bytes] = []
+            for content in pdf["content"]:
+                for headers, payload in iter_warc_records(bytes(content)):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    url = headers.get("warc-target-uri")
+                    if not url:
+                        continue
+                    urls.append(url)
+                    tss.append(parse_warc_date(headers.get("warc-date")))
+                    bodies.append(http_body(payload))
+            yield pd.DataFrame(
+                {"url": urls, "warc_ts": tss, "html": bodies},
+                columns=["url", "warc_ts", "html"],
+            )
+
+    return files.mapInPandas(gen, PAGES_SCHEMA)
+
+
+# ------------------------------------------------------------- builder
+
+
+def _record_id(url: str, ts: datetime) -> str:
+    # deterministic (synth contract: no randomness anywhere)
+    return hashlib.md5(f"{url}|{ts.isoformat()}".encode()).hexdigest()
+
+
+def build_warc(
+    records,
+    gzip_members: bool = False,
+    with_warcinfo: bool = True,
+) -> bytes:
+    """Serialize (url, ts, body_bytes, content_type) tuples as a WARC
+    byte stream — the deterministic twin of ``iter_warc_records`` for
+    tests and local fixtures. ``gzip_members`` compresses each record
+    as its own gzip member (the Common Crawl layout)."""
+    chunks: list[bytes] = []
+
+    def emit(rec: bytes) -> None:
+        chunks.append(gzip.compress(rec, mtime=0) if gzip_members else rec)
+
+    if with_warcinfo:
+        info_body = b"software: ocr_compare_spark synth\r\n"
+        emit(
+            (
+                "WARC/1.0\r\n"
+                "WARC-Type: warcinfo\r\n"
+                "WARC-Date: 2025-01-01T00:00:00Z\r\n"
+                "Content-Type: application/warc-fields\r\n"
+                f"Content-Length: {len(info_body)}\r\n\r\n"
+            ).encode()
+            + info_body
+            + b"\r\n\r\n"
+        )
+    for url, ts, body, ctype in records:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: "
+            + ctype.encode()
+            + b"\r\nContent-Length: "
+            + str(len(body)).encode()
+            + b"\r\n\r\n"
+            + body
+        )
+        emit(
+            (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+                f"WARC-Record-ID: <urn:uuid:{_record_id(url, ts)}>\r\n"
+                "Content-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n"
+            ).encode()
+            + http
+            + b"\r\n\r\n"
+        )
+    return b"".join(chunks)

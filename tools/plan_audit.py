@@ -143,9 +143,35 @@ def main() -> int:
                                    plans["winner"])) >= 2,
           "no partial/final aggregate pair for winner selection")
 
+    # ---- registry-wide sweep: every queries() entry, generic
+    # anti-patterns only. Explains the returned DataFrame's plan;
+    # a few entries eagerly run helper jobs while BUILDING (cache
+    # roundtrip, trained IVF, streaming driver rows) — their cost is
+    # bounded by the sf0.01 gate and the final plan is still lazy.
+    # BroadcastNestedLoopJoin is whitelisted ONLY for param_grid (the
+    # reference-mandated 3-row broadcast parameter grid).
+    import __spark_entry__ as entry_mod
+
+    registry_audited = []
+    for name, fn in sorted(entry_mod.queries().items()):
+        try:
+            p = plan_of(fn(spark, sf_dir))
+        except Exception as e:  # a query that cannot build is a violation
+            violations.append(f"registry:{name}: failed to build plan: {type(e).__name__}: {e}")
+            continue
+        registry_audited.append(name)
+        check(f"registry:{name}", "BatchEvalPython" not in p,
+              "row-at-a-time Python UDF in plan")
+        check(f"registry:{name}", "CartesianProduct" not in p,
+              "cartesian product in plan")
+        if name != "param_grid":
+            check(f"registry:{name}", "BroadcastNestedLoopJoin" not in p,
+                  "non-equi nested-loop join in plan")
+
     out = {
         "sf_dir": sf_dir,
         "queries_audited": sorted(plans),
+        "registry_audited": len(registry_audited),
         "violations": violations,
         "ok": not violations,
     }

@@ -11,7 +11,12 @@ from ocr_compare_spark.engines.density import parse_density
 from ocr_compare_spark.engines.dom_heuristic import parse_dom
 from ocr_compare_spark.engines.html_tree import segment_html
 from ocr_compare_spark.engines.pdf_stream import parse_pdf
-from ocr_compare_spark.operators.compare import _codes, levenshtein_np
+from ocr_compare_spark.operators.compare import (
+    _codes,
+    levenshtein_fast,
+    levenshtein_np,
+    levenshtein_tokens,
+)
 from ocr_compare_spark.operators.extract import doc_to_result
 
 from tests.test_metrics import lev_ref
@@ -23,6 +28,33 @@ TOKEN = st.text(alphabet="abcdefghij0123456789", min_size=1, max_size=8)
 @given(st.text(max_size=40), st.text(max_size=40))
 def test_levenshtein_matches_reference_any_unicode(a, b):
     assert levenshtein_np(_codes(a), _codes(b)) == lev_ref(a, b)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=40), st.text(max_size=40))
+def test_levenshtein_bitparallel_matches_reference(a, b):
+    # the hot-path Myers/Hyyrö core against BOTH independent
+    # implementations (textbook cell DP + numpy row DP)
+    assert levenshtein_fast(_codes(a), _codes(b)) == lev_ref(a, b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="abcd", min_size=0, max_size=300),
+    st.text(alphabet="abcd", min_size=0, max_size=300),
+    st.text(alphabet="xy", max_size=40),
+)
+def test_levenshtein_bitparallel_multiword_affixed(a, b, affix):
+    # patterns > 64 elements exercise multiword bigint masks; shared
+    # affixes exercise the strip fast path
+    a2, b2 = affix + a + affix, affix + b + affix
+    assert levenshtein_fast(_codes(a2), _codes(b2)) == levenshtein_np(_codes(a2), _codes(b2))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(TOKEN, max_size=40), st.lists(TOKEN, max_size=40))
+def test_levenshtein_tokens_matches_reference(ta, tb):
+    assert levenshtein_tokens(ta, tb) == lev_ref(ta, tb)
 
 
 @settings(max_examples=60, deadline=None)

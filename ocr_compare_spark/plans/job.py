@@ -141,21 +141,35 @@ def build_and_run(
     phases["winner"] = round(time.time() - t, 2)
 
     t = time.time()
-    compare = pairwise_compare(
-        staged,
-        with_alignment=with_alignment,
-        num_partitions=spark.sparkContext.defaultParallelism if with_alignment else None,
-        # bound the per-pair alignment DP at scale (capped pairs carry
-        # an explicit `capped` column in the output — never silent)
-        max_align_len=max_align_len,
-    )
-    compare = compare.drop("lcs_spans", "text_a", "text_b")
-    if output_dir:
-        compare.write.mode("overwrite").parquet(f"{output_dir}/compare")
-        n_pairs = spark.read.parquet(f"{output_dir}/compare").count()
-    else:
-        compare.write.format("noop").mode("overwrite").save()
-        n_pairs = -1
+    # The byte-light/CPU-heavy alignment stage must stay WIDE, but
+    # the old fix (repartition(cores) after the pair explode) paid a
+    # SECOND full shuffle of every pair text just to defeat AQE's
+    # size-based coalescing. Turning coalescing off for this one
+    # query keeps the groupBy(url) post-shuffle stage at the
+    # configured width, so explode + jaccard + align UDF all run at
+    # full parallelism with ONE text shuffle instead of two.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    coalesce_prev = spark.conf.get(coalesce_key, "true")
+    if with_alignment:
+        spark.conf.set(coalesce_key, "false")
+    try:
+        compare = pairwise_compare(
+            staged,
+            with_alignment=with_alignment,
+            num_partitions=None,
+            # bound the per-pair alignment DP at scale (capped pairs
+            # carry an explicit `capped` column — never silent)
+            max_align_len=max_align_len,
+        )
+        compare = compare.drop("lcs_spans", "text_a", "text_b")
+        if output_dir:
+            compare.write.mode("overwrite").parquet(f"{output_dir}/compare")
+            n_pairs = spark.read.parquet(f"{output_dir}/compare").count()
+        else:
+            compare.write.format("noop").mode("overwrite").save()
+            n_pairs = -1
+    finally:
+        spark.conf.set(coalesce_key, coalesce_prev)
     phases["compare"] = round(time.time() - t, 2)
 
     # The two heavy optional phases explode rows ~150-500x, so their

@@ -476,6 +476,8 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("punct_ratio", 6).alias("punct_ratio"),
         "token_count",
         "quality_score",
+        "dup_line_frac",
+        "top2gram_share",
     )
 
 
@@ -1653,7 +1655,22 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS token_count,
               round(least(len(string_split_regex(text, '\\s+')) / 100.0, 1.0) * 0.6 +
                     least((CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> lower(x) IN ({stop_list}))) AS DOUBLE)
-                           / len(string_split_regex(text, '\\s+'))) * 5.0, 1.0) * 0.4, 6) AS quality_score
+                           / len(string_split_regex(text, '\\s+'))) * 5.0, 1.0) * 0.4, 6) AS quality_score,
+              round(1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+                          / len(string_split(text, chr(10))), 6) AS dup_line_frac,
+              coalesce((
+                -- Gopher-style repetition: share of all word 2-grams
+                -- taken by the most frequent one (0.0 when < 2 words)
+                SELECT round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6)
+                FROM (
+                  SELECT count(*) AS cnt
+                  FROM (
+                    SELECT w[i] || ' ' || w[i + 1] AS g
+                    FROM (SELECT string_split_regex(t.text, '\\s+') AS w),
+                         unnest(range(1, greatest(len(w), 1))) AS r(i)
+                  ) GROUP BY g
+                )
+              ), 0.0) AS top2gram_share
             FROM t
         """,
         "quality_topk": f"""

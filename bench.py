@@ -61,10 +61,20 @@ def main() -> int:
         ).parquet(res_path)
 
     def q_compare():
+        # keep the byte-light alignment stage wide by disabling AQE
+        # size-based coalescing for this one query instead of paying
+        # a second full text shuffle (repartition) after the explode
+        # — same trick as plans/job.py's compare phase
         r = spark.read.parquet(res_path)
-        pairwise_compare(r, with_alignment=True, num_partitions=cores).drop(
-            "lcs_spans"
-        ).write.format("noop").mode("overwrite").save()
+        key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            pairwise_compare(r, with_alignment=True, num_partitions=None).drop(
+                "lcs_spans"
+            ).write.format("noop").mode("overwrite").save()
+        finally:
+            spark.conf.set(key, prev)
 
     def q_winner():
         r = spark.read.parquet(res_path)

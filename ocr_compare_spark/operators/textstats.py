@@ -42,6 +42,59 @@ def stats_columns(text_col: str = "text") -> dict[str, Column]:
     }
 
 
+def repetition_columns(text_col: str = "text") -> dict[str, Column]:
+    """Repetition-based quality signals (the Gopher/C4 web-filter
+    family), fully Catalyst-native:
+
+    - ``dup_line_frac``: fraction of lines that repeat an earlier
+      line (1 - distinct/total). Boilerplate nav/footer blocks that
+      survive extraction show up here first.
+    - ``top2gram_share``: share of all word 2-grams taken by the most
+      frequent one. Computed per row without an explode/groupBy
+      shuffle: sort the 2-gram array, then one ``aggregate`` fold
+      tracks the longest equal run — O(n log n) per row inside
+      whole-stage codegen, no Python.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, r"\n")
+    dup_line_frac = F.when(
+        F.size(lines) > 0,
+        1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
+    ).otherwise(F.lit(0.0))
+    t = tokens(text_col)
+    # adjacent pairs via two shifted slices (NOT sequence(1, n-1) +
+    # element_at: sequence(1, 0) is DESCENDING [1, 0] in Spark, so a
+    # 1-token doc would index past the array and throw under ANSI)
+    n_grams = F.greatest(F.size(t) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(t, 1, n_grams),
+        F.slice(t, 2, n_grams),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    srt = F.array_sort(grams)
+    best_run = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    top2gram_share = F.when(F.size(grams) > 0, best_run / F.size(grams)).otherwise(
+        F.lit(0.0)
+    )
+    return {
+        "dup_line_frac": F.round(dup_line_frac, 6),
+        "top2gram_share": F.round(top2gram_share, 6),
+    }
+
+
 def quality_score() -> Column:
     """Deterministic [0,1] quality score: length saturation +
     stopword presence — the classic cheap web-text filters."""
@@ -56,6 +109,10 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df
     for name, col in stats_columns(text_col).items():
         out = out.withColumn(name, col)
+    for name, col in repetition_columns(text_col).items():
+        out = out.withColumn(name, col)
+    # unused columns are pruned by Catalyst in consumers that select
+    # a subset (quality_topk reads none of the repetition columns)
     return out.withColumn("quality_score", quality_score())
 
 

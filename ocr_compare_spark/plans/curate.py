@@ -8,7 +8,8 @@ no driver-side data paths:
   pages ──run_engines_fused──▶ per-engine results
         ──pick_winner────────▶ one best text per url
         ──with_text_stats────▶ quality/token features (native exprs)
-        ──quality gates──────▶ language + quality + length filters
+        ──quality gates──────▶ language + quality + length +
+                               repetition (dup-line / top-2-gram) filters
         ──lsh_candidates─────▶ near-dup pairs over SURVIVORS only
         ──dedup_keep_list────▶ connected components -> keep flag
         ──write──────────────▶ curated parquet + per-stage metrics
@@ -50,6 +51,8 @@ def curate(
     max_tokens: int = 100_000,
     langs: tuple[str, ...] | None = None,
     jaccard_threshold: float = 0.8,
+    max_dup_line_frac: float = 0.9,
+    max_top2gram_share: float = 0.9,
     num_partitions: int | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
@@ -79,6 +82,10 @@ def curate(
         F.col("doc_text").isNotNull()
         & (F.col("quality_score") >= min_quality)
         & F.col("token_count").between(min_tokens, max_tokens)
+        # repetition gates (Gopher/C4 family): boilerplate-dominated
+        # or degenerate-repetition docs never reach the LSH stage
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top2gram_share") <= max_top2gram_share)
     )
     if langs:
         gates = gates & F.col("lang").isin(*langs)
@@ -122,6 +129,8 @@ def curate(
             "max_tokens": max_tokens,
             "langs": list(langs) if langs else None,
             "jaccard_threshold": jaccard_threshold,
+            "max_dup_line_frac": max_dup_line_frac,
+            "max_top2gram_share": max_top2gram_share,
         },
     }
     if output_dir:
@@ -139,6 +148,8 @@ def main() -> int:
     ap.add_argument("--max-tokens", type=int, default=100_000)
     ap.add_argument("--langs", default=None)
     ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--max-dup-line-frac", type=float, default=0.9)
+    ap.add_argument("--max-top2gram-share", type=float, default=0.9)
     args = ap.parse_args()
 
     from ocr_compare_spark.session import get_spark
@@ -154,6 +165,8 @@ def main() -> int:
         max_tokens=args.max_tokens,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         jaccard_threshold=args.jaccard,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top2gram_share=args.max_top2gram_share,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

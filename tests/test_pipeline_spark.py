@@ -360,3 +360,8 @@ def test_curate_pipeline_end_to_end(spark, sf_dir, tmp_path):
     m2 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
                 jaccard_threshold=0.8)
     assert m2["docs_out"] == m["docs_out"]
+    # repetition gates bite: an impossible top-2-gram ceiling drops
+    # everything at the quality stage, before the LSH pass
+    m3 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+                jaccard_threshold=0.8, max_top2gram_share=-1.0)
+    assert m3["docs_after_quality"] == 0 and m3["docs_out"] == 0

@@ -470,6 +470,7 @@ def q_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     out = textstats.with_text_stats(d, "text")
+    pii = textstats.pii_columns("text")
     return out.select(
         "doc_id", "char_count", "word_count", "line_count",
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
@@ -478,6 +479,11 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         "dup_line_frac",
         "top2gram_share",
+        *[col.alias(name) for name, col in pii.items()],
+        # redaction is length-observable even on a PII-free corpus
+        # (scrubbed_chars == char_count there); the planted-PII pytest
+        # pins the actual replacement behavior
+        F.length(textstats.scrub_pii("text")).cast("long").alias("scrubbed_chars"),
     )
 
 
@@ -1172,6 +1178,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
+    # PII twins built from the SAME pattern constants the Spark side
+    # uses (Java regex == RE2 for these: ASCII classes, \b, (?:...)
+    # only); DuckDB regexp_replace needs the explicit 'g' flag to
+    # match Spark's always-global replace
+    pii_count_sql = ",\n              ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in textstats.PII_PATTERNS
+    )
+    pii_scrub_sql = "text"
+    for _, pat, placeholder in textstats.PII_PATTERNS:
+        pii_scrub_sql = f"regexp_replace({pii_scrub_sql}, '{pat}', '{placeholder}', 'g')"
     return {
         "extract_dom": f"WITH {PARAS_CTE} {SQL_DOM_TEXT}",
         "extract_density": f"""
@@ -1670,7 +1687,9 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(1, greatest(len(w), 1))) AS r(i)
                   ) GROUP BY g
                 )
-              ), 0.0) AS top2gram_share
+              ), 0.0) AS top2gram_share,
+              {pii_count_sql},
+              CAST(length({pii_scrub_sql}) AS BIGINT) AS scrubbed_chars
             FROM t
         """,
         "quality_topk": f"""

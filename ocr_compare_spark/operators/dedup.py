@@ -526,3 +526,81 @@ def embed_near_dups(
         .filter(F.col("sim_raw") >= threshold)
         .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+    min_dup_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Cross-document PARAGRAPH-level exact dedup — the CCNet/Dolma
+    pass that document-level dedup cannot express: boilerplate
+    paragraphs (nav bars, cookie banners, license footers) repeat
+    across millions of otherwise-distinct pages, and removing them
+    requires deduplicating at sub-document granularity while
+    preserving each document's remaining paragraph order.
+
+    Semantics: split ``text_col`` on ``sep``; a paragraph whose md5
+    occurs in >= ``min_dup_count`` (doc, position) slots corpus-wide
+    is a duplicate. With ``keep_first`` the single occurrence with the
+    smallest (id, position) survives (CCNet keep-one); without it every
+    occurrence of a duplicated paragraph is dropped (Dolma-style
+    boilerplate removal). Whitespace-only paragraphs are never
+    dedup'd — they are separator artifacts, and hashing them would
+    weld unrelated documents to one "duplicate".
+
+    Scale shape: exactly TWO shuffles, both on well-spread keys —
+    (1) paragraph rows shuffle once on the md5 hash, where a single
+    window computes both the corpus-wide count and the first-occurrence
+    rank (no groupBy + re-join second shuffle of the paragraph text);
+    (2) survivors shuffle back on the doc id for the ordered
+    reassembly (map-side partial aggregation on the (pos, para)
+    structs). No driver-side state, no join whose build side grows
+    with the corpus. Hash-key skew is bounded by ``min_dup_count``
+    logic itself: the heaviest hash IS the boilerplate being removed,
+    and its window state is O(1) per row (count + rank).
+
+    Output: ``(id, text, n_paras, n_dropped)`` — ``text`` is the
+    deduplicated document (possibly empty), ``n_paras`` the original
+    paragraph count, ``n_dropped`` how many paragraphs were removed.
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "para"),
+    ).withColumn("is_blank", F.trim(F.col("para")) == "")
+    # one shuffle on the content hash: corpus-wide occurrence count +
+    # first-occurrence rank from the same window partition
+    w = Window.partitionBy("h")
+    w_rank = w.orderBy("id", "pos")
+    hashed = paras.withColumn(
+        "h", F.when(~F.col("is_blank"), F.md5(F.col("para"))).otherwise(F.md5(F.concat(F.lit("\x00blank:"), F.col("id").cast("string"), F.lit(":"), F.col("pos").cast("string"))))
+    )
+    ranked = hashed.withColumn("n_occ", F.count("*").over(w)).withColumn(
+        "occ_rank", F.row_number().over(w_rank)
+    )
+    keep = (F.col("n_occ") < min_dup_count) | F.col("is_blank")
+    if keep_first:
+        keep = keep | (F.col("occ_rank") == 1)
+    flagged = ranked.withColumn("keep", keep)
+    # second shuffle: ordered reassembly on the doc id
+    return flagged.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct(F.col("pos"), F.col("para")))
+                    )
+                ),
+                lambda s: s.para,
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").alias("n_paras"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+    )

@@ -128,6 +128,46 @@ def fingerprint_minshingle(text_col: str = "text", k: int = 5) -> Column:
     return F.array_min(shingles)
 
 
+#: PII surface patterns (the C4/RefinedWeb/Dolma scrubbing family).
+#: Deliberately conservative ASCII classes only, identical semantics
+#: under Java regex (Spark) and RE2 (DuckDB oracle): no lookaround,
+#: no backrefs, \b is the ASCII word boundary in both. Listed in
+#: REDACTION ORDER — email first (its local part may embed digits the
+#: later numeric patterns would shred), then dotted IPv4, then the
+#: dashed numeric shapes.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+)
+
+
+def pii_columns(text_col: str = "text") -> dict[str, Column]:
+    """Per-document PII hit counts (``n_email``/``n_ipv4``/``n_ssn``/
+    ``n_phone``), each counted independently on the ORIGINAL text —
+    fully native regexp_extract_all, no Python. A page carrying any of
+    these is what a training-data pipeline routes to scrubbing
+    (``scrub_pii``) or drops outright."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def scrub_pii(col: str | Column) -> Column:
+    """Redact PII in place: sequential native regexp_replace in
+    ``PII_PATTERNS`` order, each match replaced by its typed
+    placeholder (``<EMAIL>``, ``<IP>``, ``<SSN>``, ``<PHONE>``).
+    Whole-stage-codegen string work — the 100 TB-safe shape; the
+    equivalent DuckDB twin is the same chain with the 'g' flag."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, placeholder in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, placeholder)
+    return c
+
+
 def langid_features(text_col: str = "text") -> dict[str, Column]:
     """Language-ID heuristic features: ASCII ratio + marker-token
     hits for a tiny built-in marker table. Returns feature columns;

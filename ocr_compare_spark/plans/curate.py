@@ -10,6 +10,8 @@ no driver-side data paths:
         ──with_text_stats────▶ quality/token features (native exprs)
         ──quality gates──────▶ language + quality + length +
                                repetition (dup-line / top-2-gram) filters
+        ──[--para-dedup]─────▶ cross-doc paragraph-level exact dedup
+                               (CCNet/Dolma boilerplate pass) + scrub
         ──lsh_candidates─────▶ near-dup pairs over SURVIVORS only
         ──dedup_keep_list────▶ connected components -> keep flag
         ──write──────────────▶ curated parquet + per-stage metrics
@@ -53,6 +55,9 @@ def curate(
     jaccard_threshold: float = 0.8,
     max_dup_line_frac: float = 0.9,
     max_top2gram_share: float = 0.9,
+    para_dedup: bool = False,
+    para_min_dup_count: int = 2,
+    scrub: bool = False,
     num_partitions: int | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
@@ -92,6 +97,35 @@ def curate(
     kept = scored.filter(gates).persist()
     n_quality = kept.count()
 
+    paras_dropped = None
+    if para_dedup:
+        # Cross-doc paragraph-level exact dedup (CCNet/Dolma): runs on
+        # quality SURVIVORS (smallest input for the hash shuffle) and
+        # BEFORE the LSH pass, so removed boilerplate paragraphs no
+        # longer pollute the MinHash shingle sets. Replaces doc_text
+        # with the deduplicated assembly; the two stage counts come
+        # from the returned aggregate, no extra pass.
+        from ocr_compare_spark.operators.dedup import paragraph_dedup
+
+        deduped = paragraph_dedup(
+            kept.select(F.col("url").alias("id"), F.col("doc_text")),
+            "id", "doc_text", min_dup_count=para_min_dup_count,
+        ).persist()
+        paras_dropped = deduped.agg(F.sum("n_dropped")).first()[0] or 0
+        old = kept
+        kept = (
+            kept.drop("doc_text")
+            .join(deduped.select(F.col("id").alias("url"), "text"), "url")
+            .withColumnRenamed("text", "doc_text")
+            .persist()
+        )
+        old.unpersist()
+
+    if scrub:
+        # typed-placeholder PII redaction on the output text (counts
+        # are cheap enough to re-derive downstream if needed)
+        kept = kept.withColumn("doc_text", textstats.scrub_pii("doc_text"))
+
     # Near-dup pass over survivors only; stable numeric id = the url
     # hash (collision-free at this scale is not assumed — the id only
     # keys the dedup decision, and a collision merges two docs into
@@ -123,6 +157,7 @@ def curate(
         "docs_out": n_out,
         "dropped_quality": n_in - n_quality,
         "dropped_near_dup": n_quality - n_out,
+        "paras_dropped": paras_dropped,
         "params": {
             "min_quality": min_quality,
             "min_tokens": min_tokens,
@@ -131,6 +166,9 @@ def curate(
             "jaccard_threshold": jaccard_threshold,
             "max_dup_line_frac": max_dup_line_frac,
             "max_top2gram_share": max_top2gram_share,
+            "para_dedup": para_dedup,
+            "para_min_dup_count": para_min_dup_count,
+            "scrub": scrub,
         },
     }
     if output_dir:
@@ -150,6 +188,11 @@ def main() -> int:
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--max-dup-line-frac", type=float, default=0.9)
     ap.add_argument("--max-top2gram-share", type=float, default=0.9)
+    ap.add_argument("--para-dedup", action="store_true",
+                    help="cross-doc paragraph-level exact dedup before the LSH pass")
+    ap.add_argument("--para-min-dup-count", type=int, default=2)
+    ap.add_argument("--scrub", action="store_true",
+                    help="redact PII (email/ip/ssn/phone) in the output text")
     args = ap.parse_args()
 
     from ocr_compare_spark.session import get_spark
@@ -167,6 +210,9 @@ def main() -> int:
         jaccard_threshold=args.jaccard,
         max_dup_line_frac=args.max_dup_line_frac,
         max_top2gram_share=args.max_top2gram_share,
+        para_dedup=args.para_dedup,
+        para_min_dup_count=args.para_min_dup_count,
+        scrub=args.scrub,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

@@ -348,3 +348,63 @@ def test_dedup_keep_list_singletons_and_reps(spark, corpus):
     # the planted exact dup (0, 1000) collapses; 1000 is dropped
     d = {r.doc_id: r for r in rows}
     assert d[1000].component == 0 and not d[1000].keep and d[0].keep
+
+
+def test_paragraph_dedup_keep_first(spark):
+    # BOILER repeats across three docs (and twice inside doc 3);
+    # keep_first keeps only the globally-first (doc 1, pos 0) copy
+    boiler = "cookie notice accept all"
+    rows = [
+        (1, boiler + "\n\nalpha body one"),
+        (2, "beta body two\n\n" + boiler),
+        (3, boiler + "\n\ngamma body three\n\n" + boiler),
+        (4, "unique doc four"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {
+        r["id"]: r.asDict()
+        for r in dedup.paragraph_dedup(df, "id", "text").collect()
+    }
+    assert out[1]["text"] == boiler + "\n\nalpha body one"
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "beta body two"
+    assert out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "gamma body three"
+    assert out[3] ["n_dropped"] == 2 and out[3]["n_paras"] == 3
+    assert out[4]["text"] == "unique doc four"
+
+
+def test_paragraph_dedup_drop_all_and_blank_safety(spark):
+    # keep_first=False: every copy of a duplicated paragraph goes
+    # (Dolma boilerplate removal); blank/whitespace paragraphs are
+    # NEVER treated as cross-doc duplicates
+    rows = [
+        (1, "same\n\n\n\nkeep a"),   # middle paragraph is empty
+        (2, "same\n\n \n\nkeep b"),  # middle paragraph is a space
+        (3, "only here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {
+        r["id"]: r.asDict()
+        for r in dedup.paragraph_dedup(df, "id", "text", keep_first=False).collect()
+    }
+    assert out[1]["text"] == "\n\nkeep a" and out[1]["n_dropped"] == 1
+    assert out[2]["text"] == " \n\nkeep b" and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "only here" and out[3]["n_dropped"] == 0
+
+
+def test_paragraph_dedup_order_and_empty_doc(spark):
+    rows = [
+        (1, ""),
+        (2, "z last\n\na first\n\nz last"),  # intra-doc dup, order kept
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {
+        r["id"]: r.asDict()
+        for r in dedup.paragraph_dedup(df, "id", "text").collect()
+    }
+    assert out[1]["text"] == "" and out[1]["n_paras"] == 1
+    # first occurrence of "z last" (pos 0) survives, second drops;
+    # remaining order is the original document order
+    assert out[2]["text"] == "z last\n\na first"
+    assert out[2]["n_dropped"] == 1

@@ -365,3 +365,17 @@ def test_curate_pipeline_end_to_end(spark, sf_dir, tmp_path):
     m3 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
                 jaccard_threshold=0.8, max_top2gram_share=-1.0)
     assert m3["docs_after_quality"] == 0 and m3["docs_out"] == 0
+
+
+def test_curate_paragraph_dedup_stage(spark, sf_dir):
+    """--para-dedup: the synth corpus's cycling vocabulary plants
+    cross-doc duplicate paragraphs (27 distinct / 58 rows at sf0.001),
+    so the stage must drop the non-first copies and report the count;
+    scrub composes (the corpus is PII-free, so it is a no-op here)."""
+    from ocr_compare_spark.plans.curate import curate
+
+    m = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+               jaccard_threshold=0.8, para_dedup=True, scrub=True)
+    assert m["paras_dropped"] is not None and m["paras_dropped"] > 0
+    assert m["docs_out"] > 0
+    assert m["params"]["para_dedup"] is True and m["params"]["scrub"] is True

@@ -499,14 +499,32 @@ def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc document fingerprint (min-shingle) + language-ID label
+    in one pass — both fully native expressions over the same scan
+    (the former separate `fingerprint` / `langid` registry rows,
+    merged to keep the registry at the 50-row driver-gate cap)."""
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", textstats.fingerprint_minshingle("text", 5).alias("fp"))
+    return d.select(
+        "doc_id",
+        textstats.fingerprint_minshingle("text", 5).alias("fp"),
+        textstats.langid_label("text").alias("lang_pred"),
+    )
 
 
-def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", textstats.langid_label("text").alias("lang_pred"))
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document PARAGRAPH-level exact dedup (CCNet/Dolma
+    boilerplate pass) over the documents table: the synth corpus's
+    cycling vocabulary plants real cross-doc duplicate paragraphs, so
+    keep-first must drop every non-first copy while preserving each
+    survivor document's paragraph order byte-exactly."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = dedup.paragraph_dedup(d, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "text",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1143,8 +1161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_records": q_table_records,
         "textstats": q_textstats,
         "quality_topk": q_quality_topk,
-        "fingerprint": q_fingerprint,
-        "langid": q_langid,
+        "text_signals": q_text_signals,
+        "para_dedup": q_para_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_adjacent": q_dedup_adjacent,
         "dedup_minhash": q_dedup_minhash,
@@ -1707,17 +1725,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id FROM r WHERE rnk <= 5
         """,
-        "fingerprint": """
-            SELECT doc_id, min(md5(substr(text, i, 5))) AS fp
-            FROM (
-              SELECT doc_id, text,
-                     unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
-              FROM documents
-            )
-            GROUP BY doc_id
-        """,
-        "langid": """
-            WITH s AS (
+        "text_signals": """
+            WITH fp AS (
+              SELECT doc_id, min(md5(substr(text, i, 5))) AS fp
+              FROM (
+                SELECT doc_id, text,
+                       unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+                FROM documents
+              )
+              GROUP BY doc_id
+            ), s AS (
               SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
             ), sc AS (
               SELECT doc_id,
@@ -1726,14 +1743,45 @@ def oracle_sql() -> dict[str, str]:
                 len(list_filter(t, x -> x IN ('der','die','und'))) AS s_de,
                 len(list_filter(t, x -> x IN ('le','la','et'))) AS s_fr
               FROM s
+            ), lang AS (
+              SELECT doc_id, CASE
+                WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+              FROM sc
             )
-            SELECT doc_id, CASE
-              WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
-              WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-              WHEN s_de >= s_fr THEN 'de'
-              ELSE 'fr' END AS lang_pred
-            FROM sc
+            SELECT fp.doc_id, fp.fp, lang.lang_pred
+            FROM fp JOIN lang USING (doc_id)
+        """,
+        "para_dedup": """
+            WITH t AS (
+              SELECT doc_id AS id, string_split(text, chr(10) || chr(10)) AS paras
+              FROM documents
+            ), p AS (
+              SELECT id, i - 1 AS pos, paras[i] AS para
+              FROM (SELECT id, paras, unnest(range(1, len(paras) + 1)) AS i FROM t)
+            ), h AS (
+              SELECT id, pos, para, trim(para) = '' AS is_blank,
+                     CASE WHEN trim(para) = '' THEN
+                       md5(chr(0) || 'blank:' || id || ':' || pos)
+                     ELSE md5(para) END AS h
+              FROM p
+            ), r AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY h) AS n_occ,
+                     row_number() OVER (PARTITION BY h ORDER BY id, pos) AS occ_rank
+              FROM h
+            ), f AS (
+              SELECT *, (n_occ < 2 OR is_blank OR occ_rank = 1) AS keep FROM r
+            )
+            SELECT id AS doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN para END,
+                                       chr(10) || chr(10) ORDER BY pos), '') AS text,
+                   count(*)::BIGINT AS n_paras,
+                   sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+            FROM f GROUP BY id
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_docs

@@ -662,13 +662,25 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell approximate ANN (corpus assigned to max-dot centroid
-    cells, queries probe nprobe cells, exact cosine within). The
-    default centroids are seeded literals, so _embed_ivf_oracle
-    reproduces assignment, probing and ranking bit-for-bit."""
+    cells, queries probe nprobe cells, exact cosine within) — BOTH
+    quantizer variants as one gated row set: 'seeded' uses the
+    deterministic literal centroids (so _embed_ivf_oracle reproduces
+    assignment, probing and ranking bit-for-bit) and 'trained' runs
+    deterministic Lloyd's k-means on the first 4096 vectors by
+    vec_id (train_centroids; the oracle trains bit-identical
+    centroids from the same rows via the shared lloyd_kmeans loop).
+    Formerly two registry rows; merged to stay at the 50-row gate
+    cap."""
     emb = _tbl(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=3, nprobe=4).select(
-        "query_id", "rank", "neighbor_id"
+    q = emb.filter(F.col("vec_id") < 8)
+    seeded = similarity.ivf_topk(emb, q, k=3, nprobe=4).select(
+        F.lit("seeded").alias("variant"), "query_id", "rank", "neighbor_id"
     )
+    cents = similarity.train_centroids(emb, n_centroids=16, iters=5)
+    trained = similarity.ivf_topk(emb, q, k=3, nprobe=4, centroids=cents).select(
+        F.lit("trained").alias("variant"), "query_id", "rank", "neighbor_id"
+    )
+    return seeded.unionByName(trained)
 
 
 def _embed_ivf_oracle(
@@ -733,17 +745,18 @@ def _embed_ivf_oracle(
     """
 
 
-def q_embed_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with DATA-TRAINED centroids: deterministic Lloyd's
-    k-means on the first 4096 vectors by vec_id (train_centroids),
-    then the same cell-join probe as q_embed_topk_ivf. The oracle
-    trains bit-identical centroids from the same rows via duckdb +
-    the shared lloyd_kmeans loop and embeds them as literals."""
-    emb = _tbl(spark, sf_dir, "embeddings")
-    cents = similarity.train_centroids(emb, n_centroids=16, iters=5)
-    return similarity.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 8), k=3, nprobe=4, centroids=cents
-    ).select("query_id", "rank", "neighbor_id")
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table: docs with
+    doc_id % 25 == 7 play the held-out eval set, the rest are the
+    training corpus; a corpus doc sharing any word-level 8-gram with
+    the eval set is contaminated (the synth corpus's cycling
+    vocabulary plants real cross-doc paragraph overlaps, so the
+    flagged set is non-trivial)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 25 == 7)
+    corpus = d.filter(F.col("doc_id") % 25 != 7)
+    out = dedup.ngram_decontaminate(corpus, bench, "doc_id", "text", n=8)
+    return out.select(F.col("id").alias("doc_id"), "n_hits", "contaminated")
 
 
 def _embed_ivf_trained_oracle() -> str:
@@ -1171,7 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embed_topk_lsh": q_embed_topk_lsh,
         "embed_topk_ivf": q_embed_topk_ivf,
-        "embed_topk_ivf_trained": q_embed_topk_ivf_trained,
+        "decontam": q_decontam,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "report_json": q_report_json,
@@ -1865,8 +1878,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= 3
         """,
         "embed_topk_lsh": _embed_lsh_oracle(),
-        "embed_topk_ivf": _embed_ivf_oracle(),
-        "embed_topk_ivf_trained": _embed_ivf_trained_oracle(),
+        "embed_topk_ivf": f"""
+            SELECT 'seeded' AS variant, * FROM ({_embed_ivf_oracle()})
+            UNION ALL
+            SELECT 'trained' AS variant, * FROM ({_embed_ivf_trained_oracle()})
+        """,
+        "decontam": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
+              FROM (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+                FROM tok
+              )
+            ), bench AS (
+              SELECT DISTINCT g FROM g WHERE doc_id % 25 = 7
+            ), hits AS (
+              SELECT c.doc_id, count(DISTINCT c.g) AS n_hits
+              FROM g c JOIN bench USING (g)
+              WHERE c.doc_id % 25 <> 7
+              GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) >= 1 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 7) d
+            LEFT JOIN hits h USING (doc_id)
+        """,
         "stream_extract": f"""
             WITH {PARAS_CTE},
             dom AS ({SQL_DOM_TEXT}),

@@ -17,7 +17,7 @@ cardinality is controlled by the band count — never a cross join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # lsh_candidates persists its (tiny, ids-only) membership aggregate so
 # the expansion joins don't recompute the md5 groupBy. The returned
@@ -603,4 +603,81 @@ def paragraph_dedup(
         ).alias("text"),
         F.count("*").alias("n_paras"),
         F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+    )
+
+
+# ------------------------------------------------- benchmark decontamination
+
+
+def _word_ngram_hashes(text_col: Column, n: int) -> Column:
+    """md5 hashes of the word-level n-grams of ``text_col``:
+    lowercase, whitespace-tokenize, drop empty tokens (normalizes
+    leading/trailing-whitespace splits identically under Spark's
+    Java split and DuckDB's string_split_regex), join each n-token
+    window with a single space, md5. Documents shorter than ``n``
+    tokens yield an empty array. All native expressions — the gram
+    strings never leave the JVM and only their 32-char hashes are
+    exploded."""
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")
+    n_grams = F.size(toks) - (n - 1)
+    return F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION — the GPT-3/Llama/Dolma training-set
+    hygiene pass: flag every corpus document that shares at least
+    ``min_hits`` distinct word-level ``n``-grams with a held-out
+    benchmark/eval set, so evaluation data can be excluded from
+    training data rather than memorized.
+
+    Scale shape: the benchmark side is an eval suite — megabytes, not
+    terabytes — so its DISTINCT gram-hash set is broadcast and the
+    probe is a map-side hash semi-join against the corpus gram
+    stream; no shuffle touches the exploded corpus grams. Only the
+    MATCHED (id, hash) rows — a tiny set by construction — shuffle
+    once for the per-doc distinct-hit count, and the final left join
+    back to ids is id-keyed. Corpus gram explosion is ~token_count
+    rows per doc of 32-char hashes (the gram text itself never
+    materializes per row). For a benchmark too large to broadcast,
+    drop the hint and Catalyst falls back to a sort-merge join on the
+    same plan.
+
+    Returns one row per corpus doc: ``(id, n_hits, contaminated)``
+    with ``n_hits`` = distinct shared n-grams.
+    """
+    bench_text_col = bench_text_col or text_col
+    d_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_ngram_hashes(F.col(text_col), n)).alias("g"),
+    )
+    b_grams = bench.select(
+        F.explode(_word_ngram_hashes(F.col(bench_text_col), n)).alias("g")
+    ).distinct()
+    hits = (
+        d_grams.join(F.broadcast(b_grams), "g")
+        .groupBy("id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
     )

@@ -12,6 +12,8 @@ no driver-side data paths:
                                repetition (dup-line / top-2-gram) filters
         ──[--para-dedup]─────▶ cross-doc paragraph-level exact dedup
                                (CCNet/Dolma boilerplate pass) + scrub
+        ──[--decontam-bench]─▶ drop docs sharing word n-grams with a
+                               held-out benchmark/eval set
         ──lsh_candidates─────▶ near-dup pairs over SURVIVORS only
         ──dedup_keep_list────▶ connected components -> keep flag
         ──write──────────────▶ curated parquet + per-stage metrics
@@ -58,6 +60,10 @@ def curate(
     para_dedup: bool = False,
     para_min_dup_count: int = 2,
     scrub: bool = False,
+    decontam_bench: str | None = None,
+    decontam_text_col: str = "text",
+    decontam_n: int = 8,
+    decontam_min_hits: int = 1,
     num_partitions: int | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
@@ -126,6 +132,27 @@ def curate(
         # are cheap enough to re-derive downstream if needed)
         kept = kept.withColumn("doc_text", textstats.scrub_pii("doc_text"))
 
+    n_contaminated = None
+    if decontam_bench:
+        # Benchmark decontamination (GPT-3/Llama hygiene pass): DROP
+        # any doc sharing >= decontam_min_hits distinct word n-grams
+        # with the held-out eval set. The bench side is broadcast
+        # (eval suites are MBs), so this costs one map-side probe of
+        # the survivor gram stream + a tiny matched-rows shuffle.
+        from ocr_compare_spark.operators.dedup import ngram_decontaminate
+
+        bench = spark.read.parquet(decontam_bench)
+        flags = ngram_decontaminate(
+            kept.select(F.col("url").alias("id"), F.col("doc_text")),
+            bench, "id", "doc_text", bench_text_col=decontam_text_col,
+            n=decontam_n, min_hits=decontam_min_hits,
+        )
+        bad = flags.filter(F.col("contaminated")).select(F.col("id").alias("url"))
+        kept = kept.join(bad, "url", "left_anti").persist()
+        # para-dedup and scrub preserve doc count, so the pre-stage
+        # count is still n_quality
+        n_contaminated = n_quality - kept.count()
+
     # Near-dup pass over survivors only; stable numeric id = the url
     # hash (collision-free at this scale is not assumed — the id only
     # keys the dedup decision, and a collision merges two docs into
@@ -158,6 +185,7 @@ def curate(
         "dropped_quality": n_in - n_quality,
         "dropped_near_dup": n_quality - n_out,
         "paras_dropped": paras_dropped,
+        "dropped_contaminated": n_contaminated,
         "params": {
             "min_quality": min_quality,
             "min_tokens": min_tokens,
@@ -169,6 +197,9 @@ def curate(
             "para_dedup": para_dedup,
             "para_min_dup_count": para_min_dup_count,
             "scrub": scrub,
+            "decontam_bench": decontam_bench,
+            "decontam_n": decontam_n,
+            "decontam_min_hits": decontam_min_hits,
         },
     }
     if output_dir:
@@ -193,6 +224,12 @@ def main() -> int:
     ap.add_argument("--para-min-dup-count", type=int, default=2)
     ap.add_argument("--scrub", action="store_true",
                     help="redact PII (email/ip/ssn/phone) in the output text")
+    ap.add_argument("--decontam-bench", default=None,
+                    help="parquet path of a held-out benchmark/eval set; "
+                         "docs sharing word n-grams with it are dropped")
+    ap.add_argument("--decontam-text-col", default="text")
+    ap.add_argument("--decontam-n", type=int, default=8)
+    ap.add_argument("--decontam-min-hits", type=int, default=1)
     args = ap.parse_args()
 
     from ocr_compare_spark.session import get_spark
@@ -213,6 +250,10 @@ def main() -> int:
         para_dedup=args.para_dedup,
         para_min_dup_count=args.para_min_dup_count,
         scrub=args.scrub,
+        decontam_bench=args.decontam_bench,
+        decontam_text_col=args.decontam_text_col,
+        decontam_n=args.decontam_n,
+        decontam_min_hits=args.decontam_min_hits,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

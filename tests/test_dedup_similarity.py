@@ -408,3 +408,50 @@ def test_paragraph_dedup_order_and_empty_doc(spark):
     # remaining order is the original document order
     assert out[2]["text"] == "z last\n\na first"
     assert out[2]["n_dropped"] == 1
+
+
+def test_ngram_decontaminate_planted(spark):
+    # doc 1 embeds a verbatim 8-token benchmark sentence mid-document;
+    # doc 2 shares only a 7-token run (below n); doc 3 is clean.
+    bench_sent = "the quick brown fox jumps over the lazy"
+    corpus = [
+        (1, "intro words here " + bench_sent + " trailing body text"),
+        (2, "the quick brown fox jumps over the fence today"),
+        (3, "completely unrelated content with different tokens entirely"),
+        (4, "THE QUICK BROWN FOX JUMPS OVER THE LAZY"),  # case-folded hit
+    ]
+    bench = [(100, bench_sent + " dog benchmark answer key")]
+    cdf = spark.createDataFrame(corpus, "id int, text string")
+    bdf = spark.createDataFrame(bench, "id int, text string")
+    out = {
+        r["id"]: r.asDict()
+        for r in dedup.ngram_decontaminate(cdf, bdf, "id", "text", n=8).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert not out[3]["contaminated"]
+    assert out[4]["contaminated"]  # lowercase normalization
+    # min_hits raises the bar: doc 1 shares exactly one distinct 8-gram
+    strict = {
+        r["id"]: r["contaminated"]
+        for r in dedup.ngram_decontaminate(cdf, bdf, "id", "text", n=8, min_hits=2).collect()
+    }
+    assert not strict[1]
+
+
+def test_ngram_decontaminate_short_docs_and_counts(spark):
+    # docs shorter than n tokens yield zero grams on either side;
+    # n_hits counts DISTINCT shared grams
+    cdf = spark.createDataFrame(
+        [(1, "a b c d e a b c d e a b c d e"), (2, "tiny")],
+        "id int, text string",
+    )
+    bdf = spark.createDataFrame([(9, "a b c d e a b c d e")], "id int, text string")
+    out = {
+        r["id"]: r.asDict()
+        for r in dedup.ngram_decontaminate(cdf, bdf, "id", "text", n=5).collect()
+    }
+    # bench grams: the 6 windows of its 10 tokens -> 5 distinct
+    # (cycle of period 5); doc 1's windows hit all 5 distinct ones
+    assert out[1]["n_hits"] == 5 and out[1]["contaminated"]
+    assert out[2]["n_hits"] == 0 and not out[2]["contaminated"]

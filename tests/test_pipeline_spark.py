@@ -379,3 +379,23 @@ def test_curate_paragraph_dedup_stage(spark, sf_dir):
     assert m["paras_dropped"] is not None and m["paras_dropped"] > 0
     assert m["docs_out"] > 0
     assert m["params"]["para_dedup"] is True and m["params"]["scrub"] is True
+
+
+def test_curate_decontam_stage(spark, sf_dir, tmp_path):
+    """--decontam-bench: a bench parquet built from two corpus docs'
+    own text must knock exactly those docs (plus any doc sharing an
+    8-gram with them) out of the output."""
+    from ocr_compare_spark.plans.curate import curate
+
+    bench_path = str(tmp_path / "bench.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.filter("doc_id IN (3, 17)").select("text").write.parquet(bench_path)
+
+    base = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+                  jaccard_threshold=0.8)
+    m = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+               jaccard_threshold=0.8, decontam_bench=bench_path)
+    assert m["dropped_contaminated"] >= 2
+    assert m["docs_out"] <= base["docs_out"] - 2
+    assert m["params"]["decontam_bench"] == bench_path
+    assert base["dropped_contaminated"] is None

@@ -681,3 +681,36 @@ def ngram_decontaminate(
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+# ------------------------------------------------- crawl-snapshot dedup
+
+
+def latest_snapshot(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """Keep exactly the LATEST crawl snapshot per key — the standard
+    first pass over a multi-crawl Common-Crawl-style pages table where
+    the same url appears once per crawl with a different ``warc_ts``.
+
+    One hash-shuffle on the key with full map-side combine: max_by
+    keeps a single candidate row per key per map partition, so the
+    shuffle carries ~|distinct keys| rows regardless of how many
+    crawls stack up per url (a window/row_number shape would shuffle
+    EVERY snapshot's full row — the difference at 100 TB). Ties on
+    the timestamp break deterministically toward the greater struct
+    (max over (ts, row-struct)), never arrival order.
+
+    Output: the input schema, one row per key, plus ``n_snapshots``.
+    """
+    others = [c for c in df.columns if c != key_col]
+    packed = df.select(
+        F.col(key_col),
+        F.struct(F.col(ts_col), F.struct(*[F.col(c) for c in others]).alias("_r")).alias("_p"),
+    )
+    won = packed.groupBy(key_col).agg(
+        F.max("_p").alias("_w"), F.count("*").alias("n_snapshots")
+    )
+    return won.select(
+        F.col(key_col),
+        *[F.col(f"_w._r.{c}").alias(c) for c in others],
+        "n_snapshots",
+    )

@@ -455,3 +455,31 @@ def test_ngram_decontaminate_short_docs_and_counts(spark):
     # (cycle of period 5); doc 1's windows hit all 5 distinct ones
     assert out[1]["n_hits"] == 5 and out[1]["contaminated"]
     assert out[2]["n_hits"] == 0 and not out[2]["contaminated"]
+
+
+def test_latest_snapshot_keeps_max_ts_per_key(spark):
+    import datetime as dt
+
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1), b"old", "a"),
+        ("u1", dt.datetime(2024, 3, 1), b"new", "b"),
+        ("u1", dt.datetime(2024, 2, 1), b"mid", "c"),
+        ("u2", dt.datetime(2024, 1, 15), b"only", "d"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary, lang string")
+    out = {r["url"]: r.asDict() for r in dedup.latest_snapshot(df, "url", "warc_ts").collect()}
+    assert bytes(out["u1"]["html"]) == b"new" and out["u1"]["n_snapshots"] == 3
+    assert out["u1"]["warc_ts"] == dt.datetime(2024, 3, 1)
+    assert bytes(out["u2"]["html"]) == b"only" and out["u2"]["n_snapshots"] == 1
+    # schema: original columns + n_snapshots
+    assert set(dedup.latest_snapshot(df, "url", "warc_ts").columns) == {
+        "url", "warc_ts", "html", "lang", "n_snapshots"
+    }
+    # deterministic tie-break: equal timestamps pick the max row struct
+    tie = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1), b"x", "a"), ("u", dt.datetime(2024, 1, 1), b"y", "b")],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    got = [dedup.latest_snapshot(tie.repartition(p), "url", "warc_ts").collect()[0]["lang"]
+           for p in (1, 4)]
+    assert got == ["b", "b"]

@@ -162,44 +162,50 @@ def connected_components(
     singleton components by definition (callers left-join and
     coalesce to id).
     """
+    # Lineage MUST be cut every round with localCheckpoint, not
+    # persist: persist leaves the logical plan in place, so round k's
+    # plan nests round k-1's as a cached innerChild — the plan DATA
+    # stays incremental but the plan OBJECT (and the plan-description
+    # string Spark renders for the SQL UI on EVERY action) doubles
+    # per round and multiplies by the caller's whole upstream plan
+    # under `edges`. On a real curation DAG (extract -> gates -> LSH)
+    # that stringification alone span-locked a driver core for tens
+    # of minutes by round 4. localCheckpoint truncates each round to
+    # a LogicalRDD leaf: label rows are two ids, so the checkpointed
+    # footprint is tiny, and the ContextCleaner unpersists dropped
+    # rounds once their references go.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "component", F.col("id")
-    ).persist()
-    try:
-        for _ in range(max_iters):
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.id)
-                .groupBy("src")
-                .agg(F.min("component").alias("nmin"))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.col("nmin")).alias("component"),
+                (F.col("nmin") < F.col("component")).alias("changed"),
             )
-            new_labels = (
-                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-                .select(
-                    "id",
-                    F.least(F.col("component"), F.col("nmin")).alias("component"),
-                    (F.col("nmin") < F.col("component")).alias("changed"),
-                )
-            )
-            new_labels = new_labels.persist()
-            changed = new_labels.filter(F.col("changed")).count()
-            labels.unpersist()
-            labels = new_labels.drop("changed")
-            if changed == 0:
-                break
-        # materialize the final assignment, then release every
-        # intermediate cache (edges + the last round's labels)
-        out = labels.select("id", "component").persist()
-        out.count()
-        labels.unpersist()
-        return out
-    finally:
-        edges.unpersist()
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    return labels.select("id", "component")
 
 
 def dedup_keep_list(

@@ -1,0 +1,193 @@
+"""Deterministic corpus sampling for training-data mixtures.
+
+Two operations every pretraining pipeline runs after curation
+(mix construction — the step between "curated corpus" and "training
+shards"):
+
+- **hash sampling**: keep a deterministic pseudo-uniform fraction of
+  rows, optionally a different rate per stratum (language, source).
+  ``df.sample()`` is WRONG at scale for this: Spark's Bernoulli
+  sampler draws from an RNG seeded per partition, so the kept set
+  changes whenever the partition layout changes (different cluster
+  size, AQE decision, upstream repartition). Hashing the row KEY into
+  [0,1) and thresholding is layout-independent, rerun-stable, and
+  costs zero shuffle — the property audits and resume logic need.
+
+- **token-budget sampling**: per stratum, walk documents in a
+  deterministic priority order and keep the longest prefix whose
+  cumulative token count fits a budget ("2B tokens per language",
+  the Dolma/RedPajama-style mix spec). The reference implementation
+  is a per-stratum window cumsum (one shuffle, but parallelism =
+  #strata — a handful of languages means a handful of busy tasks at
+  100 TB). The scale path (`token_budget_sample_bucketed`) is a
+  distributed prefix sum: rows bucket by priority, per-bucket token
+  totals (a tiny aggregate) let the driver place the budget boundary
+  and give every bucket its exact running-total offset, so the
+  window only ever runs WITHIN a (stratum, bucket) partition —
+  parallelism = #strata x #buckets and whole buckets past the
+  boundary are filtered before the shuffle. Both produce identical
+  rows INCLUDING the cumulative column (pytest-pinned).
+
+Everything here is Catalyst-native expression work; the only driver
+action in the bucketed path is collecting #strata x #buckets partial
+sums (bounded, guarded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# 2^32 as an exact double: the 8-hex-digit md5 prefix is uniform on
+# [0, 2^32), so frac = prefix / 2^32 is uniform on [0,1) and every
+# intermediate is exact in binary64 (no rounding divergence between
+# Spark and an oracle reimplementation).
+_TWO_32 = 4294967296.0
+
+MAX_BUDGET_BUCKET_ROWS = 65536  # driver guard: strata x buckets cap
+
+
+def hash_frac(key: str | Column) -> Column:
+    """Deterministic uniform-[0,1) value from a row key: first 8 hex
+    digits of md5(key as string) / 2^32. Stable across runs, cluster
+    sizes and partition layouts (pure function of the key)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(_TWO_32)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    strata_col: str | None = None,
+    rates: dict[str, float] | None = None,
+) -> DataFrame:
+    """Keep rows whose hash_frac(key) < rate — a deterministic,
+    zero-shuffle Bernoulli sample keyed by content, not by partition
+    layout (see module docstring for why ``df.sample`` cannot give
+    this guarantee). With ``rates``, each stratum value gets its own
+    rate (missing strata fall back to ``rate``)."""
+    frac = hash_frac(key_col)
+    if rates:
+        if strata_col is None:
+            raise ValueError("rates= requires strata_col=")
+        thr: Column = F.lit(float(rate))
+        for value, r in sorted(rates.items()):
+            thr = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(thr)
+    else:
+        thr = F.lit(float(rate))
+    return df.filter(frac < thr)
+
+
+def _order_cols(priority_col: str, id_col: str) -> list[Column]:
+    # Total order: priority ascending, row id as the deterministic
+    # tie-break. Ascending = "best first" when the caller encodes
+    # priority that way (hash_frac for a uniform mix, 1-quality for a
+    # quality-first mix).
+    return [F.col(priority_col).asc(), F.col(id_col).asc()]
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    budget: int,
+    priority_col: str,
+    id_col: str,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Reference (exact, simple) token-budget mix: per stratum, keep
+    the maximal prefix in (priority, id) order whose running token
+    sum stays <= budget. One window shuffle partitioned by stratum;
+    cumulative sums are monotone so ``cum <= budget`` IS the prefix.
+    Parallelism is #strata — fine for a gate corpus, the bottleneck
+    at web scale (use token_budget_sample_bucketed there)."""
+    w = Window.partitionBy(strata_col).orderBy(*_order_cols(priority_col, id_col))
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.withColumn(cum_col, cum.cast("long")).filter(F.col(cum_col) <= budget)
+
+
+def token_budget_sample_bucketed(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    budget: int,
+    priority_col: str,
+    id_col: str,
+    cum_col: str = "cum_tokens",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Scale-path token-budget mix — a distributed prefix sum.
+
+    Requires ``priority_col`` in [0,1) (hash_frac satisfies this; so
+    does any normalized score). Rows bucket by ``floor(priority *
+    n_buckets)``; bucketing is monotone in priority, so the global
+    (priority, id) order equals (bucket, priority, id) order and a
+    per-bucket running-total OFFSET (computed on the driver from the
+    per-(stratum, bucket) token sums — #strata x #buckets rows,
+    guarded) turns a window WITHIN each (stratum, bucket) into the
+    exact global cumulative sum:
+
+    - buckets whose offset already exceeds the budget are filtered
+      out BEFORE the window shuffle (at a 1% sampling rate that is
+      ~99% of the data never shuffled);
+    - every surviving bucket is its own window partition, so
+      parallelism is #strata x #buckets instead of #strata.
+
+    Output rows and ``cum_col`` values are identical to
+    token_budget_sample (pytest-pinned)."""
+    bkt = F.least(
+        F.floor(F.col(priority_col) * n_buckets).cast("int"), F.lit(n_buckets - 1)
+    )
+    keyed = df.withColumn("_bkt", bkt)
+
+    sums = (
+        keyed.groupBy(strata_col, "_bkt")
+        .agg(F.sum(F.col(token_col)).alias("_t"))
+        .limit(MAX_BUDGET_BUCKET_ROWS + 1)
+        .collect()
+    )
+    if len(sums) > MAX_BUDGET_BUCKET_ROWS:
+        raise ValueError(
+            f"token_budget_sample_bucketed: > {MAX_BUDGET_BUCKET_ROWS} "
+            "(stratum, bucket) groups; lower n_buckets"
+        )
+
+    # Driver-side prefix over the (tiny) bucket totals: offset of a
+    # bucket = sum of all earlier buckets' tokens in its stratum.
+    # Buckets starting past the budget cannot contribute rows (cum is
+    # monotone and already > budget at their first row) — drop them
+    # from the offset map and anti-filter them below.
+    by_stratum: dict[object, list[tuple[int, int]]] = {}
+    for row in sums:
+        by_stratum.setdefault(row[strata_col], []).append((row["_bkt"], row["_t"] or 0))
+    offsets: list[tuple[object, int, int]] = []
+    for stratum, buckets in by_stratum.items():
+        running = 0
+        for b, t in sorted(buckets):
+            if running <= budget:
+                offsets.append((stratum, b, running))
+            running += t
+
+    if not offsets:
+        empty = keyed.filter(F.lit(False))
+        return empty.withColumn(cum_col, F.lit(None).cast("long")).drop("_bkt")
+
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, [strata_col, "_bkt", "_off"]).withColumn(
+            "_off", F.col("_off").cast("long")
+        )
+    )
+    survivors = keyed.join(off_df, [strata_col, "_bkt"])  # inner: drops dead buckets
+
+    w = Window.partitionBy(strata_col, "_bkt").orderBy(
+        *_order_cols(priority_col, id_col)
+    )
+    cum = (F.col("_off") + F.sum(F.col(token_col)).over(w)).cast("long")
+    return (
+        survivors.withColumn(cum_col, cum)
+        .filter(F.col(cum_col) <= budget)
+        .drop("_bkt", "_off")
+    )

@@ -16,6 +16,10 @@ no driver-side data paths:
                                held-out benchmark/eval set
         ──lsh_candidates─────▶ near-dup pairs over SURVIVORS only
         ──dedup_keep_list────▶ connected components -> keep flag
+        ──[--sample-rate]────▶ deterministic hash sample (layout-
+                               independent; reruns emit the same set)
+        ──[--token-budget]───▶ per-language token-budget mix
+                               (distributed prefix sum)
         ──write──────────────▶ curated parquet + per-stage metrics
 
 Design notes for scale:
@@ -64,6 +68,8 @@ def curate(
     decontam_text_col: str = "text",
     decontam_n: int = 8,
     decontam_min_hits: int = 1,
+    sample_rate: float | None = None,
+    token_budget: int | None = None,
     num_partitions: int | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
@@ -167,6 +173,33 @@ def curate(
         "confidence", "quality_score", "token_count", "component",
     )
 
+    # Mix-construction stages (operators/sampling.py): both are
+    # deterministic functions of the url key, so a rerun — or the
+    # same job at a different cluster size — emits the same corpus.
+    tokens_out_by_lang = None
+    if sample_rate is not None:
+        from ocr_compare_spark.operators.sampling import hash_sample
+
+        curated = hash_sample(curated, "url", sample_rate)
+    if token_budget is not None:
+        # per-language token budget over the FINAL text (para-dedup /
+        # scrub may have changed it since the gate-stage token_count)
+        from ocr_compare_spark.operators.sampling import (
+            hash_frac,
+            token_budget_sample_bucketed,
+        )
+
+        recounted = curated.withColumn(
+            "token_count", textstats.stats_columns("doc_text")["token_count"]
+        ).withColumn("_prio", hash_frac("url"))
+        curated = token_budget_sample_bucketed(
+            recounted, "lang", "token_count", token_budget, "_prio", "url"
+        ).drop("_prio")
+        tokens_out_by_lang = {
+            r["lang"]: r["t"]
+            for r in curated.groupBy("lang").agg(F.sum("token_count").alias("t")).collect()
+        }
+
     if output_dir:
         curated.write.mode("overwrite").partitionBy("lang").parquet(
             f"{output_dir}/corpus"
@@ -186,6 +219,7 @@ def curate(
         "dropped_near_dup": n_quality - n_out,
         "paras_dropped": paras_dropped,
         "dropped_contaminated": n_contaminated,
+        "tokens_out_by_lang": tokens_out_by_lang,
         "params": {
             "min_quality": min_quality,
             "min_tokens": min_tokens,
@@ -200,6 +234,8 @@ def curate(
             "decontam_bench": decontam_bench,
             "decontam_n": decontam_n,
             "decontam_min_hits": decontam_min_hits,
+            "sample_rate": sample_rate,
+            "token_budget": token_budget,
         },
     }
     if output_dir:
@@ -230,6 +266,11 @@ def main() -> int:
     ap.add_argument("--decontam-text-col", default="text")
     ap.add_argument("--decontam-n", type=int, default=8)
     ap.add_argument("--decontam-min-hits", type=int, default=1)
+    ap.add_argument("--sample-rate", type=float, default=None,
+                    help="deterministic hash-sample rate on the curated output")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="per-language token budget on the curated output "
+                         "(distributed-prefix-sum mix construction)")
     args = ap.parse_args()
 
     from ocr_compare_spark.session import get_spark
@@ -254,6 +295,8 @@ def main() -> int:
         decontam_text_col=args.decontam_text_col,
         decontam_n=args.decontam_n,
         decontam_min_hits=args.decontam_min_hits,
+        sample_rate=args.sample_rate,
+        token_budget=args.token_budget,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

@@ -399,3 +399,20 @@ def test_curate_decontam_stage(spark, sf_dir, tmp_path):
     assert m["docs_out"] <= base["docs_out"] - 2
     assert m["params"]["decontam_bench"] == bench_path
     assert base["dropped_contaminated"] is None
+
+
+def test_curate_mix_stages(spark, sf_dir):
+    """--sample-rate / --token-budget mix construction: one curate
+    run with both stages — the hash sample thins the output
+    deterministically and the (bucketed, distributed-prefix-sum)
+    token budget caps every language's token sum."""
+    from ocr_compare_spark.plans.curate import curate
+
+    budget = 1200
+    m = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+               sample_rate=0.8, token_budget=budget)
+    assert m["docs_out"] > 0
+    assert m["tokens_out_by_lang"], "budget stage must report per-lang sums"
+    assert all(t <= budget for t in m["tokens_out_by_lang"].values())
+    assert m["params"]["sample_rate"] == 0.8
+    assert m["params"]["token_budget"] == budget

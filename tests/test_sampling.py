@@ -1,0 +1,108 @@
+"""Deterministic sampling operators (operators/sampling.py):
+layout-independence of hash sampling, and exact == bucketed
+prefix-sum equality for the token-budget mix."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_compare_spark.operators import sampling
+
+
+def _docs(spark, sf_dir):
+    from ocr_compare_spark.operators.textstats import stats_columns
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = stats_columns("text")
+    return d.select(
+        "doc_id", "lang", cols["token_count"].alias("token_count"),
+        sampling.hash_frac("doc_id").alias("prio"),
+    )
+
+
+def test_hash_sample_deterministic_and_layout_independent(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    kept1 = {r.doc_id for r in sampling.hash_sample(d, "doc_id", 0.5).collect()}
+    kept2 = {r.doc_id for r in sampling.hash_sample(d, "doc_id", 0.5).collect()}
+    assert kept1 == kept2
+    # repartitioning must not change the kept set (df.sample cannot
+    # guarantee this — the reason this operator exists)
+    kept3 = {
+        r.doc_id
+        for r in sampling.hash_sample(d.repartition(13), "doc_id", 0.5).collect()
+    }
+    assert kept1 == kept3
+    n = d.count()
+    assert 0.4 * n < len(kept1) < 0.6 * n  # uniformity sanity at n=500
+
+
+def test_hash_sample_rate_monotone_nested(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    small = {r.doc_id for r in sampling.hash_sample(d, "doc_id", 0.2).collect()}
+    big = {r.doc_id for r in sampling.hash_sample(d, "doc_id", 0.6).collect()}
+    assert small < big  # thresholding the same hash nests samples
+
+
+def test_hash_sample_per_stratum_rates(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    assert len(langs) >= 2
+    keep_all, keep_none = langs[0], langs[1]
+    out = sampling.hash_sample(
+        d, "doc_id", 0.5, strata_col="lang",
+        rates={keep_all: 1.0, keep_none: 0.0},
+    )
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    in_counts = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts[keep_all] == in_counts[keep_all]
+    assert keep_none not in counts
+
+
+def test_token_budget_prefix_semantics(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    budget = 2000
+    out = sampling.token_budget_sample(
+        d, "lang", "token_count", budget, "prio", "doc_id"
+    ).collect()
+    assert out, "budget should admit at least one doc"
+    assert all(r.cum_tokens <= budget for r in out)
+    # per stratum the kept set is a PREFIX in (prio, doc_id) order:
+    # every kept row's predecessors are kept
+    rows = sorted(
+        d.collect(), key=lambda r: (r.lang, r.prio, r.doc_id)
+    )
+    kept = {(r.lang, r.doc_id) for r in out}
+    cum_by_lang: dict[str, int] = {}
+    for r in rows:
+        cum = cum_by_lang.get(r.lang, 0) + r.token_count
+        cum_by_lang[r.lang] = cum
+        assert ((r.lang, r.doc_id) in kept) == (cum <= budget)
+
+
+def test_token_budget_bucketed_equals_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    for budget in (0, 500, 3000, 10**9):
+        exact = sampling.token_budget_sample(
+            d, "lang", "token_count", budget, "prio", "doc_id"
+        )
+        fast = sampling.token_budget_sample_bucketed(
+            d.repartition(7), "lang", "token_count", budget, "prio", "doc_id",
+            n_buckets=32,
+        )
+        e = {(r.lang, r.doc_id): r.cum_tokens for r in exact.collect()}
+        f = {(r.lang, r.doc_id): r.cum_tokens for r in fast.collect()}
+        assert e == f, f"budget={budget}"
+    # giant budget keeps everything
+    assert len(e) == d.count()
+
+
+def test_token_budget_bucketed_prunes_dead_buckets(spark, sf_dir):
+    # structural scale claim: buckets whose running offset already
+    # exceeds the budget never reach the window shuffle (inner join
+    # against the driver-built offset map drops them)
+    d = _docs(spark, sf_dir)
+    out = sampling.token_budget_sample_bucketed(
+        d, "lang", "token_count", 500, "prio", "doc_id", n_buckets=32
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join Inner" in plan or "join" in plan.lower()

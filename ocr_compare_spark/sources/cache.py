@@ -64,11 +64,22 @@ def read_result_cache(spark, cache_dir: str) -> DataFrame | None:
     overwrite semantics re-expressed for an append-only table), so
     reads pick the newest row per (engine, content_hash,
     kwargs_hash). Returns None when the cache is empty/absent."""
+    import glob
     import os
 
     if not os.path.exists(cache_dir):
         return None
-    tbl = spark.read.parquet(cache_dir)
+    # Pin the EXACT part-file list instead of reading the directory:
+    # cached_extract later APPENDS new entries to this same path, and
+    # Spark's insert command refreshes the path's file index — a
+    # directory-based read would silently start seeing the rows the
+    # current run just wrote (hits and misses computed against a
+    # moving snapshot). With the list pinned, every join in the run
+    # sees the cache as of run start.
+    files = sorted(glob.glob(os.path.join(cache_dir, "*.parquet")))
+    if not files:
+        return None
+    tbl = spark.read.parquet(*files)
     payload = F.max_by(F.struct(*RESULT_COLS), "created_ts").alias("p")
     return tbl.groupBy(*CACHE_KEY).agg(payload).select(*CACHE_KEY, "p.*")
 
@@ -96,8 +107,6 @@ def cached_extract(
     through the UDF lineage twice — one compute pass, and run 2's
     extract phase is a pure scan+join. Output columns match
     run_engines_fused minus `spans` (derived data, never cached)."""
-    from pyspark.storagelevel import StorageLevel
-
     from ocr_compare_spark.operators.extract import run_engines_fused
 
     out_cols = ["url", "warc_ts", "lang", "engine", *RESULT_COLS]
@@ -114,12 +123,19 @@ def cached_extract(
             cache, ["content_hash", "kwargs_hash"]
         ).select(*out_cols)
 
-    # One compute pass over the misses: persist, let the cache-append
-    # action materialize it, serve downstream from the persisted rows
-    # (MEMORY_AND_DISK spills instead of recomputing at 100 TB).
+    # One compute pass over the misses, materialized EAGERLY with its
+    # lineage cut (localCheckpoint = MEMORY_AND_DISK rows behind a
+    # LogicalRDD leaf) BEFORE the self-append below: the append into
+    # cache_dir triggers refreshByPath, which would invalidate a
+    # persist()ed plan that still references the cache scan through
+    # the anti-join — the recompute would then see the just-written
+    # keys, turn every miss into a hit, and silently evaluate `fresh`
+    # as EMPTY on any warm run with a nonzero miss set. The checkpoint
+    # has no path dependency, so the rows survive the refresh and
+    # downstream consumers really are served from memory.
     fresh = run_engines_fused(
         misses, engines, with_spans=False, num_partitions=num_partitions
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint()
     entries = fresh.join(
         keyed.select("url", "content_hash", "kwargs_hash"), "url"
     ).select("engine", "content_hash", "kwargs_hash", *RESULT_COLS, F.current_timestamp().alias("created_ts"))

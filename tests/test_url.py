@@ -1,0 +1,80 @@
+"""URL canonicalization (functions/url.py): table-driven forms,
+idempotency over the synth pages table, and the eTLD+1 heuristic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_compare_spark import synth
+from ocr_compare_spark.functions.url import canonical_url, host_of, registered_domain
+
+
+CASES = [
+    # (raw, canonical)
+    ("HTTP://Example.COM/a", "http://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/", "https://example.com/"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/a#frag", "http://example.com/a"),
+    ("http://user:pw@example.com/a", "http://example.com/a"),
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
+    ("http://example.com/a?utm_source=x&a=1&fbclid=y", "http://example.com/a?a=1"),
+    ("http://example.com/a?utm_source=x", "http://example.com/a"),
+    ("http://example.com/a?", "http://example.com/a"),
+    ("http://example.com/a?a=1#f", "http://example.com/a?a=1"),
+    ("not a url", "not a url"),
+    ("mailto:x@example.com", "mailto:x@example.com"),
+]
+
+
+def test_canonical_url_forms(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], ["raw"])
+    got = {
+        r.raw: r.canon
+        for r in df.withColumn("canon", canonical_url("raw")).collect()
+    }
+    for raw, want in CASES:
+        assert got[raw] == want, f"{raw!r}: got {got[raw]!r}, want {want!r}"
+
+
+def test_canonical_url_idempotent(spark, sf_dir):
+    pages = synth.pages_from_documents(spark, sf_dir).select("url")
+    crafted = spark.createDataFrame([(r,) for r, _ in CASES], ["url"])
+    both = pages.unionByName(crafted)
+    once = both.select(canonical_url("url").alias("c1"))
+    n_diff = once.select(
+        (canonical_url("c1") == F.col("c1")).alias("same")
+    ).filter(~F.col("same")).count()
+    assert n_diff == 0
+
+
+def test_canonical_url_merges_tracking_variants_for_snapshot_keys(spark):
+    rows = [
+        ("http://Example.com/page?utm_source=tw", 1),
+        ("http://example.com:80/page", 2),
+        ("http://example.com/page#top", 3),
+    ]
+    df = spark.createDataFrame(rows, ["url", "v"])
+    keys = df.select(canonical_url("url").alias("k")).distinct().collect()
+    assert len(keys) == 1 and keys[0].k == "http://example.com/page"
+
+
+def test_host_and_registered_domain(spark):
+    rows = [
+        ("https://News.BBC.co.uk:443/x", "news.bbc.co.uk", "bbc.co.uk"),
+        ("http://a.b.example.com/", "a.b.example.com", "example.com"),
+        ("http://example.com/", "example.com", "example.com"),
+        ("http://localhost/", "localhost", "localhost"),
+        ("http://10.0.0.1:8080/x", "10.0.0.1", "10.0.0.1"),
+        ("http://shop.example.com.au/", "shop.example.com.au", "example.com.au"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], ["url"])
+    got = df.select(
+        "url",
+        host_of("url").alias("h"),
+        registered_domain(host_of("url")).alias("d"),
+    ).collect()
+    want = {u: (h, d) for u, h, d in rows}
+    for r in got:
+        assert (r.h, r.d) == want[r.url], r.url

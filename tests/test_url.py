@@ -60,6 +60,50 @@ def test_canonical_url_merges_tracking_variants_for_snapshot_keys(spark):
     assert len(keys) == 1 and keys[0].k == "http://example.com/page"
 
 
+def test_canonical_url_fuzz_idempotent(spark):
+    """Hypothesis fuzz: canonicalization is idempotent and total
+    (never null, never throws) on arbitrary url-ish and non-url
+    strings — the passthrough rule must make it a safe default
+    projection over a dirty crawl column."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    url_ish = st.one_of(
+        st.text(
+            alphabet="abcXYZ019.:/?#&=@_-%~ ",
+            min_size=0,
+            max_size=40,
+        ),
+        st.builds(
+            lambda scheme, host, port, path, q, frag: f"{scheme}://{host}{port}{path}{q}{frag}",
+            st.sampled_from(["http", "HTTP", "https", "ftp", "x+y.z-1"]),
+            st.sampled_from(["Example.com", "a.B.co.uk", "10.0.0.1", "localhost", "u:p@Host.NET"]),
+            st.sampled_from(["", ":80", ":443", ":8080"]),
+            st.sampled_from(["", "/", "/A/b", "/a%20b"]),
+            st.sampled_from(["", "?", "?b=2&a=1", "?utm_source=x", "?a=1&utm_x=2&"]),
+            st.sampled_from(["", "#f", "#a?b=1"]),
+        ),
+    )
+
+    batch: list[str] = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(url_ish)
+    def collect(s: str) -> None:
+        batch.append(s)
+
+    collect()
+    df = spark.createDataFrame([(s,) for s in batch], ["u"])
+    rows = df.select(
+        "u",
+        canonical_url("u").alias("c1"),
+        canonical_url(canonical_url("u")).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 is not None, r.u
+        assert r.c1 == r.c2, f"not idempotent: {r.u!r} -> {r.c1!r} -> {r.c2!r}"
+
+
 def test_host_and_registered_domain(spark):
     rows = [
         ("https://News.BBC.co.uk:443/x", "news.bbc.co.uk", "bbc.co.uk"),

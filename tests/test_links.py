@@ -1,0 +1,64 @@
+"""Link-graph / anchor-text extraction (operators/links.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_compare_spark.operators.links import extract_links, inbound_anchors
+
+
+PAGES = [
+    (
+        "http://A.example.com/page1?utm_source=x",
+        b'<html><body>'
+        b'<a href="http://Other.com/target?b=2&a=1#f">first <b>link</b></a>'
+        b'<a class="nav" href="/local/path">Local</a>'
+        b'<a href="//cdn.example.org/x">proto-relative</a>'
+        b'<a href="mailto:x@y.z">mail</a>'
+        b'<a href="#top">frag</a>'
+        b'<a href="relative/path">rel</a>'
+        b'<a href="http://other.com:80/target?a=1&b=2">first  link</a>'
+        b"</body></html>",
+    ),
+    (
+        "https://b.example.com/p2",
+        b'<a\nhref="http://other.com/target?a=1&b=2">spanning\nlines</a>'
+        b'<a href="http://third.com/only"></a>',
+    ),
+    ("http://c.example.com/empty", b"<html><p>no anchors here</p></html>"),
+]
+
+
+def _links(spark):
+    df = spark.createDataFrame(PAGES, ["url", "html"])
+    return extract_links(df)
+
+
+def test_extract_links_resolution_and_canonicalization(spark):
+    rows = _links(spark).collect()
+    got = {(r.src, r.dst, r.anchor_text) for r in rows}
+    src1 = "http://a.example.com/page1"  # canonicalized, tracking param gone
+    assert (src1, "http://other.com/target?a=1&b=2", "first link") in got
+    assert (src1, "http://a.example.com/local/path", "Local") in got
+    assert (src1, "http://cdn.example.org/x", "proto-relative") in got
+    # mailto / fragment / relative-path edges dropped
+    assert all("mailto" not in d for _, d, _ in got)
+    assert all(not d.endswith("#top") for _, d, _ in got)
+    assert all("relative/path" not in d for _, d, _ in got)
+    # multi-line anchor + tag-stripped, whitespace-normalized text
+    assert ("https://b.example.com/p2", "http://other.com/target?a=1&b=2", "spanning lines") in got
+    # page without anchors contributes nothing
+    assert all(s != "http://c.example.com/empty" for s, _, _ in got)
+
+
+def test_inbound_anchor_corpus(spark):
+    agg = {r.dst: r for r in inbound_anchors(_links(spark)).collect()}
+    tgt = agg["http://other.com/target?a=1&b=2"]
+    # three edges: two from page1 (':80' variant canonicalizes to the
+    # same dst; 'first  link' normalizes to the same text), one from p2
+    assert tgt.n_inbound == 3
+    assert tgt.n_src == 2
+    assert tgt.anchor_texts == ["first link", "spanning lines"]
+    # empty anchor text counts as an edge, contributes no text
+    only = agg["http://third.com/only"]
+    assert only.n_inbound == 1 and only.anchor_texts == []

@@ -474,3 +474,33 @@ def test_multi_page_span_blocks_representable(spark):
     doc2 = to_tree(combined).select("document").first()[0]
     got = {p["page_no"]: [(b["page_span"]["first"], b["page_span"]["last"]) for b in p["blocks"]] for p in doc2["pages"]}
     assert got == {1: [(1, 3)], 3: [(3, 3)]}
+
+
+def test_block_type_from_minimal_depth_element(spark):
+    """ADVICE r4: a container whose DFS-FIRST element is a nested
+    HEADING child must NOT label the whole block HEADING — the top
+    block's type comes from its own minimal-depth element (min_by on
+    (suffix depth, suffix)), else chunk_layout's heading carry-forward
+    would treat the entire container text as a heading. Unreachable
+    via the synth engines, so pinned with handcrafted spans."""
+    from ocr_compare_spark.operators.assemble import assemble_blocks
+
+    schema = (
+        "url string, engine string, page_no int, block_no int, "
+        "block_type string, elem_path array<int>, para_no int, "
+        "word_no int, line_no int, row_no int, column_no int, "
+        "row_type string, text string"
+    )
+    rows = [
+        # nested HEADING child block (suffix [0, 0]) — first in doc order
+        ("u", "e", 1, 0, "HEADING", [0, 0, 0], 0, 0, 0, None, None, None, "Head"),
+        ("u", "e", 1, 0, "HEADING", [0, 0, 0], 0, 1, 0, None, None, None, "Line"),
+        # the container's OWN paragraph (suffix [1], depth 1)
+        ("u", "e", 1, 0, "TEXT", [0, 1], 1, 0, 0, None, None, None, "body"),
+        ("u", "e", 1, 0, "TEXT", [0, 1], 1, 1, 0, None, None, None, "text"),
+    ]
+    spans = spark.createDataFrame(rows, schema)
+    got = assemble_blocks(spans).collect()
+    assert len(got) == 1
+    assert got[0].block_type == "TEXT"  # NOT the DFS-first child's HEADING
+    assert got[0].block_text == "Head Line\nbody text"  # doc order intact

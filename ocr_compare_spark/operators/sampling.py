@@ -176,11 +176,17 @@ def token_budget_sample_bucketed(
 
     spark = df.sparkSession
     off_df = F.broadcast(
-        spark.createDataFrame(offsets, [strata_col, "_bkt", "_off"]).withColumn(
-            "_off", F.col("_off").cast("long")
+        spark.createDataFrame(
+            offsets, f"_s {dict(df.dtypes)[strata_col]}, _obkt int, _off long"
         )
     )
-    survivors = keyed.join(off_df, [strata_col, "_bkt"])  # inner: drops dead buckets
+    # null-safe stratum match: a NULL stratum is a legal window
+    # partition in the exact variant, so the bucketed one must keep
+    # it too (a plain inner-join key would silently drop those rows)
+    survivors = keyed.join(
+        off_df,
+        F.col(strata_col).eqNullSafe(F.col("_s")) & (F.col("_bkt") == F.col("_obkt")),
+    ).drop("_s", "_obkt")  # inner: drops dead buckets
 
     w = Window.partitionBy(strata_col, "_bkt").orderBy(
         *_order_cols(priority_col, id_col)

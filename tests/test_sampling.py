@@ -96,6 +96,22 @@ def test_token_budget_bucketed_equals_exact(spark, sf_dir):
     assert len(e) == d.count()
 
 
+def test_token_budget_bucketed_keeps_null_strata(spark, sf_dir):
+    # a NULL stratum is a legal window partition in the exact
+    # variant; the bucketed one must keep it via its null-safe join
+    d = _docs(spark, sf_dir).withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang"))
+    )
+    exact = sampling.token_budget_sample(d, "lang", "token_count", 800, "prio", "doc_id")
+    fast = sampling.token_budget_sample_bucketed(
+        d, "lang", "token_count", 800, "prio", "doc_id", n_buckets=16
+    )
+    e = {(r.lang, r.doc_id): r.cum_tokens for r in exact.collect()}
+    f = {(r.lang, r.doc_id): r.cum_tokens for r in fast.collect()}
+    assert e == f
+    assert any(k[0] is None for k in e), "null stratum must be represented"
+
+
 def test_token_budget_bucketed_prunes_dead_buckets(spark, sf_dir):
     # structural scale claim: buckets whose running offset already
     # exceeds the budget never reach the window shuffle (inner join

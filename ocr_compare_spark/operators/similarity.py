@@ -192,6 +192,68 @@ def _centroid_scores(vec_col: str, centroids: np.ndarray) -> list[F.Column]:
     return out
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared (query_id, neighbor_id, sim) -> ranked top-k tail."""
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _ivf_cells_data(
+    df: DataFrame,
+    cents: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_vec: str,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Data-path IVF cell assignment: centroids ride a Spark broadcast
+    and the per-batch assignment is ONE numpy GEMM inside mapInPandas,
+    so the Catalyst plan stays O(1) in (dim x n_centroids) — the shape
+    the literal `_centroid_scores` path blows up on at real embedding
+    dims (VERDICT r4 "what's wrong" #1). Tie-breaks match the literal
+    path: np.argmax / stable argsort both prefer the LOWEST cell id.
+
+    nprobe=None -> corpus mode (one argmax cell per row);
+    nprobe=n    -> query mode (n best cells per row, exploded)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(cents, dtype=np.float64))
+    probe_n = nprobe
+    schema = f"{out_id} long, {out_vec} array<double>, cid int"
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            scores = mat @ c.T  # (B, n_centroids) GEMM — the hot loop
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vecs = [list(row) for row in mat]
+            if probe_n is None:
+                yield pd.DataFrame(
+                    {out_id: ids, out_vec: vecs, "cid": np.argmax(scores, axis=1).astype(np.int32)}
+                )
+            else:
+                nn = min(probe_n, scores.shape[1])
+                # stable sort on -score keeps ties in ascending-cid order,
+                # matching the literal path's array_sort(struct(nd, cid))
+                order = np.argsort(-scores, axis=1, kind="stable")[:, :nn]
+                yield pd.DataFrame(
+                    {
+                        out_id: np.repeat(ids, nn),
+                        out_vec: [v for v in vecs for _ in range(nn)],
+                        "cid": order.ravel().astype(np.int32),
+                    }
+                )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -200,6 +262,8 @@ def ivf_topk(
     centroids: np.ndarray | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    method: str = "literal",
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells.
 
@@ -208,41 +272,109 @@ def ivf_topk(
     cell equi-join (never a cross join); exact cosine + window top-k
     within candidates. At warehouse scale the cell id is the natural
     partition/cluster key, so the join co-locates with the stored
-    layout. Ties break to the lowest cell id on both sides, so with
-    literal centroids the whole plan is bit-reproducible in SQL."""
+    layout. Ties break to the lowest cell id on both sides.
+
+    method="literal": centroid dots as native zip_with/aggregate folds
+    over per-component literals — bit-reproducible in the DuckDB
+    oracle, but the expression tree is O(dim x n_centroids); keep it
+    for oracle-checked small configs (dim 64 / 16 cells).
+    method="data": centroids as a Spark broadcast + one numpy GEMM per
+    Arrow batch (mapInPandas) — plan size O(1) in shape; the path for
+    real embeddings (dim 768+, 1k-64k cells).
+
+    ``dim`` hint skips the sizing first() (which on a DERIVED corpus
+    recomputes the whole upstream plan — same fix as
+    dedup.embed_near_dups n/dim hints)."""
     cents = seeded_centroids() if centroids is None else centroids
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     assert cents.shape[1] == dim, "centroid dim mismatch"
 
-    def scored_cells(df: DataFrame, out_id: str) -> DataFrame:
-        scores = _centroid_scores(vec_col, cents)
-        cells = F.array(
-            *[F.struct((-s).alias("nd"), F.lit(i).alias("cid")) for i, s in enumerate(scores)]
-        )
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(f"{out_id}_v"),
-            cells.alias("cells"),
-        )
+    if method == "data":
+        corpus_cells = _ivf_cells_data(corpus, cents, id_col, vec_col, "neighbor_id", "c_vec")
+        probe = _ivf_cells_data(queries, cents, id_col, vec_col, "query_id", "q_vec", nprobe=nprobe)
+    elif method == "literal":
+        def scored_cells(df: DataFrame, out_id: str) -> DataFrame:
+            scores = _centroid_scores(vec_col, cents)
+            cells = F.array(
+                *[F.struct((-s).alias("nd"), F.lit(i).alias("cid")) for i, s in enumerate(scores)]
+            )
+            return df.select(
+                F.col(id_col).alias(out_id),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(f"{out_id}_v"),
+                cells.alias("cells"),
+            )
 
-    corpus_cells = scored_cells(corpus, "neighbor_id").select(
-        "neighbor_id", F.col("neighbor_id_v").alias("c_vec"),
-        F.array_min("cells").cid.alias("cid"),
-    )
-    probe = scored_cells(queries, "query_id").select(
-        "query_id", F.col("query_id_v").alias("q_vec"),
-        F.explode(F.transform(F.slice(F.array_sort("cells"), 1, nprobe), lambda x: x.cid)).alias("cid"),
-    )
+        corpus_cells = scored_cells(corpus, "neighbor_id").select(
+            "neighbor_id", F.col("neighbor_id_v").alias("c_vec"),
+            F.array_min("cells").cid.alias("cid"),
+        )
+        probe = scored_cells(queries, "query_id").select(
+            "query_id", F.col("query_id_v").alias("q_vec"),
+            F.explode(
+                F.transform(F.slice(F.array_sort("cells"), 1, nprobe), lambda x: x.cid)
+            ).alias("cid"),
+        )
+    else:
+        raise ValueError(f"ivf_topk: unknown method {method!r} (literal|data)")
+
     cand = probe.join(corpus_cells, "cid").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
         "query_id", "neighbor_id", cosine_native(F.col("q_vec"), F.col("c_vec")).alias("sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    return _rank_topk(scored, k)
+
+
+def lsh_planes(n_planes: int, dim: int, n_tables: int) -> np.ndarray:
+    """The (n_tables, n_planes, dim) hyperplane tensor both lsh_topk
+    paths share — seeds 42+t per table, identical to the literal
+    hyperplane_buckets(seed=42+t) draws."""
+    return np.stack(
+        [np.random.default_rng(42 + t).standard_normal((n_planes, dim)) for t in range(n_tables)]
     )
+
+
+def _lsh_buckets_data(
+    df: DataFrame,
+    planes: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_vec: str,
+) -> DataFrame:
+    """Data-path LSH bucket assignment: the full plane tensor rides a
+    Spark broadcast; per Arrow batch, ONE GEMM against all tables'
+    planes at once, then a bit-pack — plan size O(1) in
+    (dim x planes x tables) vs the literal path's per-coefficient
+    expression tree. Emits the same exploded (id, vec, table_id,
+    bucket) shape the bucket equi-join consumes."""
+    spark = df.sparkSession
+    n_tables, n_planes, dim = planes.shape
+    flat = np.ascontiguousarray(planes.reshape(n_tables * n_planes, dim), dtype=np.float64)
+    bc = spark.sparkContext.broadcast(flat)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    schema = f"{out_id} long, {out_vec} array<double>, table_id int, bucket int"
+
+    def assign(batches):
+        pl = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (mat @ pl.T) > 0  # (B, T*P) GEMM — the hot loop
+            buckets = (signs.reshape(len(mat), n_tables, n_planes) * weights).sum(axis=2)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vecs = [list(row) for row in mat]
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, n_tables),
+                    out_vec: [v for v in vecs for _ in range(n_tables)],
+                    "table_id": np.tile(np.arange(n_tables, dtype=np.int32), len(mat)),
+                    "bucket": buckets.ravel().astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
 def lsh_topk(
@@ -253,6 +385,8 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     n_tables: int = 4,
+    dim: int | None = None,
+    method: str = "literal",
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH.
 
@@ -260,21 +394,39 @@ def lsh_topk(
     bucket; candidates = union over tables of bucket-equi-joined
     pairs (the standard recall amplifier: miss probability decays as
     (1 - p^planes)^tables), then exact cosine within candidates. The
-    join key is (table_id, bucket) — never a cross join."""
-    dim = len(corpus.select(vec_col).first()[0])
+    join key is (table_id, bucket) — never a cross join.
 
-    def with_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        buckets = F.array(
-            *[hyperplane_buckets(vec_col, n_planes, seed=42 + t, dim=dim) for t in range(n_tables)]
-        )
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(out_vec),
-            F.posexplode(buckets).alias("table_id", "bucket"),
-        )
+    method="literal": per-coefficient literal folds (DuckDB-oracle
+    bit-exact; plan is O(dim x planes x tables) — small configs only).
+    method="data": broadcast plane tensor + one GEMM per Arrow batch
+    in mapInPandas — plan O(1) in shape, the real-embedding path.
+    ``dim`` hint skips the sizing first() on derived inputs."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
 
-    cb = with_buckets(corpus, "neighbor_id", "c_vec")
-    qb = with_buckets(queries, "query_id", "q_vec")
+    if method == "data":
+        planes = lsh_planes(n_planes, dim, n_tables)
+        cb = _lsh_buckets_data(corpus, planes, id_col, vec_col, "neighbor_id", "c_vec")
+        qb = _lsh_buckets_data(queries, planes, id_col, vec_col, "query_id", "q_vec")
+    elif method == "literal":
+        def with_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+            buckets = F.array(
+                *[
+                    hyperplane_buckets(vec_col, n_planes, seed=42 + t, dim=dim)
+                    for t in range(n_tables)
+                ]
+            )
+            return df.select(
+                F.col(id_col).alias(out_id),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(out_vec),
+                F.posexplode(buckets).alias("table_id", "bucket"),
+            )
+
+        cb = with_buckets(corpus, "neighbor_id", "c_vec")
+        qb = with_buckets(queries, "query_id", "q_vec")
+    else:
+        raise ValueError(f"lsh_topk: unknown method {method!r} (literal|data)")
+
     cand = (
         qb.join(cb, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -284,9 +436,4 @@ def lsh_topk(
     scored = cand.select(
         "query_id", "neighbor_id", cosine_native(F.col("q_vec"), F.col("c_vec")).alias("sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
-    )
+    return _rank_topk(scored, k)

@@ -483,3 +483,80 @@ def test_latest_snapshot_keeps_max_ts_per_key(spark):
     got = [dedup.latest_snapshot(tie.repartition(p), "url", "warc_ts").collect()[0]["lang"]
            for p in (1, 4)]
     assert got == ["b", "b"]
+
+
+@pytest.fixture(scope="module")
+def vectors768(spark):
+    """Real-embedding shape: dim 768 — the config the literal ANN path
+    must NOT be used for at scale (plan blows up O(dim x cells)), used
+    here at tiny row count to prove data-path == literal-path."""
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((40, 768))
+    mat[30] = mat[2] + 0.01 * rng.standard_normal(768)  # planted neighbor
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache(), mat
+
+
+def test_lsh_topk_data_matches_literal_dim768(vectors768):
+    df, mat = vectors768
+    q = df.filter(F.col("vec_id") < 6)
+    kw = dict(k=3, n_planes=6, n_tables=2, dim=768)
+    lit_ = {tuple(r) for r in similarity.lsh_topk(df, q, method="literal", **kw).collect()}
+    dat = {tuple(r) for r in similarity.lsh_topk(df, q, method="data", **kw).collect()}
+    assert dat == lit_ and len(dat) > 0
+
+
+def test_ivf_topk_data_matches_literal_dim768(vectors768):
+    df, mat = vectors768
+    q = df.filter(F.col("vec_id") < 6)
+    cents = similarity.seeded_centroids(n_centroids=16, dim=768)
+    kw = dict(k=3, nprobe=4, centroids=cents, dim=768)
+    lit_ = {tuple(r) for r in similarity.ivf_topk(df, q, method="literal", **kw).collect()}
+    dat = {tuple(r) for r in similarity.ivf_topk(df, q, method="data", **kw).collect()}
+    assert dat == lit_ and len(dat) > 0
+
+
+def test_ivf_topk_data_path_1024_centroids(vectors768):
+    """The shape the literal path cannot express (1024 cells x 768
+    dims would be ~786k plan literals): data path must run it, return
+    exact cosines for every candidate it scores, and keep ranks
+    contiguous per query."""
+    df, mat = vectors768
+    q = df.filter(F.col("vec_id") < 4)
+    cents = similarity.seeded_centroids(n_centroids=1024, dim=768)
+    out = similarity.ivf_topk(
+        df, q, k=3, nprobe=256, centroids=cents, dim=768, method="data"
+    ).collect()
+    assert len(out) > 0
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for r in out:
+        want = float(np.round(m[r.query_id] @ m[r.neighbor_id], 6))
+        assert abs(r.sim - want) <= 1e-6
+    for qid in {r.query_id for r in out}:
+        ranks = sorted(r.rank for r in out if r.query_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_ann_dim_hints_skip_sizing_jobs(vectors768):
+    """dim= hints must make lsh_topk/ivf_topk plan-building run ZERO
+    Spark jobs (mirrors embed_near_dups' n/dim hint contract — the
+    first() dim-sniff on a derived corpus recomputes its upstream)."""
+    df, _ = vectors768
+    derived = df.filter(F.col("vec_id") >= 0)  # derived plan, not a bare scan
+    q = derived.filter(F.col("vec_id") < 4)
+    sc = df.sparkSession.sparkContext
+    sc.setJobGroup("ann_hints", "no jobs expected at plan build")
+    try:
+        plans = [
+            similarity.lsh_topk(derived, q, dim=768, method=m) for m in ("literal", "data")
+        ] + [
+            similarity.ivf_topk(
+                derived, q, centroids=similarity.seeded_centroids(16, 768), dim=768, method=m
+            )
+            for m in ("literal", "data")
+        ]
+        ids = sc.statusTracker().getJobIdsForGroup("ann_hints")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(ids) == []
+    assert all(p is not None for p in plans)

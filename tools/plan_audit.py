@@ -143,6 +143,38 @@ def main() -> int:
                                    plans["winner"])) >= 2,
           "no partial/final aggregate pair for winner selection")
 
+    # ---- ANN plan-size cap (VERDICT r4 #1): the data path must keep
+    # the Catalyst plan O(1) in (dim x cells/planes). Build the REAL
+    # shape — dim 768, 1024 IVF cells / 16x8 LSH planes — on a lazy
+    # synthetic input and cap the formatted plan string. The literal
+    # path at this shape would be ~1M expression nodes; the cap fails
+    # any regression that reintroduces per-coefficient literals.
+    emb768 = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 768), i -> cast(i as double) / 768.0)").alias("embedding"),
+    )
+    q768 = emb768.filter(F.col("vec_id") < 8)
+    ann_plans = {
+        "ann_ivf_data_768x1024": plan_of(
+            similarity.ivf_topk(
+                emb768, q768, k=3, nprobe=16,
+                centroids=similarity.seeded_centroids(1024, 768), dim=768, method="data",
+            )
+        ),
+        "ann_lsh_data_768x16x8": plan_of(
+            similarity.lsh_topk(
+                emb768, q768, k=3, n_planes=16, n_tables=8, dim=768, method="data"
+            )
+        ),
+    }
+    ANN_PLAN_CAP = 60_000  # chars; literal path at this shape is megabytes
+    for name, p in ann_plans.items():
+        check(name, len(p) < ANN_PLAN_CAP,
+              f"plan string {len(p)} chars >= cap {ANN_PLAN_CAP} — literal blow-up regression")
+        check(name, "BatchEvalPython" not in p, "row-at-a-time Python UDF in plan")
+        check(name, "CartesianProduct" not in p, "cartesian product in plan")
+        check(name, "MapInPandas" in p, "expected Arrow mapInPandas assignment stage")
+
     # ---- registry-wide sweep: every queries() entry, generic
     # anti-patterns only. Explains the returned DataFrame's plan;
     # a few entries eagerly run helper jobs while BUILDING (cache

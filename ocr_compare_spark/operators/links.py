@@ -19,12 +19,15 @@ Scope (documented, deliberate): this is a regex scanner for the
 common `<a ... href="...">text</a>` shape — single-level anchors,
 double-quoted hrefs, tag-stripped inner text. It is a DATASET
 extractor, not a DOM parser; the engines' html_scan remains the
-fidelity path for text. Relative URLs resolve root-relative and
-protocol-relative forms against the source url (full RFC 3986
-merge-path resolution is out of scope and flagged by dropping the
-edge). Edges to mailto:/javascript:/fragment-only targets are
-dropped. Destinations are canonicalized with functions/url.py so the
-graph keys line up with every other url-keyed stage.
+fidelity path for text. Relative hrefs resolve per RFC 3986 §5.2:
+protocol-relative (`//h/p`), root-relative (`/p`), bare-relative
+(`p`, `./p`, `../p` — merge with the base path) and query-only
+(`?q`) forms all resolve against the source url, with native
+dot-segment removal (an aggregate fold over the split path — zero
+Python). Edges to mailto:/javascript:/other-scheme and
+fragment-only targets are dropped. Destinations are canonicalized
+with functions/url.py so the graph keys line up with every other
+url-keyed stage.
 """
 
 from __future__ import annotations
@@ -47,17 +50,42 @@ def _norm_text(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.regexp_replace(c, _TAG, " "), r"\s+", " "))
 
 
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal for an ABSOLUTE path
+    (starts with '/'), as a native aggregate fold over the split
+    segments: '.' is skipped, '..' pops the previous segment (never
+    past the root), anything else appends. A trailing '.'/'..'
+    segment keeps the trailing slash, per the RFC's output buffer."""
+    segs = F.split(path, "/")
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+            .when(s == "..", F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(1))))
+            .otherwise(F.concat(acc, F.array(s)))
+        ),
+    )
+    joined = F.array_join(folded, "/")
+    joined = F.when(joined == "", F.lit("/")).otherwise(joined)
+    trailing_dot = path.rlike(r"(^|/)\.\.?$")
+    return F.when(
+        trailing_dot & ~joined.endswith("/"), F.concat(joined, F.lit("/"))
+    ).otherwise(joined)
+
+
 def extract_links(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """One row per resolvable anchor: ``(src, dst, anchor_text)``.
 
-    dst is canonical (functions/url.canonical_url). Resolution rules:
-    absolute http(s) hrefs pass through; ``//host/...`` takes the
-    source scheme; ``/path`` takes the source scheme+host; anything
-    else (relative paths, mailto:, javascript:, pure fragments,
-    empty) is dropped — a lossy-but-stated contract that keeps the
-    operator a pure projection.
+    dst is canonical (functions/url.canonical_url). Resolution per
+    RFC 3986 §5.2: absolute http(s) hrefs pass through; ``//h/p``
+    takes the source scheme; ``/p`` takes scheme+host; bare-relative
+    ``p`` / ``./p`` / ``../p`` merge with the base path (dot segments
+    removed natively); ``?q`` replaces the query on the base path.
+    Dropped (by contract): other-scheme hrefs (mailto:, javascript:,
+    ftp:, ...), fragment-only, and empty hrefs.
     """
     src = F.col(url_col)
     html_str = F.col(html_col).cast("string")
@@ -65,28 +93,46 @@ def extract_links(
     texts = F.regexp_extract_all(html_str, F.lit(ANCHOR_PATTERN), 2)
     pairs = F.arrays_zip(hrefs.alias("href"), texts.alias("txt"))
 
+    src_path_raw = F.regexp_extract(src, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    src_path = F.when(src_path_raw == "", F.lit("/")).otherwise(src_path_raw)
     exploded = pages.select(
         canonical_url(src).alias("src"),
         F.lower(F.regexp_extract(src, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)).alias("_scheme"),
         host_of(src).alias("_host"),
+        src_path.alias("_path"),
         F.explode(pairs).alias("a"),
     ).select(
         "src",
         "_scheme",
         "_host",
+        "_path",
         F.col("a.href").alias("href"),
         _norm_text(F.col("a.txt")).alias("anchor_text"),
     )
 
-    href = F.col("href")
+    origin = F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"))
+    # fragment never reaches the server; strip it before classifying
+    # so '#top' is fragment-only (dropped) and 'a#top' is relative
+    href = F.regexp_replace(F.col("href"), r"#.*$", "")
+    href_path = F.regexp_extract(href, r"^([^?]*)", 1)
+    href_query = F.regexp_extract(href, r"^[^?]*(\?.*)$", 1)  # keeps the '?'
+    base_dir = F.regexp_replace(F.col("_path"), r"[^/]*$", "")  # up to last '/'
+    merged = remove_dot_segments(F.concat(base_dir, href_path))
+
     dst_raw = (
-        F.when(href.rlike(r"(?i)^https?://"), href)
+        F.when(href == "", F.lit(None))
+        .when(href.rlike(r"(?i)^https?://"), href)
+        # any OTHER scheme (mailto:, javascript:, ftp:, data:...) drops
+        .when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), F.lit(None))
         .when(href.startswith("//"), F.concat(F.col("_scheme"), F.lit(":"), href))
         .when(
             href.startswith("/"),
-            F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"), href),
+            F.concat(origin, remove_dot_segments(href_path), href_query),
         )
-        .otherwise(F.lit(None))
+        # query-only href: same path, new query (RFC 3986 §5.3)
+        .when(href_path == "", F.concat(origin, F.col("_path"), href_query))
+        # bare-relative: merge with the base directory
+        .otherwise(F.concat(origin, merged, href_query))
     )
     return (
         exploded.withColumn("dst", canonical_url(dst_raw))

@@ -41,10 +41,11 @@ def test_extract_links_resolution_and_canonicalization(spark):
     assert (src1, "http://other.com/target?a=1&b=2", "first link") in got
     assert (src1, "http://a.example.com/local/path", "Local") in got
     assert (src1, "http://cdn.example.org/x", "proto-relative") in got
-    # mailto / fragment / relative-path edges dropped
+    # mailto / fragment-only edges dropped
     assert all("mailto" not in d for _, d, _ in got)
     assert all(not d.endswith("#top") for _, d, _ in got)
-    assert all("relative/path" not in d for _, d, _ in got)
+    # bare-relative hrefs now resolve against the base path (RFC 3986)
+    assert (src1, "http://a.example.com/relative/path", "rel") in got
     # multi-line anchor + tag-stripped, whitespace-normalized text
     assert ("https://b.example.com/p2", "http://other.com/target?a=1&b=2", "spanning lines") in got
     # page without anchors contributes nothing
@@ -62,3 +63,41 @@ def test_inbound_anchor_corpus(spark):
     # empty anchor text counts as an edge, contributes no text
     only = agg["http://third.com/only"]
     assert only.n_inbound == 1 and only.anchor_texts == []
+
+
+def test_extract_links_rfc3986_resolution_matrix(spark):
+    """RFC 3986 §5.4 reference-resolution examples (adapted to the
+    extractor's drop contract): dot-segment removal, merge-path,
+    query-only, root clamp — no edge silently dropped except
+    other-scheme and fragment-only."""
+    base = "http://h.example.com/b/c/d;p?q=1"
+    cases = {
+        "g": "http://h.example.com/b/c/g",
+        "./g": "http://h.example.com/b/c/g",
+        "g/": "http://h.example.com/b/c/g/",
+        "/g": "http://h.example.com/g",
+        "//cdn.net/g": "http://cdn.net/g",
+        "?y=2": "http://h.example.com/b/c/d;p?y=2",
+        "g?y=2": "http://h.example.com/b/c/g?y=2",
+        "g#s": "http://h.example.com/b/c/g",
+        "..": "http://h.example.com/b/",
+        "../": "http://h.example.com/b/",
+        "../g": "http://h.example.com/b/g",
+        "../..": "http://h.example.com/",
+        "../../g": "http://h.example.com/g",
+        # past-root .. clamps at / (RFC: ignore excess dot-dots)
+        "../../../../g": "http://h.example.com/g",
+        "g/../h": "http://h.example.com/b/c/h",
+        "g/./h": "http://h.example.com/b/c/g/h",
+        ".": "http://h.example.com/b/c/",
+        "./": "http://h.example.com/b/c/",
+    }
+    html = "".join(f'<a href="{h}">t{i}</a>' for i, (h, _) in enumerate(cases.items()))
+    df = spark.createDataFrame([(base, html.encode())], ["url", "html"])
+    got = {r.anchor_text: r.dst for r in extract_links(df).collect()}
+    for i, (href, want) in enumerate(cases.items()):
+        assert got[f"t{i}"] == want, f"{href!r}: got {got.get(f't{i}')!r}, want {want!r}"
+    # dropped forms: other scheme, fragment-only, empty
+    drop_html = b'<a href="mailto:a@b.c">m</a><a href="#x">f</a><a href="">e</a>'
+    df2 = spark.createDataFrame([(base, drop_html)], ["url", "html"])
+    assert extract_links(df2).count() == 0

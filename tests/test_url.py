@@ -25,7 +25,22 @@ CASES = [
     ("http://example.com/a?a=1#f", "http://example.com/a?a=1"),
     ("not a url", "not a url"),
     ("mailto:x@example.com", "mailto:x@example.com"),
+    # bracketed IPv6 authorities (ADVICE r4: the host must be atomic —
+    # inner ':' is not a port separator, and distinct hosts must NOT
+    # canonicalize to the same key)
+    ("https://[2001:db8::1]/page", "https://[2001:db8::1]/page"),
+    ("HTTPS://[2001:DB8::1]:443/x", "https://[2001:db8::1]/x"),
+    ("https://[2001:db8::1]:8443/x", "https://[2001:db8::1]:8443/x"),
+    ("http://u:p@[::1]:80", "http://[::1]/"),
+    ("http://[::ffff:192.0.2.1]/a?b=2&a=1", "http://[::ffff:192.0.2.1]/a?a=1&b=2"),
 ]
+
+
+def test_canonical_url_ipv6_hosts_stay_distinct(spark):
+    rows = [("https://[2001:db8::1]/page",), ("https://[2001:db8::2]/page",)]
+    df = spark.createDataFrame(rows, ["url"])
+    keys = df.select(canonical_url("url").alias("k")).distinct().count()
+    assert keys == 2
 
 
 def test_canonical_url_forms(spark):
@@ -70,14 +85,17 @@ def test_canonical_url_fuzz_idempotent(spark):
 
     url_ish = st.one_of(
         st.text(
-            alphabet="abcXYZ019.:/?#&=@_-%~ ",
+            alphabet="abcXYZ019.:/?#&=@_-%~ []",
             min_size=0,
             max_size=40,
         ),
         st.builds(
             lambda scheme, host, port, path, q, frag: f"{scheme}://{host}{port}{path}{q}{frag}",
             st.sampled_from(["http", "HTTP", "https", "ftp", "x+y.z-1"]),
-            st.sampled_from(["Example.com", "a.B.co.uk", "10.0.0.1", "localhost", "u:p@Host.NET"]),
+            st.sampled_from(
+                ["Example.com", "a.B.co.uk", "10.0.0.1", "localhost", "u:p@Host.NET",
+                 "[2001:DB8::1]", "[::1]", "u@[::ffff:10.0.0.1]", "[", "[]", "[x"]
+            ),
             st.sampled_from(["", ":80", ":443", ":8080"]),
             st.sampled_from(["", "/", "/A/b", "/a%20b"]),
             st.sampled_from(["", "?", "?b=2&a=1", "?utm_source=x", "?a=1&utm_x=2&"]),
@@ -112,6 +130,8 @@ def test_host_and_registered_domain(spark):
         ("http://localhost/", "localhost", "localhost"),
         ("http://10.0.0.1:8080/x", "10.0.0.1", "10.0.0.1"),
         ("http://shop.example.com.au/", "shop.example.com.au", "example.com.au"),
+        ("https://[2001:DB8::1]:8443/x", "[2001:db8::1]", "[2001:db8::1]"),
+        ("http://[::ffff:192.0.2.1]/", "[::ffff:192.0.2.1]", "[::ffff:192.0.2.1]"),
     ]
     df = spark.createDataFrame([(u,) for u, _, _ in rows], ["url"])
     got = df.select(
@@ -122,3 +142,40 @@ def test_host_and_registered_domain(spark):
     want = {u: (h, d) for u, h, d in rows}
     for r in got:
         assert (r.h, r.d) == want[r.url], r.url
+
+
+def test_registered_domain_psl_rules(spark):
+    """PSL algorithm over the embedded snapshot: wildcard rules
+    (*.ck), exception rules (!www.ck, !city.kawasaki.jp), private
+    hosting suffixes (github.io, s3.amazonaws.com), longest-match
+    precedence, and the default rule for unlisted TLDs."""
+    rows = [
+        # wildcard *.ck: any label under ck is a public suffix
+        ("foo.ck", "foo.ck"),                    # IS a suffix -> passthrough
+        ("bar.foo.ck", "bar.foo.ck"),
+        ("x.bar.foo.ck", "bar.foo.ck"),
+        # exception !www.ck: www.ck is registrable
+        ("www.ck", "www.ck"),
+        ("sub.www.ck", "www.ck"),
+        # exception !city.kawasaki.jp under *.kawasaki.jp
+        ("city.kawasaki.jp", "city.kawasaki.jp"),
+        ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
+        ("foo.kawasaki.jp", "foo.kawasaki.jp"),  # wildcard suffix -> passthrough
+        ("bar.foo.kawasaki.jp", "bar.foo.kawasaki.jp"),
+        # private hosting suffixes: each user site is registrable
+        ("user.github.io", "user.github.io"),
+        ("a.user.github.io", "user.github.io"),
+        ("github.io", "github.io"),              # the suffix itself
+        ("myblog.blogspot.com", "myblog.blogspot.com"),
+        # 3-label rule beats the default 2-label split
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        ("x.bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        # unlisted TLD -> default rule (last two labels)
+        ("a.b.example.zz", "example.zz"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("deep.news.bbc.co.uk", "bbc.co.uk"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], ["h"])
+    got = {r.h: r.d for r in df.select("h", registered_domain("h").alias("d")).collect()}
+    for h, want in rows:
+        assert got[h] == want, f"{h}: got {got[h]!r}, want {want!r}"

@@ -1149,10 +1149,24 @@ def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """media_features + media_frames folded into ONE gated row set
-    (normalized (q, url, k, v1, v2)); see q_events_suite for why."""
+    """media_features + media_frames + REAL image decode folded into
+    ONE gated row set (normalized (q, url, k, v1, v2)); see
+    q_events_suite for why.
+
+    The 'pixels' arm runs synth.media_from_documents (real BMP/PGM
+    bytes, constant fill closed-form in doc_id) through
+    extract_media_features: v2 = the DECODED pixel mean — equal to
+    the planted fill only when the numpy BMP/PNM parsers get
+    stride/offset right (padding bytes are zero and would drag the
+    mean). The 'resize' arm pins the nearest-neighbor output raster
+    size (4x4 gray=16 / rgb=48 bytes)."""
+    from ocr_compare_spark.operators.multimodal import extract_media_features, resize_images
+
     feats = q_media_features(spark, sf_dir)
     frames = q_media_frames(spark, sf_dir)
+    media = synth.media_from_documents(spark, sf_dir)
+    pix = extract_media_features(media, payload_col="payload")
+    rz = resize_images(media, width=4, height=4, payload_col="payload")
     a = feats.select(
         F.lit("features").alias("q"),
         "url",
@@ -1167,7 +1181,21 @@ def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_ms").alias("v1"),
         F.lit(None).cast("double").alias("v2"),
     )
-    return a.unionByName(b)
+    c = pix.select(
+        F.lit("pixels").alias("q"),
+        "url",
+        F.col("mime").alias("k"),
+        F.col("n_bytes").alias("v1"),
+        F.round(F.element_at("feature", 1), 6).alias("v2"),
+    )
+    d = rz.select(
+        F.lit("resize").alias("q"),
+        "url",
+        F.col("width").cast("string").alias("k"),
+        F.octet_length("image").cast("long").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2057,10 +2085,13 @@ def oracle_sql() -> dict[str, str]:
             -- frames: duration_ms = trunc(n_bytes * 1000 / 256)
             -- (sample_frames' int(float) — exact in double at these
             -- sizes); n = clamp(1, 8, duration_ms // 1000 + 1)
+            -- pixels/resize: synth media contract (synth.py) — real
+            -- BMP/PGM constant-fill images, mean/size closed form.
             WITH d AS (
-              SELECT {synth.SQL_URL} AS url, text,
+              SELECT {synth.SQL_URL} AS url, doc_id, text,
                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                     CAST(floor(octet_length(encode(text)) * 1000 / 256) AS BIGINT) AS duration_ms
+                     CAST(floor(octet_length(encode(text)) * 1000 / 256) AS BIGINT) AS duration_ms,
+                     5 + doc_id % 4 AS mw, 4 + doc_id % 3 AS mh
               FROM documents
             ),
             n AS (
@@ -2076,6 +2107,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'frames', url, CAST(frame_no AS VARCHAR),
                    CAST(frame_no * 1000 AS BIGINT), NULL
             FROM (SELECT url, CAST(unnest(range(0, n_frames)) AS BIGINT) AS frame_no FROM n)
+            UNION ALL
+            SELECT 'pixels', url,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/x-portable-graymap' ELSE 'image/bmp' END,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 11 + mw * mh
+                        ELSE 54 + mh * ((3 * mw + 3) // 4 * 4) END AS BIGINT),
+                   round(CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 37) % 256
+                              ELSE (doc_id * 53) % 256 END AS DOUBLE), 6)
+            FROM d
+            UNION ALL
+            SELECT 'resize', url, '4',
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 48 END AS BIGINT), NULL
+            FROM d
         """,
         "bbox_containment": f"""
             WITH {PARAS_CTE}

@@ -377,6 +377,62 @@ def pages_from_documents(
     )
 
 
+# ---- synthetic media payloads (REAL uncompressed images) ----------
+# Per doc: a constant-fill image whose pixel stats are CLOSED FORM in
+# doc_id, so the DuckDB oracle recomputes mean/size without decoding:
+#   w = 5 + doc_id % 4   (5..8 — w % 4 != 0 exercises BMP row padding)
+#   h = 4 + doc_id % 3   (4..6)
+#   even doc_id -> P5 graymap, fill v = (doc_id * 37) % 256
+#                  n_bytes = 11 + w*h   (header "P5\n{w} {h}\n255\n",
+#                  single-digit dims)
+#   odd  doc_id -> 24-bit BMP, fill v = (doc_id * 53) % 256 (all ch)
+#                  n_bytes = 54 + h * ((3*w + 3) // 4 * 4)
+# Decoded pixel mean == v exactly (constant fill), but ONLY if the
+# decoder gets the stride/offset right — padding bytes are zero, so a
+# stride bug drags the mean and the oracle catches it.
+
+
+def media_dims(doc_id: int) -> tuple[int, int]:
+    return 5 + doc_id % 4, 4 + doc_id % 3
+
+
+def media_fill(doc_id: int) -> int:
+    return (doc_id * 37) % 256 if doc_id % 2 == 0 else (doc_id * 53) % 256
+
+
+def media_payload_bytes(doc_id: int) -> bytes:
+    import numpy as np
+
+    from ocr_compare_spark.operators.multimodal import encode_bmp, encode_pnm
+
+    w, h = media_dims(doc_id)
+    v = media_fill(doc_id)
+    if doc_id % 2 == 0:
+        return encode_pnm(np.full((h, w), v, dtype=np.uint8))
+    return encode_bmp(np.full((h, w, 3), v, dtype=np.uint8))
+
+
+@F.pandas_udf(T.BinaryType())
+def _media_payload_udf(doc_id: pd.Series) -> pd.Series:
+    return pd.Series([media_payload_bytes(int(d)) for d in doc_id])
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> (url, payload) media table of real
+    uncompressed image bytes (the multimodal analog of
+    pages_from_documents)."""
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    host = (
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example.com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("warm.example.com"))
+        .otherwise(F.concat(F.lit("tail"), (F.col("doc_id") % 37).cast("string"), F.lit(".example.com")))
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/doc/"), F.col("doc_id").cast("string"))
+    return docs.select(
+        url.alias("url"), _media_payload_udf(F.col("doc_id").cast("long")).alias("payload")
+    )
+
+
 # SQL fragments the oracle queries reuse (DuckDB dialect-safe ANSI).
 SQL_URL = (
     "concat('https://', CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com' "

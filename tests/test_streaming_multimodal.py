@@ -199,3 +199,114 @@ def test_dedup_stream_matches_batch(spark, tmp_path):
         .dropDuplicates(["content_hash"]).collect()
     }
     assert got == batch and len(got) == 3
+
+
+def test_image_codec_roundtrips():
+    """Pure-numpy codecs: encode->decode is EXACT on gradient data,
+    including BMP rows that need 4-byte padding (odd widths)."""
+    import numpy as np
+
+    from ocr_compare_spark.operators.multimodal import (
+        decode_image, encode_bmp, encode_pnm,
+    )
+
+    rng = np.random.default_rng(3)
+    for w in (5, 6, 7, 8):  # 5,6,7 exercise BMP stride padding
+        rgb = rng.integers(0, 256, size=(4, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_bmp(rgb)), rgb), f"bmp w={w}"
+        gray = rng.integers(0, 256, size=(4, w), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_pnm(gray)), gray), f"p5 w={w}"
+        assert np.array_equal(decode_image(encode_pnm(rgb)), rgb), f"p6 w={w}"
+
+
+def test_pnm_header_comments_and_errors():
+    import numpy as np
+
+    from ocr_compare_spark.operators.multimodal import decode_image
+
+    raster = bytes(range(6))
+    data = b"P5\n# a comment\n3 2\n255\n" + raster
+    assert np.array_equal(decode_image(data), np.arange(6, dtype=np.uint8).reshape(2, 3))
+    with pytest.raises(ValueError):
+        decode_image(b"P5\n3 2\n255\n" + b"\x00")  # truncated raster
+    with pytest.raises(NotImplementedError):
+        decode_image(b"P5\n1 1\n65535\n" + b"\x00\x00")  # 16-bit maxval
+
+
+def test_nearest_resize_kernel():
+    import numpy as np
+
+    from ocr_compare_spark.operators.multimodal import nearest_resize
+
+    arr = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    up = nearest_resize(arr, 4, 4)
+    want = np.array(
+        [[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]], dtype=np.uint8
+    )
+    assert np.array_equal(up, want)
+    down = nearest_resize(up, 2, 2)
+    assert np.array_equal(down, arr)
+
+
+def test_media_features_real_decode(spark):
+    """BMP/PGM payloads decode for REAL: feature = exact pixel stats
+    (mean/std/min/max/h/w/ch); compressed magic -> error row."""
+    import numpy as np
+
+    from ocr_compare_spark import synth
+    from ocr_compare_spark.operators.multimodal import encode_bmp
+
+    rows = [(f"u{d}", synth.media_payload_bytes(d)) for d in range(12)]
+    rng = np.random.default_rng(5)
+    grad = rng.integers(0, 256, size=(4, 7, 3), dtype=np.uint8)
+    rows.append(("grad", encode_bmp(grad)))
+    rows.append(("jpeg", b"\xff\xd8\xff\xe0JFIF-no-decoder"))
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r.url: r for r in extract_media_features(df, payload_col="payload").collect()}
+    for d in range(12):
+        r = got[f"u{d}"]
+        w, h = synth.media_dims(d)
+        v = synth.media_fill(d)
+        assert r.decode_error is None
+        assert r.feature[0] == float(v)            # mean == planted fill
+        assert r.feature[1] == 0.0                 # std of constant fill
+        assert (r.feature[4], r.feature[5]) == (float(h), float(w))
+        assert r.feature[6] == (1.0 if d % 2 == 0 else 3.0)
+        assert r.mime == ("image/x-portable-graymap" if d % 2 == 0 else "image/bmp")
+    g = got["grad"]
+    m = grad.astype(np.float64)
+    assert g.feature[0] == float(m.sum() / m.size) and g.feature[3] == float(m.max())
+    assert got["jpeg"].decode_error == "NotImplementedError"
+    assert got["jpeg"].mime == "image/jpeg"
+
+
+def test_resize_images_real_decode(spark):
+    """Image payloads resize through the real kernel: raster bytes
+    equal nearest_resize(decode(payload)) exactly."""
+    import numpy as np
+
+    from ocr_compare_spark import synth
+    from ocr_compare_spark.operators.multimodal import (
+        decode_image, nearest_resize, resize_images,
+    )
+
+    rows = [(f"u{d}", synth.media_payload_bytes(d)) for d in range(8)]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r.url: r for r in resize_images(df, width=4, height=4, payload_col="payload").collect()}
+    for d in range(8):
+        r = got[f"u{d}"]
+        want = nearest_resize(decode_image(synth.media_payload_bytes(d)), 4, 4)
+        assert bytes(r.image) == want.tobytes()
+        assert len(r.image) == (16 if d % 2 == 0 else 48)
+
+
+def test_text_magic_collision_guard():
+    """Payloads that merely START with 'BM'/'P5' but aren't images
+    must not be routed to the decoder (mime sniff requires a
+    plausible header, not just two bytes)."""
+    from ocr_compare_spark.operators.multimodal import is_image_magic, sniff_mime
+
+    assert not is_image_magic(b"BMW is a carmaker, not a bitmap")
+    assert not is_image_magic(b"P5x is a token")
+    assert sniff_mime(b"BMW is a carmaker") == "text/html"
+    assert sniff_mime(b"P5x y z") == "text/html"

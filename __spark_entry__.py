@@ -876,6 +876,82 @@ def q_bbox_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bbox_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bbox_containment + bbox_union folded into ONE gated row set
+    (normalized (q, url, k, v1..v5)) to free a registry slot for
+    crawl_delta under the driver's 50-row gate cap; see q_events_suite
+    for the pattern. Both component queries remain importable."""
+    cont = q_bbox_containment(spark, sf_dir)
+    un = q_bbox_union(spark, sf_dir)
+    nd = F.lit(None).cast("double")
+    a = cont.select(
+        F.lit("containment").alias("q"),
+        "url",
+        F.lit("").alias("k"),
+        F.col("n_blocks").cast("double").alias("v1"),
+        F.col("n_upper_half").cast("double").alias("v2"),
+        nd.alias("v3"),
+        nd.alias("v4"),
+        nd.alias("v5"),
+    )
+    b = un.select(
+        F.lit("union").alias("q"),
+        "url",
+        F.concat(F.col("page_no").cast("string"), F.lit(":"), F.col("block_no").cast("string")).alias("k"),
+        F.col("left").cast("double").alias("v1"),
+        F.col("top").cast("double").alias("v2"),
+        F.col("width").cast("double").alias("v3"),
+        F.col("height").cast("double").alias("v4"),
+        F.col("n_words").cast("double").alias("v5"),
+    )
+    return a.unionByName(b)
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-delta plan END TO END as a driver row
+    (plans/incremental.py, VERDICT r4 #8): crawl 1 fills a fresh
+    content-addressed cache; crawl 2 refetches EVERY url one day
+    later with doc_id%25==7 HTML payloads changed (a prepended
+    breaking-news paragraph). The gated rows are run 2's served
+    results for the UNCHANGED urls — byte-identical to the closed-
+    form extraction proves they came through the cache — plus two
+    constant metric columns: fresh_run1 == |docs| (every payload is
+    distinct in the synth corpus: texts are unique and the html
+    embeds the text) and fresh_run2 == |changed docs| (ONLY changed
+    content ran the engines on the delta crawl)."""
+    import tempfile
+
+    from ocr_compare_spark.plans.incremental import crawl_delta
+
+    cache_dir = tempfile.mkdtemp(prefix="ocr_crawl_delta_") + "/cache"
+    pages = _pages(spark, sf_dir)
+    _, m1 = crawl_delta(spark, pages, cache_dir)
+
+    doc_id = F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+    changed = (doc_id % 25 == 7) & (doc_id % 10 != synth.PDF_MOD)
+    crawl2 = pages.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    ).withColumn(
+        "html",
+        F.when(
+            changed,
+            F.concat(F.encode(F.lit("<p>breaking update of this page</p>"), "UTF-8"), F.col("html")),
+        ).otherwise(F.col("html")),
+    )
+    res2, m2 = crawl_delta(spark, crawl2, cache_dir)
+    return (
+        res2.filter(~((doc_id % 25 == 7) & (doc_id % 10 != synth.PDF_MOD)))
+        .filter(F.col("error").isNull())
+        .select(
+            "url",
+            "engine",
+            F.length("doc_text").cast("long").alias("total_length"),
+            F.lit(m1["fresh_docs"]).cast("long").alias("fresh_run1"),
+            F.lit(m2["fresh_docs"]).cast("long").alias("fresh_run2"),
+        )
+    )
+
+
 def q_doc_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A6: page extent = max right/bottom word edge
     (tesseract_executor.py:307-316); document dims = max page width,
@@ -1319,8 +1395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (50-row gate cap; both remain importable individually)
         "media_suite": q_media_suite,
         "report_json": q_report_json,
-        "bbox_containment": q_bbox_containment,
-        "bbox_union": q_bbox_union,
+        # bbox_containment + bbox_union gate as ONE suite row set;
+        # the freed slot gates the incremental crawl_delta plan
+        "bbox_suite": q_bbox_suite,
+        "crawl_delta": q_crawl_delta,
         "doc_dims": q_doc_dims,
         "stream_extract": q_stream_extract,
         "stream_dedup": q_stream_dedup,
@@ -2120,23 +2198,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 48 END AS BIGINT), NULL
             FROM d
         """,
-        "bbox_containment": f"""
+        "bbox_suite": f"""
             WITH {PARAS_CTE}
-            SELECT url, count(*) AS n_blocks,
-                   CAST(ceil(count(*) / {synth.PAGE_PARAS}.0) AS BIGINT) AS n_upper_half
+            SELECT 'containment' AS q, url, '' AS k,
+                   CAST(count(*) AS DOUBLE) AS v1,
+                   CAST(ceil(count(*) / {synth.PAGE_PARAS}.0) AS DOUBLE) AS v2,
+                   CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4,
+                   CAST(NULL AS DOUBLE) AS v5
             FROM paras WHERE is_pdf GROUP BY url
-        """,
-        "bbox_union": f"""
-            WITH {PARAS_CTE}
-            SELECT url,
-                   CAST(para_no // {synth.PAGE_PARAS} + 1 AS BIGINT) AS page_no,
-                   CAST(para_no % {synth.PAGE_PARAS} AS BIGINT) AS block_no,
-                   72.0 AS "left",
-                   CAST(72 + 40 * (para_no % {synth.PAGE_PARAS}) AS DOUBLE) AS top,
-                   CAST(6 * length(para_text) AS DOUBLE) AS width,
-                   12.0 AS height,
-                   CAST(n_tok AS BIGINT) AS n_words
+            UNION ALL
+            SELECT 'union', url,
+                   CAST(para_no // {synth.PAGE_PARAS} + 1 AS VARCHAR) || ':'
+                     || CAST(para_no % {synth.PAGE_PARAS} AS VARCHAR),
+                   72.0,
+                   CAST(72 + 40 * (para_no % {synth.PAGE_PARAS}) AS DOUBLE),
+                   CAST(6 * length(para_text) AS DOUBLE),
+                   12.0,
+                   CAST(n_tok AS DOUBLE)
             FROM paras WHERE is_pdf
+        """,
+        "crawl_delta": f"""
+            -- unchanged urls' run-2 text must be byte-identical to the
+            -- closed-form extraction (served from cache); fresh_run1 =
+            -- |docs| (all payloads distinct), fresh_run2 = |changed|
+            WITH {PARAS_CTE},
+            dom AS ({SQL_DOM_TEXT}),
+            den AS ({SQL_DENSITY_TEXT}),
+            pdf AS ({SQL_PDF_TEXT}),
+            meta AS (
+              SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS f1,
+                     CAST((SELECT count(*) FROM documents
+                           WHERE doc_id % 25 = 7 AND doc_id % 10 != {synth.PDF_MOD}) AS BIGINT) AS f2
+            )
+            SELECT t.url, 'dom' AS engine,
+                   CAST(length(m.doc_text) AS BIGINT) AS total_length,
+                   meta.f1 AS fresh_run1, meta.f2 AS fresh_run2
+            FROM tmd t JOIN dom m ON t.url = m.url, meta
+            WHERE NOT t.is_pdf AND NOT (t.doc_id % 25 = 7 AND t.doc_id % 10 != {synth.PDF_MOD})
+            UNION ALL
+            SELECT t.url, 'density',
+                   CAST(length(coalesce(d.doc_text, '')) AS BIGINT),
+                   meta.f1, meta.f2
+            FROM tmd t LEFT JOIN den d ON t.url = d.url, meta
+            WHERE NOT t.is_pdf AND NOT (t.doc_id % 25 = 7 AND t.doc_id % 10 != {synth.PDF_MOD})
+            UNION ALL
+            SELECT t.url, 'pdf',
+                   CAST(length(p.doc_text) AS BIGINT),
+                   meta.f1, meta.f2
+            FROM tmd t JOIN pdf p ON t.url = p.url, meta
+            WHERE t.is_pdf
         """,
         "doc_dims": f"""
             WITH {PARAS_CTE},

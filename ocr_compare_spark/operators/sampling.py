@@ -117,6 +117,7 @@ def token_budget_sample_bucketed(
     id_col: str,
     cum_col: str = "cum_tokens",
     n_buckets: int = 1024,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Scale-path token-budget mix — a distributed prefix sum.
 
@@ -136,11 +137,20 @@ def token_budget_sample_bucketed(
       parallelism is #strata x #buckets instead of #strata.
 
     Output rows and ``cum_col`` values are identical to
-    token_budget_sample (pytest-pinned)."""
+    token_budget_sample (pytest-pinned).
+
+    ``checkpoint`` (default True) localCheckpoints the keyed input:
+    the operator evaluates it TWICE — once for the driver bucket-sum
+    collect and once for the survivors join — and on a compute-heavy
+    upstream (curate's post-LSH DAG) the second evaluation re-runs
+    the whole pipeline (ADVICE r4). Pass False only when the input is
+    already a cheap scan or a persisted boundary."""
     bkt = F.least(
         F.floor(F.col(priority_col) * n_buckets).cast("int"), F.lit(n_buckets - 1)
     )
     keyed = df.withColumn("_bkt", bkt)
+    if checkpoint:
+        keyed = keyed.localCheckpoint()
 
     sums = (
         keyed.groupBy(strata_col, "_bkt")

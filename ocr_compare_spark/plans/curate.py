@@ -172,6 +172,12 @@ def curate(
         "url", "lang", "lang_pred", "engine", "doc_text",
         "confidence", "quality_score", "token_count", "component",
     )
+    # Persist the dedup-stage boundary and count it HERE: the near-dup
+    # drop metric must not also absorb rows removed by --sample-rate /
+    # --token-budget (ADVICE r4), and the mix stages below re-read
+    # this boundary instead of re-running the LSH DAG.
+    curated = dedup_boundary = curated.persist()
+    n_after_dedup = curated.count()
 
     # Mix-construction stages (operators/sampling.py): both are
     # deterministic functions of the url key, so a rerun — or the
@@ -211,12 +217,15 @@ def curate(
         n_out = curated.count()
 
     kept.unpersist()
+    dedup_boundary.unpersist()
     metrics = {
         "docs_in": n_in,
         "docs_after_quality": n_quality,
+        "docs_after_dedup": n_after_dedup,
         "docs_out": n_out,
         "dropped_quality": n_in - n_quality,
-        "dropped_near_dup": n_quality - n_out,
+        "dropped_near_dup": n_quality - n_after_dedup,
+        "dropped_sampling": n_after_dedup - n_out,
         "paras_dropped": paras_dropped,
         "dropped_contaminated": n_contaminated,
         "tokens_out_by_lang": tokens_out_by_lang,

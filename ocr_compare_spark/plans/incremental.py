@@ -63,9 +63,12 @@ def crawl_delta(
         num_partitions=num_partitions,
         return_fresh=True,
     )
-    # fresh is persisted by cached_extract and already materialized by
-    # the cache append — these counts read the cached rows, they do
-    # not recompute the engines
+    # fresh is checkpointed by cached_extract and already materialized
+    # by the cache append — these counts read cached rows, they do not
+    # recompute the engines. fresh rows are per-PAYLOAD representatives
+    # (their url column carries the content hash), so distinct urls ==
+    # distinct payloads that actually ran, even when several batch urls
+    # served identical bytes.
     n_fresh = fresh.select("url").distinct().count()
     metrics = {
         "rows_in": n_rows_in,

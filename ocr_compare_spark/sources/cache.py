@@ -100,13 +100,20 @@ def cached_extract(
     1. key incoming docs: md5(html) + kwargs hash (force_cache_refresh
        is dropped from the kwargs key, cached_ocr_executor.py:215-231)
     2. misses = left_anti on the key (everything when force_refresh)
-    3. compute misses with the fused extractor, APPEND to the cache
-    4. serve results by joining the cache back to the incoming keys.
+    3. dedup misses on the key — duplicate payloads WITHIN the batch
+       (two urls serving identical bytes) elect one representative,
+       so each distinct payload runs the engines exactly once
+    4. compute representatives with the fused extractor, APPEND to
+       the cache (one entry per payload x engine, not per url)
+    5. serve results by joining the fresh+cached payloads back to
+       every incoming url on the content key.
 
-    The fresh rows reach the output through the cache parquet, not
-    through the UDF lineage twice — one compute pass, and run 2's
+    The fresh rows reach the output through the checkpointed result,
+    not through the UDF lineage twice — one compute pass, and run 2's
     extract phase is a pure scan+join. Output columns match
-    run_engines_fused minus `spans` (derived data, never cached)."""
+    run_engines_fused minus `spans` (derived data, never cached).
+    ``return_fresh`` exposes one row per computed payload x engine
+    (representatives), so callers count distinct PAYLOADS, not urls."""
     from ocr_compare_spark.operators.extract import run_engines_fused
 
     out_cols = ["url", "warc_ts", "lang", "engine", *RESULT_COLS]
@@ -123,28 +130,51 @@ def cached_extract(
             cache, ["content_hash", "kwargs_hash"]
         ).select(*out_cols)
 
-    # One compute pass over the misses, materialized EAGERLY with its
-    # lineage cut (localCheckpoint = MEMORY_AND_DISK rows behind a
-    # LogicalRDD leaf) BEFORE the self-append below: the append into
-    # cache_dir triggers refreshByPath, which would invalidate a
-    # persist()ed plan that still references the cache scan through
-    # the anti-join — the recompute would then see the just-written
-    # keys, turn every miss into a hit, and silently evaluate `fresh`
-    # as EMPTY on any warm run with a nonzero miss set. The checkpoint
-    # has no path dependency, so the rows survive the refresh and
-    # downstream consumers really are served from memory.
-    fresh = run_engines_fused(
-        misses, engines, with_spans=False, num_partitions=num_partitions
-    ).localCheckpoint()
-    entries = fresh.join(
-        keyed.select("url", "content_hash", "kwargs_hash"), "url"
-    ).select("engine", "content_hash", "kwargs_hash", *RESULT_COLS, F.current_timestamp().alias("created_ts"))
-    entries.write.mode("append").parquet(cache_dir)
+    # Within-batch content dedup (ADVICE r4): duplicate payloads —
+    # two urls serving identical bytes — elect one representative per
+    # (content_hash, kwargs_hash) via a map-side-combine groupBy, so
+    # each distinct payload runs the engines exactly once. The engines
+    # run keyed by the CONTENT HASH itself (smuggled through the url
+    # column — kwargs_hash is a per-call literal), which makes the
+    # compute content-addressed end to end: no join or re-scan is
+    # needed to key the results for the cache append or the fan-out.
+    reps = misses.groupBy("content_hash").agg(
+        F.min_by(F.struct("warc_ts", "lang", "html"), "url").alias("r")
+    ).select(F.col("content_hash").alias("url"), "r.*")
 
-    out = fresh.select(*out_cols)
+    # One compute pass over the representatives, materialized EAGERLY
+    # with its lineage cut (localCheckpoint = MEMORY_AND_DISK rows
+    # behind a LogicalRDD leaf) BEFORE the self-append below: the
+    # append into cache_dir triggers refreshByPath, which would
+    # invalidate a persist()ed plan that still references the cache
+    # scan through the anti-join — the recompute would then see the
+    # just-written keys, turn every miss into a hit, and silently
+    # evaluate `fresh` as EMPTY on any warm run with a nonzero miss
+    # set. The checkpoint has no path dependency, so the rows survive
+    # the refresh and downstream consumers really are served from
+    # memory.
+    fresh = run_engines_fused(
+        reps, engines, with_spans=False, num_partitions=num_partitions
+    ).localCheckpoint()
+    fresh_keyed = fresh.select(
+        F.col("url").alias("content_hash"),
+        F.lit(kwargs_hash(kwargs)).alias("kwargs_hash"),
+        "engine",
+        *RESULT_COLS,
+    )
+    fresh_keyed.select(
+        "*", F.current_timestamp().alias("created_ts")
+    ).write.mode("append").parquet(cache_dir)
+
+    # fan the per-payload results back to EVERY miss url serving
+    # those bytes (representatives and duplicates alike)
+    out = misses.select("url", "warc_ts", "lang", "content_hash", "kwargs_hash").join(
+        fresh_keyed, ["content_hash", "kwargs_hash"]
+    ).select(*out_cols)
     served = out if hits is None else hits.unionByName(out)
-    # return_fresh exposes the persisted miss results so callers can
-    # report how much was actually computed (0 on a warm cache)
+    # return_fresh exposes the checkpointed per-payload results so
+    # callers can report how much was actually computed (0 on a warm
+    # cache, distinct payloads otherwise)
     return (served, fresh) if return_fresh else served
 
 

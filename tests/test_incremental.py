@@ -88,3 +88,26 @@ def test_crawl_delta_batch_with_stacked_snapshots(spark, sf_dir, tmp_path):
     assert m["rows_in"] == 80 and m["urls"] == 40
     assert m["fresh_docs"] == 40  # only the newest snapshot extracts
     assert r.filter(F.col("doc_text").contains("stale snapshot")).count() == 0
+
+
+def test_crawl_delta_within_batch_duplicate_payloads_extract_once(spark, tmp_path):
+    """Two urls serving IDENTICAL bytes in the SAME batch: the engines
+    run once per distinct payload (fresh_docs counts payloads, not
+    urls) and both urls are served byte-identical text."""
+    cache_dir = str(tmp_path / "cache")
+    html = b"<html><body><p>mirrored syndicated body of text</p></body></html>"
+    other = b"<html><body><p>unique body</p></body></html>"
+    rows = [
+        ("https://a.example.com/x", "2024-01-01 00:00:00", html, "en"),
+        ("https://b.example.com/mirror-of-x", "2024-01-01 00:00:00", html, "en"),
+        ("https://c.example.com/y", "2024-01-01 00:00:00", other, "en"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts string, html binary, lang string") \
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    res, m = crawl_delta(spark, pages, cache_dir, engines=("dom",))
+    assert m["urls"] == 3
+    assert m["fresh_docs"] == 2  # 2 distinct payloads, not 3 urls
+    texts = {r.url: r.doc_text for r in res.collect()}
+    assert len(texts) == 3
+    assert texts["https://a.example.com/x"] == texts["https://b.example.com/mirror-of-x"]
+    assert texts["https://c.example.com/y"] != texts["https://a.example.com/x"]

@@ -416,3 +416,9 @@ def test_curate_mix_stages(spark, sf_dir):
     assert all(t <= budget for t in m["tokens_out_by_lang"].values())
     assert m["params"]["sample_rate"] == 0.8
     assert m["params"]["token_budget"] == budget
+    # metrics separation (ADVICE r4): sampling drops must NOT inflate
+    # the near-dup count — near_dup is pinned at the dedup boundary
+    assert m["docs_after_dedup"] >= m["docs_out"]
+    assert m["dropped_near_dup"] == m["docs_after_quality"] - m["docs_after_dedup"]
+    assert m["dropped_sampling"] == m["docs_after_dedup"] - m["docs_out"]
+    assert m["dropped_sampling"] > 0  # sample_rate 0.8 + budget bite

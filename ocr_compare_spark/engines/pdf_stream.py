@@ -48,33 +48,46 @@ def parse_page_dims(data: bytes, n_pages: int) -> list[tuple[float, float] | Non
     """Per-page (width, height) from the MediaBox (reference
     Page.width/height, ocr_schema.py:170-187) — parsed, not assumed.
 
-    The MediaBox is scoped to each PAGE OBJECT's body (in /Kids
-    order), not matched positionally against the whole byte stream; a
-    page object without its own box inherits the page-tree ancestor's
-    (the /Type /Pages node — PDF MediaBox is inheritable and real
-    PDFs often carry it only on the root Pages node). Pages outside
-    the parsed object map fall back to the previous sibling, then
-    None."""
+    The full PDF page-tree inheritance walk: the MediaBox is
+    inheritable down arbitrary /Kids nesting (root /Pages →
+    intermediate /Pages nodes → leaf /Page objects; real PDFs carry
+    it anywhere along that path), so the parser DFS-walks the tree in
+    /Kids order from the root Pages node (the one no other Pages node
+    references), each node's own box overriding the nearest
+    ancestor's. Cycle-guarded. Pages outside the parsed tree fall
+    back to the previous sibling, then None."""
     objs: dict[int, bytes] = {}
-    pages_body: bytes | None = None
+    pages_kids: dict[int, list[int]] = {}
     for m in _OBJ_RE.finditer(data):
-        body = m.group(2)
-        objs[int(m.group(1))] = body
-        if pages_body is None and re.search(rb"/Type\s*/Pages\b", body):
-            pages_body = body
-    inherited = _box_wh(pages_body) if pages_body is not None else None
-    kid_ids: list[int] = []
-    if pages_body is not None:
-        km = _KIDS_RE.search(pages_body)
-        if km:
-            kid_ids = [int(r) for r in _REF_RE.findall(km.group(1))]
+        num, body = int(m.group(1)), m.group(2)
+        objs[num] = body
+        if re.search(rb"/Type\s*/Pages\b", body):
+            km = _KIDS_RE.search(body)
+            pages_kids[num] = [int(r) for r in _REF_RE.findall(km.group(1))] if km else []
+    referenced = {k for kids in pages_kids.values() for k in kids}
+    # root = the Pages node no other Pages node references; a cyclic
+    # tree has none, so fall back to the first node in document order
+    roots = [n for n in pages_kids if n not in referenced] or list(pages_kids)[:1]
+    leaf_dims: list[tuple[float, float] | None] = []
+    if roots:
+        visited: set[int] = set()
+        # explicit DFS stack of (obj num, inherited box), kids pushed
+        # in reverse so they pop in document order
+        stack: list[tuple[int, tuple[float, float] | None]] = [(roots[0], None)]
+        while stack and len(leaf_dims) < n_pages + 64:
+            num, inherited = stack.pop()
+            if num in visited or num not in objs:
+                continue
+            visited.add(num)
+            box = _box_wh(objs[num]) or inherited
+            if num in pages_kids:
+                for kid in reversed(pages_kids[num]):
+                    stack.append((kid, box))
+            elif re.search(rb"/Type\s*/Page(?![s])", objs[num]):
+                leaf_dims.append(box)
     dims: list[tuple[float, float] | None] = []
     for i in range(n_pages):
-        box = None
-        if i < len(kid_ids) and kid_ids[i] in objs:
-            box = _box_wh(objs[kid_ids[i]])
-        if box is None:
-            box = inherited
+        box = leaf_dims[i] if i < len(leaf_dims) else None
         if box is None:
             box = dims[-1] if dims else None
         dims.append(box)

@@ -560,3 +560,35 @@ def test_ann_dim_hints_skip_sizing_jobs(vectors768):
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert list(ids) == []
     assert all(p is not None for p in plans)
+
+
+def test_connected_components_power_law_mega_component(spark):
+    """Skew-proof clustering (VERDICT r4 #9): a planted power-law
+    component distribution — one 4001-node mega-component (hub star +
+    random chords, the worst key skew a dedup graph produces) over a
+    tail of ~700 small components with sizes 2..64. Must converge in
+    <= 4 propagation rounds (star diameter 2), label every node with
+    its component minimum, and be invariant to input partitioning."""
+    rng = np.random.default_rng(0)
+    edges: list[tuple[int, int]] = [(0, i) for i in range(1, 4001)]  # mega star
+    chords = rng.integers(1, 4001, size=(2000, 2))
+    edges += [(int(a), int(b)) for a, b in chords if a != b]
+    want: dict[int, int] = {i: 0 for i in range(4001)}
+    nid = 10_000
+    for size, count in [(64, 1), (32, 2), (16, 8), (8, 32), (4, 128), (2, 512)]:
+        for _ in range(count):
+            root = nid
+            for k in range(1, size):
+                edges.append((root, root + k))
+                want[root + k] = root
+            want[root] = root
+            nid += size
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in dedup.connected_components(df, max_iters=4).collect()}
+    assert got == want
+    # partitioning-invariant (no arrival-order dependence under skew)
+    got2 = {
+        r.id: r.component
+        for r in dedup.connected_components(df.repartition(16), max_iters=4).collect()
+    }
+    assert got2 == want

@@ -174,6 +174,45 @@ def test_parse_page_dims_scoped_and_inherited():
     assert parse_page_dims(data, 2) == [(200.0, 400.0), (100.0, 50.0)]
 
 
+def test_parse_page_dims_nested_kids_tree():
+    """Multi-level /Kids inheritance (VERDICT r4 #10): root Pages →
+    two intermediate Pages nodes → leaf pages. The nearest ancestor's
+    MediaBox wins; leaves appear in DFS /Kids document order; a box
+    on an intermediate node overrides the root's for its subtree."""
+    from ocr_compare_spark.engines.pdf_stream import parse_page_dims
+
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        # root: box A, kids = two intermediate Pages nodes
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 4 "
+        b"/MediaBox [0 0 200 400] >>\nendobj\n"
+        # left subtree: no own box -> inherits A
+        b"3 0 obj\n<< /Type /Pages /Parent 2 0 R /Kids [4 0 R 5 0 R] /Count 2 >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Page /Parent 3 0 R >>\nendobj\n"
+        b"5 0 obj\n<< /Type /Page /Parent 3 0 R /MediaBox [0 0 100 50] >>\nendobj\n"
+        # right subtree: own box B overrides A for its leaves
+        b"6 0 obj\n<< /Type /Pages /Parent 2 0 R /Kids [7 0 R 8 0 R] /Count 2 "
+        b"/MediaBox [0 0 300 600] >>\nendobj\n"
+        b"7 0 obj\n<< /Type /Page /Parent 6 0 R >>\nendobj\n"
+        b"8 0 obj\n<< /Type /Page /Parent 6 0 R /MediaBox [10 10 310 110] >>\nendobj\n"
+    )
+    assert parse_page_dims(data, 4) == [
+        (200.0, 400.0),  # inherits root A through the boxless node 3
+        (100.0, 50.0),   # own box
+        (300.0, 600.0),  # inherits intermediate B
+        (300.0, 100.0),  # own box (x0/y0 offsets subtracted)
+    ]
+    # a page-tree CYCLE must not hang the walk
+    cyc = (
+        b"%PDF-1.4\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /MediaBox [0 0 10 10] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Pages /Kids [2 0 R 4 0 R] >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Page >>\nendobj\n"
+    )
+    assert parse_page_dims(cyc, 1) == [(10.0, 10.0)]
+
+
 # --- fast scanner vs stdlib html.parser (engines/html_scan.py) ------
 
 JUNK_CASES = [

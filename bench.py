@@ -120,6 +120,47 @@ def main() -> int:
             .save()
         )
 
+    # ---- LLM-pipeline operators (VERDICT r4 #4: r4 additions get
+    # round-over-round perf tracking under the same canary protocol).
+    # The cc stage is isolated from pair GENERATION (dedup_minhash
+    # already times that): pairs are materialized once, untimed.
+    pairs_path = "/dev/shm/bench_pairs_parquet"
+    dedup.lsh_candidates(
+        docs, "doc_id", "text", verify_threshold=0.5, num_partitions=cores
+    ).write.mode("overwrite").parquet(pairs_path)
+    dedup.release_lsh_cache()
+
+    def q_para_dedup():
+        dedup.paragraph_dedup(
+            docs.select(F.col("doc_id").alias("id"), F.col("text")), "id", "text"
+        ).write.format("noop").mode("overwrite").save()
+
+    def q_decontam():
+        bench_set = docs.filter(F.col("doc_id") % 25 == 7).select("text")
+        dedup.ngram_decontaminate(
+            docs.select(F.col("doc_id").alias("id"), "text"), bench_set, "id", "text",
+            n=8, num_partitions=cores,
+        ).write.format("noop").mode("overwrite").save()
+
+    def q_token_budget():
+        from ocr_compare_spark.operators.sampling import (
+            hash_frac,
+            token_budget_sample_bucketed,
+        )
+
+        keyed = docs.select(
+            "doc_id", "lang", F.size(F.split("text", " ")).alias("tok")
+        ).withColumn("_prio", hash_frac("doc_id"))
+        token_budget_sample_bucketed(
+            keyed, "lang", "tok", 100_000, "_prio", "doc_id"
+        ).write.format("noop").mode("overwrite").save()
+
+    def q_dedup_cc():
+        pairs = spark.read.parquet(pairs_path)
+        dedup.dedup_keep_list(docs.select("doc_id"), pairs, "doc_id").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     queries = {
         "extract_multi_engine": q_extract,
         "compare_align": q_compare,
@@ -127,6 +168,10 @@ def main() -> int:
         "spans_assemble": q_spans_assemble,
         "dedup_minhash": q_dedup_minhash,
         "embed_topk": q_embed_topk,
+        "para_dedup": q_para_dedup,
+        "decontam": q_decontam,
+        "token_budget": q_token_budget,
+        "dedup_cc": q_dedup_cc,
         "tpch_q1": q_tpch_q1,
     }
 
@@ -157,11 +202,18 @@ def main() -> int:
     timings = min(attempts, key=lambda t: t["tpch_q1"])
 
     total = round(sum(timings.values()), 3)
+    # the pre-r5 headline set, for round-over-round comparability now
+    # that the LLM-pipeline stages are timed too
+    R4_SET = (
+        "extract_multi_engine", "compare_align", "winner", "spans_assemble",
+        "dedup_minhash", "embed_topk", "tpch_q1",
+    )
     out = {
         "metric": "e2e_headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "r4_comparable_total": round(sum(timings[k] for k in R4_SET), 3),
         "sf": _sf_of(sf_dir),
         "docs": n_docs,
         "extract_docs_per_sec": round(n_docs / timings["extract_multi_engine"], 1),

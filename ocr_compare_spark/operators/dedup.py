@@ -643,6 +643,7 @@ def ngram_decontaminate(
     bench_text_col: str | None = None,
     n: int = 8,
     min_hits: int = 1,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Benchmark DECONTAMINATION — the GPT-3/Llama/Dolma training-set
     hygiene pass: flag every corpus document that shares at least
@@ -664,8 +665,19 @@ def ngram_decontaminate(
 
     Returns one row per corpus doc: ``(id, n_hits, contaminated)``
     with ``n_hits`` = distinct shared n-grams.
+
+    ``num_partitions``: the gram hashing is byte-light but
+    compute-heavy (one md5 per token window), so a corpus read from
+    few parquet files underparallelizes it — repartition(cores)
+    before the explode (the CLAUDE.md compare_align trap; measured
+    3.7s -> 0.6s at sf0.1/local[32]). Hash A/B note: a multi-arg
+    xxhash64 over element_at windows measured 5.7x SLOWER than
+    md5(array_join) here — the interpreted per-element lambda loses
+    more than the join costs; don't "optimize" it back.
     """
     bench_text_col = bench_text_col or text_col
+    if num_partitions:
+        docs = docs.repartition(num_partitions, id_col)
     d_grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(_word_ngram_hashes(F.col(text_col), n)).alias("g"),

@@ -151,7 +151,7 @@ def curate(
         flags = ngram_decontaminate(
             kept.select(F.col("url").alias("id"), F.col("doc_text")),
             bench, "id", "doc_text", bench_text_col=decontam_text_col,
-            n=decontam_n, min_hits=decontam_min_hits,
+            n=decontam_n, min_hits=decontam_min_hits, num_partitions=num_partitions,
         )
         bad = flags.filter(F.col("contaminated")).select(F.col("id").alias("url"))
         kept = kept.join(bad, "url", "left_anti").persist()

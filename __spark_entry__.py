@@ -655,9 +655,16 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact top-k is additionally locked on a planted-neighbor
     corpus in tests/test_dedup_similarity.py."""
     emb = _tbl(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=3).select(
-        "query_id", "rank", "neighbor_id"
+    q = emb.filter(F.col("vec_id") < 8)
+    lit_ = similarity.lsh_topk(emb, q, k=3).select(
+        F.lit("literal").alias("variant"), "query_id", "rank", "neighbor_id"
     )
+    # the scale path (method="data": broadcast plane tensor + one GEMM
+    # per Arrow batch) must reproduce the literal top-k exactly
+    data = similarity.lsh_topk(emb, q, k=3, dim=64, method="data").select(
+        F.lit("data").alias("variant"), "query_id", "rank", "neighbor_id"
+    )
+    return lit_.unionByName(data)
 
 
 def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,7 +687,14 @@ def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = similarity.ivf_topk(emb, q, k=3, nprobe=4, centroids=cents).select(
         F.lit("trained").alias("variant"), "query_id", "rank", "neighbor_id"
     )
-    return seeded.unionByName(trained)
+    # third variant: the SCALE path (method="data": broadcast
+    # centroids + mapInPandas GEMM assignment, plan O(1) in
+    # dim x cells) must reproduce the literal path's top-k exactly —
+    # its oracle is the seeded twin verbatim
+    data = similarity.ivf_topk(emb, q, k=3, nprobe=4, dim=64, method="data").select(
+        F.lit("data").alias("variant"), "query_id", "rank", "neighbor_id"
+    )
+    return seeded.unionByName(trained).unionByName(data)
 
 
 def _embed_ivf_oracle(
@@ -2088,11 +2102,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= 3
         """,
-        "embed_topk_lsh": _embed_lsh_oracle(),
+        "embed_topk_lsh": f"""
+            SELECT 'literal' AS variant, * FROM ({_embed_lsh_oracle()})
+            UNION ALL
+            SELECT 'data' AS variant, * FROM ({_embed_lsh_oracle()})
+        """,
         "embed_topk_ivf": f"""
             SELECT 'seeded' AS variant, * FROM ({_embed_ivf_oracle()})
             UNION ALL
             SELECT 'trained' AS variant, * FROM ({_embed_ivf_trained_oracle()})
+            UNION ALL
+            -- the data path (broadcast-GEMM assignment) must equal the
+            -- seeded literal path row for row
+            SELECT 'data' AS variant, * FROM ({_embed_ivf_oracle()})
         """,
         "decontam": """
             WITH tok AS (

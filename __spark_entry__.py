@@ -1249,14 +1249,26 @@ def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planted fill only when the numpy BMP/PNM parsers get
     stride/offset right (padding bytes are zero and would drag the
     mean). The 'resize' arm pins the nearest-neighbor output raster
-    size (4x4 gray=16 / rgb=48 bytes)."""
+    size (4x4 gray=16 / rgb=48 bytes).
+
+    The 'scan' arm gates the document-scanner geometry pipeline
+    (operators/scanner.py == reference scan/document_scanner.py:52-252
+    in pure numpy): synthetic scan photos (synth.scan_payload_bytes —
+    bright convex document quad on a dark background, corners closed
+    form in doc_id) run decode -> quad detect -> order_points ->
+    four-point perspective transform; the gated values are the
+    RECOVERED corners (packed x*1000+y, exact only when detection
+    finds the planted quad) and the warp output dims (the reference's
+    int(max(side-norm)) rule, :202-209)."""
     from ocr_compare_spark.operators.multimodal import extract_media_features, resize_images
+    from ocr_compare_spark.operators.scanner import scan_documents
 
     feats = q_media_features(spark, sf_dir)
     frames = q_media_frames(spark, sf_dir)
     media = synth.media_from_documents(spark, sf_dir)
     pix = extract_media_features(media, payload_col="payload")
     rz = resize_images(media, width=4, height=4, payload_col="payload")
+    scans = scan_documents(synth.scans_from_documents(spark, sf_dir), payload_col="payload")
     a = feats.select(
         F.lit("features").alias("q"),
         "url",
@@ -1285,7 +1297,20 @@ def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("image").cast("long").alias("v1"),
         F.lit(None).cast("double").alias("v2"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    e = scans.select(
+        F.lit("scan").alias("q"),
+        "url",
+        F.expr(
+            "stack(5, 'tl', tl_x * 1000 + tl_y, 'tr', tr_x * 1000 + tr_y, "
+            "'br', br_x * 1000 + br_y, 'bl', bl_x * 1000 + bl_y, "
+            "'out', out_w * 1000 + out_h) AS (k, v1)"
+        ),
+    ).select(
+        "q", "url", "k",
+        F.col("v1").cast("long").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2198,6 +2223,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT url,
                      greatest(1, least(8, CAST(floor(duration_ms / 1000) AS BIGINT) + 1)) AS n_frames
               FROM d
+            ),
+            -- scan: planted corners (synth.scan_corners) + the
+            -- reference's int(max(side norm)) warp-dim rule — both
+            -- closed form; Spark emits the RECOVERED corners, so a
+            -- detection bug mismatches here
+            sc AS (
+              SELECT url,
+                     8 + doc_id % 5 AS x1, 6 + (doc_id * 3) % 5 AS y1,
+                     {synth.SCAN_W} - 9 - (doc_id * 2) % 5 AS x2, 7 + (doc_id * 7) % 5 AS y2,
+                     {synth.SCAN_W} - 8 - (doc_id * 3) % 5 AS x3, {synth.SCAN_H} - 8 - (doc_id * 5) % 5 AS y3,
+                     9 + (doc_id * 7) % 4 AS x4, {synth.SCAN_H} - 9 - (doc_id * 2) % 5 AS y4
+              FROM d
+            ),
+            scd AS (
+              SELECT url, x1, y1, x2, y2, x3, y3, x4, y4,
+                     CAST(floor(greatest(
+                        sqrt((x3 - x4) * (x3 - x4) + (y3 - y4) * (y3 - y4)),
+                        sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)))) AS BIGINT) AS ow,
+                     CAST(floor(greatest(
+                        sqrt((x2 - x3) * (x2 - x3) + (y2 - y3) * (y2 - y3)),
+                        sqrt((x1 - x4) * (x1 - x4) + (y1 - y4) * (y1 - y4)))) AS BIGINT) AS oh
+              FROM sc
             )
             SELECT 'features' AS q, url, 'text/html' AS k,
                    n_bytes AS v1,
@@ -2219,6 +2266,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'resize', url, '4',
                    CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 48 END AS BIGINT), NULL
             FROM d
+            UNION ALL
+            SELECT 'scan', url, 'tl', CAST(x1 * 1000 + y1 AS BIGINT), NULL FROM scd
+            UNION ALL
+            SELECT 'scan', url, 'tr', CAST(x2 * 1000 + y2 AS BIGINT), NULL FROM scd
+            UNION ALL
+            SELECT 'scan', url, 'br', CAST(x3 * 1000 + y3 AS BIGINT), NULL FROM scd
+            UNION ALL
+            SELECT 'scan', url, 'bl', CAST(x4 * 1000 + y4 AS BIGINT), NULL FROM scd
+            UNION ALL
+            SELECT 'scan', url, 'out', CAST(ow * 1000 + oh AS BIGINT), NULL FROM scd
         """,
         "bbox_suite": f"""
             WITH {PARAS_CTE}

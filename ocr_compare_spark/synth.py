@@ -433,6 +433,90 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- synthetic scan photos (document quad on a dark background) ---
+# Per doc: a 96x72 P5 graymap "photo" — bright document quadrilateral
+# (fill 204) on a dark background (32) with dark text stripes (64)
+# inside. The four corners are CLOSED FORM in doc_id and each corner
+# is confined to its own corner box, so (a) the quad is convex, and
+# (b) each corner UNIQUELY extremizes the reference _order_points
+# functional (min/max of x+y and y-x) over the bright mask — the
+# edges leaving tl/br have |slope| < 1 toward tr/bl and the near-
+# vertical edges have |inverse slope| < 1, so no other quad pixel
+# ties the extreme. scanner.find_document_quad therefore recovers
+# the planted corners EXACTLY, and the warp output dims
+# (int(max(side norms))) are closed form too — both oracle-able in
+# ANSI SQL. Stripes sit on an inner polygon (vertices pulled 22%
+# toward the centroid) so corners stay bright.
+
+SCAN_W, SCAN_H = 96, 72
+SCAN_BG, SCAN_FILL, SCAN_INK = 32, 204, 64
+
+
+def scan_corners(doc_id: int) -> list[tuple[int, int]]:
+    """[tl, tr, br, bl] in (x, y) pixel coords, closed form in doc_id
+    (mirrored by the media_suite scan-arm oracle SQL)."""
+    d = doc_id
+    return [
+        (8 + d % 5, 6 + (d * 3) % 5),
+        (SCAN_W - 9 - (d * 2) % 5, 7 + (d * 7) % 5),
+        (SCAN_W - 8 - (d * 3) % 5, SCAN_H - 8 - (d * 5) % 5),
+        (9 + (d * 7) % 4, SCAN_H - 9 - (d * 2) % 5),
+    ]
+
+
+def _quad_mask(w: int, h: int, pts) -> "np.ndarray":
+    """Inclusive rasterization of a convex quad given [tl,tr,br,bl]:
+    half-plane test per edge with cross >= 0 (corner pixels land ON
+    two edges and are kept)."""
+    import numpy as np
+
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    m = np.ones((h, w), dtype=bool)
+    n = len(pts)
+    for i in range(n):
+        x0, y0 = pts[i]
+        x1, y1 = pts[(i + 1) % n]
+        m &= (x1 - x0) * (ys - y0) - (y1 - y0) * (xs - x0) >= 0
+    return m
+
+
+def scan_payload_bytes(doc_id: int) -> bytes:
+    import numpy as np
+
+    from ocr_compare_spark.operators.multimodal import encode_pnm
+
+    pts = scan_corners(doc_id)
+    canvas = np.full((SCAN_H, SCAN_W), SCAN_BG, dtype=np.uint8)
+    canvas[_quad_mask(SCAN_W, SCAN_H, pts)] = SCAN_FILL
+    cx = sum(p[0] for p in pts) / 4.0
+    cy = sum(p[1] for p in pts) / 4.0
+    inner = [(cx + 0.78 * (x - cx), cy + 0.78 * (y - cy)) for x, y in pts]
+    ys = np.arange(SCAN_H)[:, None]
+    stripes = _quad_mask(SCAN_W, SCAN_H, inner) & ((ys % 8 == 4) | (ys % 8 == 5))
+    canvas[stripes] = SCAN_INK
+    return encode_pnm(canvas)
+
+
+@F.pandas_udf(T.BinaryType())
+def _scan_payload_udf(doc_id: pd.Series) -> pd.Series:
+    return pd.Series([scan_payload_bytes(int(d)) for d in doc_id])
+
+
+def scans_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> (url, payload) table of synthetic scan
+    photos (same url scheme as media_from_documents)."""
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    host = (
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example.com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("warm.example.com"))
+        .otherwise(F.concat(F.lit("tail"), (F.col("doc_id") % 37).cast("string"), F.lit(".example.com")))
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/doc/"), F.col("doc_id").cast("string"))
+    return docs.select(
+        url.alias("url"), _scan_payload_udf(F.col("doc_id").cast("long")).alias("payload")
+    )
+
+
 # SQL fragments the oracle queries reuse (DuckDB dialect-safe ANSI).
 SQL_URL = (
     "concat('https://', CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com' "

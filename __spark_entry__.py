@@ -1259,8 +1259,18 @@ def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     four-point perspective transform; the gated values are the
     RECOVERED corners (packed x*1000+y, exact only when detection
     finds the planted quad) and the warp output dims (the reference's
-    int(max(side-norm)) rule, :202-209)."""
+    int(max(side-norm)) rule, :202-209).
+
+    The 'render' arm gates PDF page rasterization (operators/render.py
+    == reference scan/scan-script.py:284-298 pdf_to_png as a layout
+    rasterizer): every PDF doc's pages render at scale 0.125 and the
+    gated values are the counted ink pixels per page (closed form:
+    each para paints a 2-px-tall rect of width min(ceil(0.75*len),67)
+    on the 76x99 MediaBox-scaled canvas) plus the canvas dims packed
+    w*1000+h — exact only when stream parse, MediaBox scaling, and
+    rect clipping all agree with the contract."""
     from ocr_compare_spark.operators.multimodal import extract_media_features, resize_images
+    from ocr_compare_spark.operators.render import render_pdf_pages
     from ocr_compare_spark.operators.scanner import scan_documents
 
     feats = q_media_features(spark, sf_dir)
@@ -1310,7 +1320,17 @@ def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v1").cast("long").alias("v1"),
         F.lit(None).cast("double").alias("v2"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    rend = render_pdf_pages(synth.pages_from_documents(spark, sf_dir)).filter(
+        F.col("error").isNull()
+    )
+    g = rend.select(
+        F.lit("render").alias("q"),
+        "url",
+        F.col("page_no").cast("string").alias("k"),
+        F.col("n_ink_px").alias("v1"),
+        (F.col("width") * 1000 + F.col("height")).cast("double").alias("v2"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e).unionByName(g)
 
 
 def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2245,6 +2265,29 @@ def oracle_sql() -> dict[str, str]:
                         sqrt((x2 - x3) * (x2 - x3) + (y2 - y3) * (y2 - y3)),
                         sqrt((x1 - x4) * (x1 - x4) + (y1 - y4) * (y1 - y4)))) AS BIGINT) AS oh
               FROM sc
+            ),
+            -- render: PDF layout-ink raster at scale 0.125 on the
+            -- 612x792 MediaBox -> 76x99 canvas. Para k on its page
+            -- paints rows [9+5k, 11+5k) x cols [9, min(9+ceil(.75*
+            -- len), 76)) — rows disjoint across paras, so page ink =
+            -- sum over paras of 2 * min(ceil(0.75*len), 67).
+            pt AS (
+              SELECT doc_id, url, string_split(text, ' ') AS t
+              FROM d WHERE {synth.SQL_IS_PDF}
+            ),
+            ppage AS (
+              SELECT doc_id, url,
+                     unnest(range(0, greatest(1, CAST(ceil(ceil(len(t)/{synth.PARA_WORDS}.0)/{synth.PAGE_PARAS}.0) AS BIGINT)))) AS pg
+              FROM pt
+            ),
+            pink AS (
+              SELECT doc_id, CAST(para_no // {synth.PAGE_PARAS} AS BIGINT) AS pg,
+                     SUM(2 * least(CAST(ceil(0.75 * length(array_to_string(
+                         t[(para_no*{synth.PARA_WORDS}+1):(para_no*{synth.PARA_WORDS}+{synth.PARA_WORDS})], ' '))) AS BIGINT), 67)) AS ink
+              FROM (SELECT doc_id, t,
+                           unnest(range(0, CAST(ceil(len(t)/{synth.PARA_WORDS}.0) AS BIGINT))) AS para_no
+                    FROM pt)
+              GROUP BY 1, 2
             )
             SELECT 'features' AS q, url, 'text/html' AS k,
                    n_bytes AS v1,
@@ -2276,6 +2319,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'scan', url, 'bl', CAST(x4 * 1000 + y4 AS BIGINT), NULL FROM scd
             UNION ALL
             SELECT 'scan', url, 'out', CAST(ow * 1000 + oh AS BIGINT), NULL FROM scd
+            UNION ALL
+            SELECT 'render', p.url, CAST(p.pg + 1 AS VARCHAR),
+                   CAST(coalesce(i.ink, 0) AS BIGINT), 76099.0
+            FROM ppage p LEFT JOIN pink i ON p.doc_id = i.doc_id AND p.pg = i.pg
         """,
         "bbox_suite": f"""
             WITH {PARAS_CTE}

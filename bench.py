@@ -155,6 +155,15 @@ def main() -> int:
             keyed, "lang", "tok", 100_000, "_prio", "doc_id"
         ).write.format("noop").mode("overwrite").save()
 
+    def q_render():
+        from ocr_compare_spark.operators.render import render_pdf_pages
+
+        # mime-routed composition (pdf_only): only PDF payloads cross
+        # the Arrow boundary, as a real mixed-corpus pipeline would run
+        render_pdf_pages(pages, num_partitions=cores, pdf_only=True).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     def q_dedup_cc():
         pairs = spark.read.parquet(pairs_path)
         dedup.dedup_keep_list(docs.select("doc_id"), pairs, "doc_id").write.format(
@@ -171,6 +180,7 @@ def main() -> int:
         "para_dedup": q_para_dedup,
         "decontam": q_decontam,
         "token_budget": q_token_budget,
+        "render": q_render,
         "dedup_cc": q_dedup_cc,
         "tpch_q1": q_tpch_q1,
     }

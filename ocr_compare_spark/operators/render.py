@@ -24,7 +24,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 RENDER_SCHEMA = (
     "url string, page_no int, width int, height int, image binary, "
@@ -58,6 +58,8 @@ def render_pdf_pages(
     payload_col: str = "html",
     scale: float = 0.125,
     batch_rows: int = 32,
+    num_partitions: int | None = None,
+    pdf_only: bool = False,
 ) -> DataFrame:
     """PDF binary -> one P5-graymap raster row per page.
 
@@ -101,4 +103,16 @@ def render_pdf_pages(
                         })
                 yield pd.DataFrame(rows)
 
-    return df.select("url", payload_col).mapInPandas(run, RENDER_SCHEMA)
+    src = df.select("url", payload_col)
+    if pdf_only:
+        # MIME-routed fast path: drop non-PDF payloads with a native
+        # magic-byte filter BEFORE the Arrow hop, so on a mixed corpus
+        # (~90% html at web scale) only PDF bytes ever cross into
+        # Python. Null and non-PDF rows are silently dropped — use the
+        # default mode when the error-row contract matters.
+        src = src.filter(F.expr(f"substring({payload_col}, 1, 4) = X'25504446'"))
+    if num_partitions:
+        # CPU-bound-per-byte stage: pin width so AQE's size-based
+        # coalescing can't starve it (same rule as run_engines_fused)
+        src = src.repartition(num_partitions)
+    return src.mapInPandas(run, RENDER_SCHEMA)

@@ -103,6 +103,19 @@ def test_render_row_expansion_counts(spark, sf_dir):
     assert n_page_rows == want
 
 
+def test_render_pdf_only_fast_path(spark, sf_dir):
+    """pdf_only=True pre-routes on magic bytes JVM-side: same ok rows
+    as the default mode, zero error rows."""
+    pages = synth.pages_from_documents(spark, sf_dir)
+    full = render_pdf_pages(pages, scale=SCALE)
+    fast = render_pdf_pages(pages, scale=SCALE, pdf_only=True)
+    assert fast.filter("error IS NOT NULL").count() == 0
+    key = ["url", "page_no", "width", "height", "n_ink_px"]
+    a = sorted(map(tuple, full.filter("error IS NULL").select(*key).collect()))
+    b = sorted(map(tuple, fast.select(*key).collect()))
+    assert a == b and len(b) > 20
+
+
 def test_render_error_rows(spark):
     df = spark.createDataFrame(
         [

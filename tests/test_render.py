@@ -10,6 +10,8 @@ import math
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from ocr_compare_spark import synth
 from ocr_compare_spark.operators import scanner
@@ -114,6 +116,41 @@ def test_render_pdf_only_fast_path(spark, sf_dir):
     a = sorted(map(tuple, full.filter("error IS NULL").select(*key).collect()))
     b = sorted(map(tuple, fast.select(*key).collect()))
     assert a == b and len(b) > 20
+
+
+_RAST_TOKEN = st.text(
+    alphabet=[chr(c) for c in range(0x21, 0x7F)],  # printable ASCII sans space, incl ()\\
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(_RAST_TOKEN, max_size=80))
+def test_render_core_fuzz(tokens):
+    """Pure-core property (no Spark): build_pdf -> parse_pdf ->
+    rasterize_page on ARBITRARY printable-ASCII tokens (parens and
+    backslashes exercise the PDF string escape round-trip) matches the
+    independent closed form: para k paints 2 rows x min(ceil(.75*len),
+    67) cols; page count = max(1, ceil(n_paras/PAGE_PARAS))."""
+    from ocr_compare_spark.engines.pdf_stream import parse_pdf
+    from ocr_compare_spark.operators.render import rasterize_page
+
+    text = " ".join(tokens)
+    parsed = parse_pdf(synth.build_pdf(0, text))
+    assert parsed.error is None
+    paras = synth.paragraphs_of(text)
+    pages = synth.chunk(paras, synth.PAGE_PARAS) or [[]]
+    assert len(parsed.pages) == len(pages)
+    for blocks, page_paras, dims in zip(parsed.pages, pages, parsed.page_dims):
+        canvas = rasterize_page(blocks, dims, SCALE)
+        assert canvas.shape == (99, 76)
+        want = sum(
+            2 * min(math.ceil(0.75 * len(p)), 67)
+            for p in page_paras
+            if p.split()  # all-escape-char paras still split to tokens; empty never ink
+        )
+        assert int((canvas == 0).sum()) == want
 
 
 def test_render_error_rows(spark):

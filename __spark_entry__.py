@@ -467,6 +467,43 @@ def q_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table_tsv + table_records gated as ONE normalized row set
+    (kind, url, row_no, payload) — frees a 50-cap registry slot for
+    `lm_ppl`; both queries remain importable/gated individually in
+    pytest."""
+    tsv = q_table_tsv(spark, sf_dir).select(
+        F.lit("tsv").alias("kind"),
+        "url",
+        F.lit(0).cast("long").alias("row_no"),
+        F.col("raw_text").alias("payload"),
+    )
+    recs = q_table_records(spark, sf_dir).select(
+        F.lit("record").alias("kind"), "url", "row_no", F.col("rec").alias("payload")
+    )
+    return tsv.unionByName(recs)
+
+
+#: Vocab cap for the gated unigram LM (31 distinct tokens in the
+#: corpus, so 20 leaves a real OOV tail) and the gate's URL rules.
+LM_VOCAB_SIZE = 20
+BLOCKED_DOMAINS = ("warm.example.com",)
+BLOCKED_URL_PATTERNS = (r"/doc/\d*0$",)
+
+
+def q_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM perplexity over the documents table:
+    the model is trained on the same corpus (top-20 vocab by count,
+    rarer tokens become OOV), each doc scored by ordered logprob
+    fold. literal path (the oracle default); the broadcast-join data
+    path is pytest-pinned bit-identical."""
+    from ocr_compare_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    model = lm.train_unigram_lm(d, "text", vocab_size=LM_VOCAB_SIZE)
+    return lm.perplexity_scores(d, model, "doc_id", "text", method="literal")
+
+
 def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     out = textstats.with_text_stats(d, "text")
@@ -503,12 +540,23 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc document fingerprint (min-shingle) + language-ID label
     in one pass — both fully native expressions over the same scan
     (the former separate `fingerprint` / `langid` registry rows,
-    merged to keep the registry at the 50-row driver-gate cap)."""
+    merged to keep the registry at the 50-row driver-gate cap), plus
+    the RefinedWeb-style URL blocklist verdict (domain + pattern
+    rules over the corpus-contract url)."""
+    from ocr_compare_spark.operators import webfilter
+
     d = _docs(spark, sf_dir)
+    wf = webfilter.url_filter_columns(
+        synth.url_expr(),
+        blocked_domains=BLOCKED_DOMAINS,
+        blocked_patterns=BLOCKED_URL_PATTERNS,
+    )
     return d.select(
         "doc_id",
         textstats.fingerprint_minshingle("text", 5).alias("fp"),
         textstats.langid_label("text").alias("lang_pred"),
+        wf["block_reason"].alias("block_reason"),
+        wf["blocked"].alias("blocked"),
     )
 
 
@@ -1435,8 +1483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_roundtrip": q_cache_roundtrip,
         "layout_chunks": q_layout_chunks,
         "anchors": q_anchors,
-        "table_tsv": q_table_tsv,
-        "table_records": q_table_records,
+        # table_tsv + table_records gate as ONE suite row set;
+        # the freed slot gates the CCNet-style lm_ppl scorer
+        "table_suite": q_table_suite,
+        "lm_ppl": q_lm_ppl,
         "textstats": q_textstats,
         "quality_topk": q_quality_topk,
         "text_signals": q_text_signals,
@@ -1928,37 +1978,67 @@ def oracle_sql() -> dict[str, str]:
             FROM paras p JOIN dom d ON p.url = d.url
             WHERE NOT p.is_pdf GROUP BY p.url, d.doc_text
         """,
-        "table_tsv": f"""
+        "table_suite": f"""
             WITH t AS (
               SELECT {synth.SQL_URL} AS url, string_split(text, ' ') AS t,
                      {synth.SQL_HAS_TABLE} AS has_table, {synth.SQL_TABLE_HEADER} AS tbl_header
               FROM documents WHERE NOT {synth.SQL_IS_PDF}
             )
-            SELECT url,
+            SELECT 'tsv' AS kind, url, CAST(0 AS BIGINT) AS row_no,
                    CASE WHEN tbl_header THEN 'k' || chr(9) || 'v' || chr(10) ELSE '' END
                    || t[1] || chr(9) || t[2] || chr(10)
-                   || t[3] || chr(9) || t[4] AS raw_text
-            FROM t WHERE has_table
-        """,
-        "table_records": f"""
-            WITH t AS (
-              SELECT {synth.SQL_URL} AS url, string_split(text, ' ') AS t,
-                     {synth.SQL_HAS_TABLE} AS has_table, {synth.SQL_TABLE_HEADER} AS tbl_header
-              FROM documents WHERE NOT {synth.SQL_IS_PDF}
-            )
-            -- header tables: body rows are original rows 1-2, keys
-            -- k/v (sorted: k < v); headerless: rows 0-1, keys c0/c1
-            SELECT url,
-                   CAST(CASE WHEN tbl_header THEN 1 ELSE 0 END AS BIGINT) AS row_no,
-                   CASE WHEN tbl_header THEN 'k=' || t[1] || '; v=' || t[2]
-                        ELSE 'c0=' || t[1] || '; c1=' || t[2] END AS rec
+                   || t[3] || chr(9) || t[4] AS payload
             FROM t WHERE has_table
             UNION ALL
-            SELECT url,
+            -- header tables: body rows are original rows 1-2, keys
+            -- k/v (sorted: k < v); headerless: rows 0-1, keys c0/c1
+            SELECT 'record', url,
+                   CAST(CASE WHEN tbl_header THEN 1 ELSE 0 END AS BIGINT),
+                   CASE WHEN tbl_header THEN 'k=' || t[1] || '; v=' || t[2]
+                        ELSE 'c0=' || t[1] || '; c1=' || t[2] END
+            FROM t WHERE has_table
+            UNION ALL
+            SELECT 'record', url,
                    CAST(CASE WHEN tbl_header THEN 2 ELSE 1 END AS BIGINT),
                    CASE WHEN tbl_header THEN 'k=' || t[3] || '; v=' || t[4]
                         ELSE 'c0=' || t[3] || '; c1=' || t[4] END
             FROM t WHERE has_table
+        """,
+        "lm_ppl": f"""
+            -- unigram-LM twin: vocab = top-{LM_VOCAB_SIZE} tokens by
+            -- (count DESC, token ASC); logprob rounded to 6dp BEFORE
+            -- the ordered list_sum fold (both engines sum identical
+            -- doubles left-to-right); ppl = exp of the ROUNDED mean
+            WITH s AS (
+              SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+            ), toks AS (
+              SELECT doc_id, unnest(t) AS tok,
+                     unnest(range(1, len(t) + 1)) AS ord
+              FROM s
+            ), cnt AS (
+              SELECT tok, count(*) AS c FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS total FROM cnt
+            ), lp AS (
+              SELECT tok, floor(ln(c / total) * 1e6 + 0.5) / 1e6 AS logprob
+              FROM (SELECT tok, c FROM cnt ORDER BY c DESC, tok ASC LIMIT {LM_VOCAB_SIZE}), tot
+            ), scored AS (
+              SELECT t.doc_id, t.ord,
+                     coalesce(lp.logprob,
+                              (SELECT floor(ln(0.5 / total) * 1e6 + 0.5) / 1e6 FROM tot)) AS l,
+                     CASE WHEN lp.tok IS NULL THEN 1 ELSE 0 END AS oov
+              FROM toks t LEFT JOIN lp ON t.tok = lp.tok
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_tokens, sum(oov) AS n_oov,
+                     list_sum(list(l ORDER BY ord)) AS s_lp
+              FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_oov AS BIGINT) AS n_oov,
+                   floor((-s_lp / n_tokens) * 1e6 + 0.5) / 1e6 AS cross_entropy,
+                   floor(exp(floor((-s_lp / n_tokens) * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6 AS ppl
+            FROM agg
         """,
         "textstats": f"""
             WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
@@ -2035,8 +2115,24 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'fr' END AS lang_pred
               FROM sc
             )
-            SELECT fp.doc_id, fp.fp, lang.lang_pred
-            FROM fp JOIN lang USING (doc_id)
+            , wf AS (
+              SELECT doc_id, CASE
+                WHEN doc_id % 2 != 0 AND doc_id % 4 = 1
+                  THEN 'domain:warm.example.com'
+                WHEN regexp_matches(
+                       concat('https://',
+                              CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
+                                   WHEN doc_id % 4 = 1 THEN 'warm.example.com'
+                                   ELSE concat('tail', CAST(doc_id % 37 AS VARCHAR), '.example.com') END,
+                              '/doc/', CAST(doc_id AS VARCHAR)),
+                       '/doc/\\d*0$')
+                  THEN 'pattern:/doc/\\d*0$'
+                END AS block_reason
+              FROM documents
+            )
+            SELECT fp.doc_id, fp.fp, lang.lang_pred, wf.block_reason,
+                   CAST(CASE WHEN wf.block_reason IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS blocked
+            FROM fp JOIN lang USING (doc_id) JOIN wf USING (doc_id)
         """,
         "para_dedup": """
             WITH t AS (

@@ -5,11 +5,17 @@ This is the composition a 100 TB pretraining pipeline actually runs,
 built entirely from the engine's own operators — one declarative DAG,
 no driver-side data paths:
 
-  pages ──run_engines_fused──▶ per-engine results
+  pages ──[--blocked-*]─────▶ URL blocklist (RefinedWeb order: the
+                               cheapest gate runs FIRST, pruning the
+                               extraction stage's input)
+        ──run_engines_fused──▶ per-engine results
         ──pick_winner────────▶ one best text per url
         ──with_text_stats────▶ quality/token features (native exprs)
         ──quality gates──────▶ language + quality + length +
                                repetition (dup-line / top-2-gram) filters
+        ──[--max-ce]─────────▶ CCNet-style unigram-LM perplexity gate
+                               (model trained on the survivors, data
+                               path: broadcast join, no driver vocab)
         ──[--para-dedup]─────▶ cross-doc paragraph-level exact dedup
                                (CCNet/Dolma boilerplate pass) + scrub
         ──[--decontam-bench]─▶ drop docs sharing word n-grams with a
@@ -71,6 +77,10 @@ def curate(
     sample_rate: float | None = None,
     token_budget: int | None = None,
     num_partitions: int | None = None,
+    blocked_domains: tuple[str, ...] = (),
+    blocked_patterns: tuple[str, ...] = (),
+    max_cross_entropy: float | None = None,
+    lm_vocab_size: int | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -85,6 +95,18 @@ def curate(
 
     pages = synth.pages_from_documents(spark, input_dir)
     n_in = pages.count()
+
+    n_blocked = None
+    if blocked_domains or blocked_patterns:
+        # URL blocklist FIRST (RefinedWeb §3.1 order): a row-local
+        # native filter that prunes the extraction UDF's input —
+        # blocked pages never decode. Counts stay cheap: Catalyst
+        # prunes the payload column out of both counts.
+        from ocr_compare_spark.operators.webfilter import url_filter_columns
+
+        wf = url_filter_columns("url", tuple(blocked_domains), tuple(blocked_patterns))
+        pages = pages.filter(wf["block_reason"].isNull())
+        n_blocked = n_in - pages.count()
 
     winners = pick_winner(
         run_engines_fused(pages, with_spans=False, num_partitions=num_partitions)
@@ -108,6 +130,28 @@ def curate(
         gates = gates & F.col("lang").isin(*langs)
     kept = scored.filter(gates).persist()
     n_quality = kept.count()
+    n_current = n_quality
+
+    n_high_ppl = None
+    if max_cross_entropy is not None:
+        # CCNet-style LM gate: train the unigram LM on the quality
+        # survivors themselves (the in-domain reference), score every
+        # doc via the data path (broadcast vocab join — no driver
+        # collect, plan O(1) in |vocab|), drop the high-perplexity
+        # tail. Runs BEFORE the dedup stages so junk never shingles.
+        from ocr_compare_spark.operators import lm as lm_ops
+
+        model = lm_ops.train_unigram_lm(kept, "doc_text", vocab_size=lm_vocab_size)
+        scores = lm_ops.perplexity_scores(
+            kept.select("url", "doc_text"), model, "url", "doc_text", method="data"
+        )
+        good = scores.filter(F.col("cross_entropy") <= max_cross_entropy).select("url")
+        old = kept
+        kept = kept.join(good, "url", "left_semi").persist()
+        n_after_ppl = kept.count()
+        n_high_ppl = n_current - n_after_ppl
+        n_current = n_after_ppl
+        old.unpersist()
 
     paras_dropped = None
     if para_dedup:
@@ -156,8 +200,10 @@ def curate(
         bad = flags.filter(F.col("contaminated")).select(F.col("id").alias("url"))
         kept = kept.join(bad, "url", "left_anti").persist()
         # para-dedup and scrub preserve doc count, so the pre-stage
-        # count is still n_quality
-        n_contaminated = n_quality - kept.count()
+        # count is still n_current (post-quality, post-ppl)
+        n_after_decontam = kept.count()
+        n_contaminated = n_current - n_after_decontam
+        n_current = n_after_decontam
 
     # Near-dup pass over survivors only; stable numeric id = the url
     # hash (collision-free at this scale is not assumed — the id only
@@ -223,8 +269,12 @@ def curate(
         "docs_after_quality": n_quality,
         "docs_after_dedup": n_after_dedup,
         "docs_out": n_out,
-        "dropped_quality": n_in - n_quality,
-        "dropped_near_dup": n_quality - n_after_dedup,
+        "dropped_blocklist": n_blocked,
+        "dropped_quality": (n_in - (n_blocked or 0)) - n_quality,
+        "dropped_high_ppl": n_high_ppl,
+        # n_current here = post-quality/ppl/decontam (para-dedup and
+        # scrub preserve doc count), so this is ONLY the LSH drop
+        "dropped_near_dup": n_current - n_after_dedup,
         "dropped_sampling": n_after_dedup - n_out,
         "paras_dropped": paras_dropped,
         "dropped_contaminated": n_contaminated,
@@ -245,6 +295,10 @@ def curate(
             "decontam_min_hits": decontam_min_hits,
             "sample_rate": sample_rate,
             "token_budget": token_budget,
+            "blocked_domains": list(blocked_domains),
+            "blocked_patterns": list(blocked_patterns),
+            "max_cross_entropy": max_cross_entropy,
+            "lm_vocab_size": lm_vocab_size,
         },
     }
     if output_dir:
@@ -280,6 +334,18 @@ def main() -> int:
     ap.add_argument("--token-budget", type=int, default=None,
                     help="per-language token budget on the curated output "
                          "(distributed-prefix-sum mix construction)")
+    ap.add_argument("--blocked-domain", action="append", default=[],
+                    help="drop pages whose host is (a subdomain of) this "
+                         "domain, before extraction; repeatable")
+    ap.add_argument("--blocked-pattern", action="append", default=[],
+                    help="drop pages whose url matches this regex, before "
+                         "extraction; repeatable")
+    ap.add_argument("--max-ce", type=float, default=None,
+                    help="CCNet-style gate: drop docs whose unigram-LM "
+                         "cross-entropy exceeds this (model trained on the "
+                         "quality survivors)")
+    ap.add_argument("--lm-vocab-size", type=int, default=None,
+                    help="vocab cap for the --max-ce language model")
     args = ap.parse_args()
 
     from ocr_compare_spark.session import get_spark
@@ -306,6 +372,10 @@ def main() -> int:
         decontam_min_hits=args.decontam_min_hits,
         sample_rate=args.sample_rate,
         token_budget=args.token_budget,
+        blocked_domains=tuple(args.blocked_domain),
+        blocked_patterns=tuple(args.blocked_pattern),
+        max_cross_entropy=args.max_ce,
+        lm_vocab_size=args.lm_vocab_size,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

@@ -334,6 +334,28 @@ def _build_payload_udf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def host_expr(doc_id_col: str = "doc_id") -> F.Column:
+    """Column twin of host_of() — the corpus's host-assignment rule."""
+    d = F.col(doc_id_col)
+    return (
+        F.when(d % 2 == 0, F.lit("hot.example.com"))
+        .when(d % 4 == 1, F.lit("warm.example.com"))
+        .otherwise(
+            F.concat(F.lit("tail"), (d % 37).cast("string"), F.lit(".example.com"))
+        )
+    )
+
+
+def url_expr(doc_id_col: str = "doc_id") -> F.Column:
+    """Column twin of url_of() (SQL twin: SQL_URL)."""
+    return F.concat(
+        F.lit("https://"),
+        host_expr(doc_id_col),
+        F.lit("/doc/"),
+        F.col(doc_id_col).cast("string"),
+    )
+
+
 def pages_from_documents(
     spark: SparkSession, sf_dir: str, replicate: int = 1
 ) -> DataFrame:
@@ -355,16 +377,8 @@ def pages_from_documents(
         )
     else:
         base = base.withColumn("copy_no", F.lit(0))
-    host = (
-        F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example.com"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("warm.example.com"))
-        .otherwise(F.concat(F.lit("tail"), (F.col("doc_id") % 37).cast("string"), F.lit(".example.com")))
-    )
     url = F.concat(
-        F.lit("https://"),
-        host,
-        F.lit("/doc/"),
-        F.col("doc_id").cast("string"),
+        url_expr(),
         F.when(F.col("copy_no") > 0, F.concat(F.lit("?copy="), F.col("copy_no").cast("string"))).otherwise(F.lit("")),
     )
     warc_ts = F.timestamp_seconds(F.lit(EPOCH_2025) + (F.col("doc_id") % TS_SPAN_MIN) * 60)
@@ -422,12 +436,7 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncompressed image bytes (the multimodal analog of
     pages_from_documents)."""
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
-    host = (
-        F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example.com"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("warm.example.com"))
-        .otherwise(F.concat(F.lit("tail"), (F.col("doc_id") % 37).cast("string"), F.lit(".example.com")))
-    )
-    url = F.concat(F.lit("https://"), host, F.lit("/doc/"), F.col("doc_id").cast("string"))
+    url = url_expr()
     return docs.select(
         url.alias("url"), _media_payload_udf(F.col("doc_id").cast("long")).alias("payload")
     )
@@ -506,12 +515,7 @@ def scans_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet -> (url, payload) table of synthetic scan
     photos (same url scheme as media_from_documents)."""
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
-    host = (
-        F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example.com"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("warm.example.com"))
-        .otherwise(F.concat(F.lit("tail"), (F.col("doc_id") % 37).cast("string"), F.lit(".example.com")))
-    )
-    url = F.concat(F.lit("https://"), host, F.lit("/doc/"), F.col("doc_id").cast("string"))
+    url = url_expr()
     return docs.select(
         url.alias("url"), _scan_payload_udf(F.col("doc_id").cast("long")).alias("payload")
     )

@@ -422,3 +422,41 @@ def test_curate_mix_stages(spark, sf_dir):
     assert m["dropped_near_dup"] == m["docs_after_quality"] - m["docs_after_dedup"]
     assert m["dropped_sampling"] == m["docs_after_dedup"] - m["docs_out"]
     assert m["dropped_sampling"] > 0  # sample_rate 0.8 + budget bite
+
+
+def test_curate_blocklist_and_ppl_stages(spark, sf_dir):
+    """--blocked-domain/--blocked-pattern prune pages BEFORE
+    extraction (warm.example.com hosts doc_id%4==1 -> exactly 125 of
+    500 pages at this sf); --max-ce trains the survivor LM and drops
+    the high-cross-entropy tail. Both report their own drop metric
+    without polluting the near-dup count."""
+    from pyspark.sql import functions as F
+
+    from ocr_compare_spark.operators import lm as lm_ops
+    from ocr_compare_spark.plans.curate import curate
+
+    base = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1)
+    m = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+               blocked_domains=("warm.example.com",),
+               blocked_patterns=(r"/doc/\d*13$",))
+    # 125 warm pages + the ids ending in 13 — but every such id is
+    # doc_id%4==1 (…13 is odd, 13%4==1), so the pattern adds nothing:
+    # the blocklist total is exactly the warm quarter
+    assert m["dropped_blocklist"] == 125
+    assert m["docs_after_quality"] <= base["docs_after_quality"] - 125 + 1
+    assert base["dropped_blocklist"] is None
+
+    # choose a cutoff = the median survivor cross-entropy, computed
+    # out-of-band, so the gate verifiably drops a real tail
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = lm_ops.train_unigram_lm(docs, "text")
+    ce = [r["cross_entropy"] for r in
+          lm_ops.perplexity_scores(docs, model, method="data").collect()]
+    cutoff = sorted(ce)[len(ce) // 2]
+    m2 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+                max_cross_entropy=cutoff)
+    assert m2["dropped_high_ppl"] is not None and m2["dropped_high_ppl"] > 0
+    assert m2["docs_after_quality"] == base["docs_after_quality"]
+    assert (m2["docs_after_quality"] - m2["dropped_high_ppl"]
+            - m2["dropped_near_dup"] == m2["docs_after_dedup"])
+    assert m2["params"]["max_cross_entropy"] == cutoff

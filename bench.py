@@ -170,6 +170,16 @@ def main() -> int:
             "noop"
         ).mode("overwrite").save()
 
+    def q_lm_ppl():
+        from ocr_compare_spark.operators import lm
+
+        # data path (the 100 TB shape): train + score in one DAG —
+        # vocab groupBy, broadcast join, map-side-combined regroup
+        model = lm.train_unigram_lm(docs, "text")
+        lm.perplexity_scores(docs, model, method="data").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     queries = {
         "extract_multi_engine": q_extract,
         "compare_align": q_compare,
@@ -182,6 +192,7 @@ def main() -> int:
         "token_budget": q_token_budget,
         "render": q_render,
         "dedup_cc": q_dedup_cc,
+        "lm_ppl": q_lm_ppl,
         "tpch_q1": q_tpch_q1,
     }
 

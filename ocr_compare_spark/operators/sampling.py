@@ -207,3 +207,73 @@ def token_budget_sample_bucketed(
         .filter(F.col(cum_col) <= budget)
         .drop("_bkt", "_off")
     )
+
+
+#: An "unbounded" token budget: larger than any real corpus's token
+#: count but far from long overflow when offsets accumulate.
+_NO_BUDGET = 1 << 60
+
+
+def assign_token_shards(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    tokens_per_shard: int,
+    priority_col: str,
+    id_col: str,
+    shard_col: str = "shard",
+    cum_col: str = "cum_tokens",
+    method: str = "bucketed",
+    n_buckets: int = 1024,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Deterministic training-shard assignment — the step after mix
+    construction: pack each stratum's documents (in (priority, id)
+    order) into consecutive shards of ~``tokens_per_shard`` tokens.
+
+    A document belongs to the shard its STARTING token offset falls
+    in (``floor((cum - tokens) / tokens_per_shard)``), so every shard
+    is a contiguous slice of the global order, shard token sums are
+    < tokens_per_shard + max_doc_tokens, and — because the cumulative
+    sum is a pure function of (stratum, priority, id, tokens) — the
+    assignment is identical across reruns, cluster sizes and
+    partition layouts (the property a resumable shard-writing job
+    needs: re-emitting shard 17 after a failure yields byte-identical
+    membership).
+
+    method="bucketed" (default) rides the distributed prefix sum of
+    token_budget_sample_bucketed with an unbounded budget — window
+    parallelism #strata x #buckets; method="exact" is the one-window
+    reference shape (pytest pins them identical)."""
+    if method == "exact":
+        w = Window.partitionBy(strata_col).orderBy(*_order_cols(priority_col, id_col))
+        base = df.withColumn(
+            cum_col, F.sum(F.col(token_col)).over(w).cast("long")
+        )
+    elif method == "bucketed":
+        base = token_budget_sample_bucketed(
+            df, strata_col, token_col, _NO_BUDGET, priority_col, id_col,
+            cum_col=cum_col, n_buckets=n_buckets, checkpoint=checkpoint,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    shard = F.floor((F.col(cum_col) - F.col(token_col)) / tokens_per_shard)
+    return base.withColumn(shard_col, shard.cast("int"))
+
+
+def write_token_shards(
+    df: DataFrame,
+    path: str,
+    strata_col: str = "lang",
+    shard_col: str = "shard",
+) -> None:
+    """Materialize shard-assigned rows as one directory per
+    (stratum, shard). The repartition co-locates each shard's rows in
+    a single task, so every shard directory gets exactly one parquet
+    part — the layout a training loader streams sequentially."""
+    (
+        df.repartition(F.col(strata_col), F.col(shard_col))
+        .write.mode("overwrite")
+        .partitionBy(strata_col, shard_col)
+        .parquet(path)
+    )

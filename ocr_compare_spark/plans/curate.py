@@ -27,6 +27,9 @@ no driver-side data paths:
         ──[--token-budget]───▶ per-language token-budget mix
                                (distributed prefix sum)
         ──write──────────────▶ curated parquet + per-stage metrics
+                               (--shard-tokens: deterministic
+                               ~N-token training shards, one parquet
+                               part per (lang, shard) directory)
 
 Design notes for scale:
 - Filters run BEFORE the LSH pass: the quality gates are O(row)
@@ -81,6 +84,7 @@ def curate(
     blocked_patterns: tuple[str, ...] = (),
     max_cross_entropy: float | None = None,
     lm_vocab_size: int | None = None,
+    shard_tokens: int | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -252,12 +256,35 @@ def curate(
             for r in curated.groupBy("lang").agg(F.sum("token_count").alias("t")).collect()
         }
 
+    n_shards = None
     if output_dir:
-        curated.write.mode("overwrite").partitionBy("lang").parquet(
-            f"{output_dir}/corpus"
-        )
-        out = spark.read.parquet(f"{output_dir}/corpus")
-        n_out = out.count()
+        if shard_tokens is not None:
+            # final mix-construction step: pack the corpus into
+            # deterministic ~shard_tokens-token training shards (one
+            # parquet part per (lang, shard) dir — the layout a
+            # training loader streams sequentially; rerun-identical
+            # membership, so re-emitting a shard after a failure is
+            # byte-stable)
+            from ocr_compare_spark.operators.sampling import (
+                assign_token_shards,
+                hash_frac,
+                write_token_shards,
+            )
+
+            sharded = assign_token_shards(
+                curated.withColumn("_prio", hash_frac("url")),
+                "lang", "token_count", shard_tokens, "_prio", "url",
+            ).drop("_prio")
+            write_token_shards(sharded, f"{output_dir}/corpus")
+            out = spark.read.parquet(f"{output_dir}/corpus")
+            n_out = out.count()
+            n_shards = out.select("lang", "shard").distinct().count()
+        else:
+            curated.write.mode("overwrite").partitionBy("lang").parquet(
+                f"{output_dir}/corpus"
+            )
+            out = spark.read.parquet(f"{output_dir}/corpus")
+            n_out = out.count()
     else:
         curated = curated.persist()
         n_out = curated.count()
@@ -279,6 +306,7 @@ def curate(
         "paras_dropped": paras_dropped,
         "dropped_contaminated": n_contaminated,
         "tokens_out_by_lang": tokens_out_by_lang,
+        "n_shards": n_shards,
         "params": {
             "min_quality": min_quality,
             "min_tokens": min_tokens,
@@ -299,6 +327,7 @@ def curate(
             "blocked_patterns": list(blocked_patterns),
             "max_cross_entropy": max_cross_entropy,
             "lm_vocab_size": lm_vocab_size,
+            "shard_tokens": shard_tokens,
         },
     }
     if output_dir:
@@ -346,6 +375,10 @@ def main() -> int:
                          "quality survivors)")
     ap.add_argument("--lm-vocab-size", type=int, default=None,
                     help="vocab cap for the --max-ce language model")
+    ap.add_argument("--shard-tokens", type=int, default=None,
+                    help="pack the output into deterministic training "
+                         "shards of ~N tokens each (one parquet part per "
+                         "(lang, shard) directory); requires --output")
     args = ap.parse_args()
 
     from ocr_compare_spark.session import get_spark
@@ -376,6 +409,7 @@ def main() -> int:
         blocked_patterns=tuple(args.blocked_pattern),
         max_cross_entropy=args.max_ce,
         lm_vocab_size=args.lm_vocab_size,
+        shard_tokens=args.shard_tokens,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

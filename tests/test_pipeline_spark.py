@@ -460,3 +460,24 @@ def test_curate_blocklist_and_ppl_stages(spark, sf_dir):
     assert (m2["docs_after_quality"] - m2["dropped_high_ppl"]
             - m2["dropped_near_dup"] == m2["docs_after_dedup"])
     assert m2["params"]["max_cross_entropy"] == cutoff
+
+
+def test_curate_shard_output(spark, sf_dir, tmp_path):
+    """--shard-tokens: the output materializes as deterministic
+    (lang, shard) directories with one parquet part each; metrics
+    report the shard count and the round-tripped corpus is intact."""
+    import glob
+
+    from ocr_compare_spark.plans.curate import curate
+
+    out = str(tmp_path / "sharded")
+    m = curate(spark, sf_dir, out, min_quality=0.0, min_tokens=1,
+               shard_tokens=20_000)
+    assert m["n_shards"] is not None and m["n_shards"] > 0
+    parts = glob.glob(f"{out}/corpus/lang=*/shard=*/part-*.parquet")
+    dirs = {p.rsplit("/", 1)[0] for p in parts}
+    assert len(dirs) == m["n_shards"]
+    assert len(parts) == len(dirs)  # one part per shard
+    back = spark.read.parquet(f"{out}/corpus")
+    assert back.count() == m["docs_out"]
+    assert m["params"]["shard_tokens"] == 20_000

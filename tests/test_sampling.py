@@ -122,3 +122,64 @@ def test_token_budget_bucketed_prunes_dead_buckets(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Join Inner" in plan or "join" in plan.lower()
+
+
+def test_shard_assignment_bucketed_equals_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    kw = dict(tokens_per_shard=5000, priority_col="prio", id_col="doc_id")
+    exact = sampling.assign_token_shards(
+        d, "lang", "token_count", method="exact", **kw
+    ).orderBy("doc_id").collect()
+    bucketed = sampling.assign_token_shards(
+        d, "lang", "token_count", method="bucketed", **kw
+    ).orderBy("doc_id").collect()
+    assert exact == bucketed  # incl. cum_tokens AND shard
+    assert len(exact) == d.count()  # sharding drops nothing
+
+
+def test_shard_packing_properties(spark, sf_dir):
+    """Shards are contiguous prefix slices: per (lang, shard) the
+    token sum is < size + max_doc_tokens, shard ids are dense from 0,
+    and the assignment is partition-layout independent."""
+    size = 4000
+    d = _docs(spark, sf_dir)
+    out = sampling.assign_token_shards(
+        d, "lang", "token_count", size, "prio", "doc_id"
+    )
+    rows = out.collect()
+    max_tok = max(r["token_count"] for r in rows)
+    by_shard: dict[tuple, int] = {}
+    for r in rows:
+        by_shard[(r["lang"], r["shard"])] = by_shard.get((r["lang"], r["shard"]), 0) + r["token_count"]
+    assert all(t < size + max_tok for t in by_shard.values())
+    for lang in {r["lang"] for r in rows}:
+        ids = sorted(s for (lg, s) in by_shard if lg == lang)
+        assert ids == list(range(len(ids)))  # dense from 0
+        # every non-final shard is "full": adding its successor's
+        # first doc would cross the boundary (start-offset packing)
+        sums = [by_shard[(lang, s)] for s in ids]
+        assert all(t >= 1 for t in sums)
+    # layout independence
+    rows2 = sampling.assign_token_shards(
+        d.repartition(13), "lang", "token_count", size, "prio", "doc_id"
+    ).collect()
+    assert {(r["doc_id"], r["shard"]) for r in rows2} == {
+        (r["doc_id"], r["shard"]) for r in rows
+    }
+
+
+def test_write_token_shards_one_file_per_shard(spark, sf_dir, tmp_path):
+    import glob
+
+    d = _docs(spark, sf_dir)
+    out = sampling.assign_token_shards(d, "lang", "token_count", 8000, "prio", "doc_id")
+    path = str(tmp_path / "shards")
+    sampling.write_token_shards(out, path)
+    parts = glob.glob(f"{path}/lang=*/shard=*/part-*.parquet")
+    dirs = {p.rsplit("/", 1)[0] for p in parts}
+    assert len(parts) == len(dirs) > 0  # exactly one part file per shard dir
+    back = spark.read.parquet(path)
+    assert back.count() == d.count()
+    # round-trip preserves the assignment (shard is a partition col)
+    orig = {(r["doc_id"], r["shard"]) for r in out.collect()}
+    assert {(r["doc_id"], int(r["shard"])) for r in back.collect()} == orig

@@ -267,6 +267,48 @@ def q_compare_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("url", F.round("cer", 6).alias("cer"))
 
 
+def q_compare_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compare_basic + compare_cer gated as ONE wide union row set
+    (null-padded per kind) — frees a 50-cap registry slot for
+    `substring_dedup`; both remain importable/gated individually in
+    pytest."""
+    b = q_compare_basic(spark, sf_dir).select(
+        F.lit("basic").alias("kind"), "*", F.lit(None).cast("double").alias("cer")
+    )
+    c = q_compare_cer(spark, sf_dir).select(
+        F.lit("cer").alias("kind"),
+        "url",
+        F.lit(None).cast("string").alias("engine_a"),
+        F.lit(None).cast("string").alias("engine_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        *[F.lit(None).cast("long").alias(f"{m}_{s}")
+          for m in ("char_count", "word_count", "line_count") for s in ("a", "b")],
+        "cer",
+    )
+    return b.unionByName(c)
+
+
+#: Gate window for the exact-substring-dedup row: the synth corpus's
+#: cycling vocabulary plants real >=24-token cross-doc runs.
+SUBSTRING_WINDOW = 24
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022, token-window flavor)
+    over the documents table: every repeated 24-token window is cut
+    from all but its globally first occurrence; spans merge before
+    cutting. The DuckDB twin reproduces the rebuilt text byte-for-
+    byte (same md5 window keys, same (id, start) keeper rule, same
+    gaps-and-islands interval merge)."""
+    out = dedup.substring_dedup(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        "doc_id", "text", window=SUBSTRING_WINDOW,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "text", "n_spans_removed", "n_tokens_removed"
+    )
+
+
 def q_compare_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word error rate from the alignment UDF. Oracle: map each
     distinct token of the pair to one codepoint, then DuckDB's
@@ -1472,8 +1514,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_hierarchy": q_spans_hierarchy,
         "tree_paths": q_tree_paths,
         "symbols": q_symbols,
-        "compare_basic": q_compare_basic,
-        "compare_cer": q_compare_cer,
+        # compare_basic + compare_cer gate as ONE suite row set; the
+        # freed slot gates the exact-substring-dedup pass
+        "compare_suite": q_compare_suite,
+        "substring_dedup": q_substring_dedup,
         "compare_alignment": q_compare_alignment,
         "mime_route": q_mime_route,
         "pages_meta": q_pages_meta,
@@ -1621,7 +1665,7 @@ def oracle_sql() -> dict[str, str]:
                         + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 3 ELSE 2 END ELSE 0 END) AS BIGINT) AS n_lines
             FROM paras WHERE NOT is_pdf GROUP BY url
         """,
-        "compare_basic": f"""
+        "compare_suite": f"""
             WITH {PARAS_CTE},
             dom AS ({SQL_DOM_TEXT}),
             den AS ({SQL_DENSITY_TEXT}),
@@ -1629,7 +1673,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.url, coalesce(e.doc_text, '') AS a_text, d.doc_text AS b_text
               FROM dom d JOIN den e ON d.url = e.url
             )
-            SELECT url, 'density' AS engine_a, 'dom' AS engine_b,
+            SELECT 'basic' AS kind, url, 'density' AS engine_a, 'dom' AS engine_b,
               round(CAST(len(list_intersect(list_distinct(string_split_regex(lower(a_text), '\\s+')),
                                             list_distinct(string_split_regex(lower(b_text), '\\s+')))) AS DOUBLE)
                     / len(list_distinct(list_concat(list_distinct(string_split_regex(lower(a_text), '\\s+')),
@@ -1639,17 +1683,69 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(string_split_regex(a_text, '\\s+')) AS BIGINT) AS word_count_a,
               CAST(len(string_split_regex(b_text, '\\s+')) AS BIGINT) AS word_count_b,
               CAST(len(string_split(a_text, chr(10))) AS BIGINT) AS line_count_a,
-              CAST(len(string_split(b_text, chr(10))) AS BIGINT) AS line_count_b
+              CAST(len(string_split(b_text, chr(10))) AS BIGINT) AS line_count_b,
+              CAST(NULL AS DOUBLE) AS cer
+            FROM pairtexts
+            UNION ALL
+            SELECT 'cer', url, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+                   round(CAST(levenshtein(a_text, b_text) AS DOUBLE)
+                         / greatest(length(a_text), length(b_text)), 6)
             FROM pairtexts
         """,
-        "compare_cer": f"""
-            WITH {PARAS_CTE},
-            dom AS ({SQL_DOM_TEXT}),
-            den AS ({SQL_DENSITY_TEXT})
-            SELECT d.url,
-                   round(CAST(levenshtein(coalesce(e.doc_text, ''), d.doc_text) AS DOUBLE)
-                         / greatest(length(coalesce(e.doc_text, '')), length(d.doc_text)), 6) AS cer
-            FROM dom d JOIN den e ON d.url = e.url
+        "substring_dedup": f"""
+            -- Lee-et-al exact substring dedup twin: same md5 window
+            -- keys, same (doc_id, start) keeper rule, gaps-and-islands
+            -- interval merge, tokens outside merged spans rejoined
+            WITH s AS (
+              SELECT doc_id, text, string_split_regex(text, '\\s+') AS t FROM documents
+            ), pos AS (
+              SELECT doc_id,
+                     unnest(range(1, greatest(len(t) - {SUBSTRING_WINDOW} + 1, 0) + 1)) AS st
+              FROM s
+            ), occ AS (
+              SELECT p.doc_id, p.st,
+                     md5(array_to_string(s.t[p.st:p.st + {SUBSTRING_WINDOW} - 1], ' ')) AS h
+              FROM pos p JOIN s USING (doc_id)
+            ), ranked AS (
+              SELECT doc_id, st,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id, st) AS rk,
+                     count(*) OVER (PARTITION BY h) AS n
+              FROM occ
+            ), rem AS (
+              SELECT doc_id, st AS s0, st + {SUBSTRING_WINDOW} AS e0
+              FROM ranked WHERE n >= 2 AND rk > 1
+            ), marked AS (
+              SELECT doc_id, s0, e0,
+                     CASE WHEN s0 <= max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          THEN 0 ELSE 1 END AS ng
+              FROM rem
+            ), grp AS (
+              SELECT doc_id, s0, e0,
+                     sum(ng) OVER (PARTITION BY doc_id ORDER BY s0, e0) AS g
+              FROM marked
+            ), iv AS (
+              SELECT doc_id, min(s0) AS s0, max(e0) AS e0 FROM grp GROUP BY doc_id, g
+            ), stats AS (
+              SELECT doc_id, count(*) AS n_spans, sum(e0 - s0) AS n_toks
+              FROM iv GROUP BY doc_id
+            ), toks AS (
+              SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS idx FROM s
+            ), covered AS (
+              SELECT DISTINCT doc_id, unnest(range(s0, e0)) AS idx FROM iv
+            ), rebuilt AS (
+              SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.idx) AS new_text
+              FROM toks tk LEFT JOIN covered c ON tk.doc_id = c.doc_id AND tk.idx = c.idx
+              WHERE c.idx IS NULL
+              GROUP BY tk.doc_id
+            )
+            SELECT s.doc_id,
+                   CASE WHEN st.doc_id IS NULL THEN s.text
+                        ELSE coalesce(r.new_text, '') END AS text,
+                   CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans_removed,
+                   CAST(coalesce(st.n_toks, 0) AS BIGINT) AS n_tokens_removed
+            FROM s LEFT JOIN stats st USING (doc_id)
+                   LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
         """,
         "tree_paths": f"""
             WITH {PARAS_CTE},

@@ -732,3 +732,118 @@ def latest_snapshot(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
         *[F.col(f"_w._r.{c}").alias(c) for c in others],
         "n_snapshots",
     )
+
+
+# ---------------------------------------------- exact substring dedup
+
+
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 50,
+    min_count: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SUBSTRING deduplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" pass,
+    token-window flavor): any ``window``-token sequence occurring at
+    least ``min_count`` times across the corpus is removed from every
+    occurrence EXCEPT the globally first one. Unlike document-level
+    (exact_dedup) or near-dup (lsh_candidates) passes, this removes
+    repeated license blocks, navigation chrome and quoted boilerplate
+    EMBEDDED inside otherwise-unique documents.
+
+    Contract:
+    - tokens = whitespace split; duplicate windows are compared by
+      md5 of their space-joined token text (so the pass is invariant
+      to the original inter-token whitespace);
+    - the keeper is the minimum (id, start) occurrence (struct
+      ordering — deterministic under any parallelism);
+    - removal spans within a doc merge when they overlap or touch
+      (two overlapping dup windows cut once, not twice);
+    - output text: surviving tokens joined by single spaces; docs
+      with NO removals keep their original text bytes untouched.
+
+    Scale shape: the occurrence stream is one slim (id, start, hash)
+    row per token — the SAME volume as the MinHash shingle stream —
+    and takes exactly ONE hash-partition shuffle (a window over the
+    hash yields occurrence rank + count in one pass; the
+    groupBy-then-join-back alternative shuffles the stream twice).
+    Span merge + text rebuild are per-doc native folds; the final
+    join is id-keyed. The window-hash compute is byte-light md5 work,
+    so ``num_partitions`` should be ~cores (the decontam trap).
+    """
+    if num_partitions:
+        docs = docs.repartition(num_partitions, id_col)
+    toks = F.split(F.col(text_col), r"\s+")
+    n_wins = F.size(toks) - (window - 1)
+    wins_arr = F.when(
+        n_wins > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.md5(F.array_join(F.slice(toks, i, window), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,h:string>>"))
+    occ = docs.select(
+        F.col(id_col).alias("id"), F.explode(wins_arr).alias("w")
+    ).select("id", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+
+    # ONE shuffle: rank every occurrence of a hash by (id, start) and
+    # count the occurrences in the same window pass. rank > 1 with a
+    # qualifying count = a span to remove.
+    wspec = Window.partitionBy("h").orderBy(F.col("id").asc(), F.col("start").asc())
+    cspec = Window.partitionBy("h")
+    removals = (
+        occ.withColumn("_rk", F.row_number().over(wspec))
+        .withColumn("_n", F.count("*").over(cspec))
+        .filter((F.col("_n") >= min_count) & (F.col("_rk") > 1))
+        .select("id", "start", (F.col("start") + window).alias("end"))
+    )
+
+    # Per-doc: sort spans, merge overlapping/touching intervals with
+    # one fold, then cut the merged intervals out of the token array.
+    spans = removals.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("start", "end"))).alias("_sp")
+    )
+    empty_iv = F.array().cast("array<struct<start:int,end:int>>")
+    merged = F.aggregate(
+        F.col("_sp"),
+        empty_iv,
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (x.start <= F.element_at(acc, -1).end),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1).start.alias("start"),
+                        F.greatest(F.element_at(acc, -1).end, x.end).alias("end"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+    out = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt")).join(
+        spans, "id", "left"
+    ).withColumn("_iv", merged)
+    toks2 = F.split(F.col("_txt"), r"\s+")
+    kept = F.filter(
+        F.transform(toks2, lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i"))),
+        lambda x: ~F.exists(
+            F.col("_iv"), lambda iv: (x.i >= iv.start) & (x.i < iv.end)
+        ),
+    )
+    new_text = F.array_join(F.transform(kept, lambda x: x.t), " ")
+    n_removed_tokens = F.aggregate(
+        F.col("_iv"), F.lit(0), lambda acc, iv: acc + (iv.end - iv.start)
+    )
+    return out.select(
+        "id",
+        F.when(F.col("_iv").isNull(), F.col("_txt")).otherwise(new_text).alias("text"),
+        F.coalesce(F.size("_iv"), F.lit(0)).cast("long").alias("n_spans_removed"),
+        F.coalesce(n_removed_tokens, F.lit(0)).cast("long").alias("n_tokens_removed"),
+    )

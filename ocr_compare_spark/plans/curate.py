@@ -18,6 +18,9 @@ no driver-side data paths:
                                path: broadcast join, no driver vocab)
         ──[--para-dedup]─────▶ cross-doc paragraph-level exact dedup
                                (CCNet/Dolma boilerplate pass) + scrub
+        ──[--substring-win]──▶ exact substring dedup (Lee et al.:
+                               repeated token windows cut from every
+                               occurrence but the global first)
         ──[--decontam-bench]─▶ drop docs sharing word n-grams with a
                                held-out benchmark/eval set
         ──lsh_candidates─────▶ near-dup pairs over SURVIVORS only
@@ -85,6 +88,7 @@ def curate(
     max_cross_entropy: float | None = None,
     lm_vocab_size: int | None = None,
     shard_tokens: int | None = None,
+    substring_window: int | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -176,6 +180,31 @@ def curate(
         kept = (
             kept.drop("doc_text")
             .join(deduped.select(F.col("id").alias("url"), "text"), "url")
+            .withColumnRenamed("text", "doc_text")
+            .persist()
+        )
+        old.unpersist()
+
+    substring_tokens_removed = None
+    if substring_window:
+        # Exact substring dedup AFTER the paragraph pass (whole dup
+        # paragraphs are already gone, so this catches sub-paragraph
+        # boilerplate runs) and BEFORE the LSH pass (cut boilerplate
+        # stays out of the shingle sets).
+        from ocr_compare_spark.operators.dedup import substring_dedup
+
+        cut = substring_dedup(
+            kept.select(F.col("url").alias("id"), F.col("doc_text")),
+            "id", "doc_text", window=substring_window,
+            num_partitions=num_partitions,
+        ).persist()
+        substring_tokens_removed = (
+            cut.agg(F.sum("n_tokens_removed")).first()[0] or 0
+        )
+        old = kept
+        kept = (
+            kept.drop("doc_text")
+            .join(cut.select(F.col("id").alias("url"), "text"), "url")
             .withColumnRenamed("text", "doc_text")
             .persist()
         )
@@ -304,6 +333,7 @@ def curate(
         "dropped_near_dup": n_current - n_after_dedup,
         "dropped_sampling": n_after_dedup - n_out,
         "paras_dropped": paras_dropped,
+        "substring_tokens_removed": substring_tokens_removed,
         "dropped_contaminated": n_contaminated,
         "tokens_out_by_lang": tokens_out_by_lang,
         "n_shards": n_shards,
@@ -328,6 +358,7 @@ def curate(
             "max_cross_entropy": max_cross_entropy,
             "lm_vocab_size": lm_vocab_size,
             "shard_tokens": shard_tokens,
+            "substring_window": substring_window,
         },
     }
     if output_dir:
@@ -379,6 +410,9 @@ def main() -> int:
                     help="pack the output into deterministic training "
                          "shards of ~N tokens each (one parquet part per "
                          "(lang, shard) directory); requires --output")
+    ap.add_argument("--substring-window", type=int, default=None,
+                    help="exact substring dedup: cut every repeated "
+                         "N-token window except its first occurrence")
     args = ap.parse_args()
 
     from ocr_compare_spark.session import get_spark
@@ -410,6 +444,7 @@ def main() -> int:
         max_cross_entropy=args.max_ce,
         lm_vocab_size=args.lm_vocab_size,
         shard_tokens=args.shard_tokens,
+        substring_window=args.substring_window,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

@@ -592,3 +592,91 @@ def test_connected_components_power_law_mega_component(spark):
         for r in dedup.connected_components(df.repartition(16), max_iters=4).collect()
     }
     assert got2 == want
+
+
+# ---------------------------------------------- exact substring dedup
+
+
+def _substring_dedup_mirror(docs, window, min_count=2):
+    """Pure-Python mirror of dedup.substring_dedup's contract."""
+    occs = {}  # window text -> [(id, start1based)]
+    toks = {i: t.split() for i, t in docs}
+    for i, _ in docs:
+        tt = toks[i]
+        for s in range(len(tt) - window + 1):
+            occs.setdefault(" ".join(tt[s:s + window]), []).append((i, s + 1))
+    spans = {}
+    for _, lst in occs.items():
+        if len(lst) < min_count:
+            continue
+        for (i, s) in sorted(lst)[1:]:
+            spans.setdefault(i, []).append((s, s + window))
+    out = {}
+    for i, text in docs:
+        if i not in spans:
+            out[i] = (text, 0, 0)
+            continue
+        merged = []
+        for s, e in sorted(spans[i]):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        covered = set()
+        for s, e in merged:
+            covered.update(range(s, e))
+        kept = [t for j, t in enumerate(toks[i], start=1) if j not in covered]
+        out[i] = (" ".join(kept), len(merged), sum(e - s for s, e in merged))
+    return out
+
+
+def test_substring_dedup_matches_mirror(spark):
+    """Planted boilerplate: a 6-token license block embedded in three
+    docs (removed from all but the first), overlapping duplicate
+    windows merging into one cut, and an untouched doc keeping its
+    original bytes (incl. odd whitespace)."""
+    boiler = "all rights reserved by the owner"
+    docs = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"start tokens here {boiler} more unique text two"),
+        (3, f"{boiler} trailing words"),
+        (4, "totally  unique\ncontent with   odd whitespace"),
+        # doc 5 repeats doc 1's full text -> every window dups; the
+        # merged cut is one long span
+        (5, f"alpha beta {boiler} gamma delta"),
+    ]
+    win = 4
+    exp = _substring_dedup_mirror(docs, win)
+    got = {
+        r["id"]: (r["text"], r["n_spans_removed"], r["n_tokens_removed"])
+        for r in dedup.substring_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text", window=win,
+        ).collect()
+    }
+    assert got == exp
+    # doc 1 is the global keeper: untouched
+    assert got[1] == (docs[0][1], 0, 0)
+    # doc 4 untouched byte-for-byte (whitespace preserved)
+    assert got[4][0] == docs[3][1]
+    # doc 5 loses everything (full-text dup of doc 1)
+    assert got[5][0] == "" and got[5][1] == 1
+    # doc 2/3 lose the boiler block but keep their unique tokens
+    assert boiler not in got[2][0] and "more unique text two" in got[2][0]
+    assert boiler not in got[3][0] and "trailing words" in got[3][0]
+
+
+def test_substring_dedup_partition_invariant_and_short_docs(spark):
+    corpus = [(i, f"tok{i} " * 3 + "shared run of corpus boilerplate text here "
+               + f"tail{i}") for i in range(40)]
+    corpus += [(100, "tiny doc")]  # shorter than the window: untouched
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    a = dedup.substring_dedup(df, "doc_id", "text", window=5).collect()
+    b = dedup.substring_dedup(
+        df.repartition(7), "doc_id", "text", window=5, num_partitions=3
+    ).collect()
+    key = lambda rows: {r["id"]: (r["text"], r["n_spans_removed"]) for r in rows}
+    assert key(a) == key(b)
+    assert key(a)[100] == ("tiny doc", 0)
+    mirror = _substring_dedup_mirror([(i, t) for i, t in corpus], 5)
+    assert key(a) == {i: (t, s) for i, (t, s, _) in mirror.items()}

@@ -462,6 +462,20 @@ def test_curate_blocklist_and_ppl_stages(spark, sf_dir):
     assert m2["params"]["max_cross_entropy"] == cutoff
 
 
+def test_curate_substring_dedup_stage(spark, sf_dir):
+    """--substring-window: the synth corpus's cycling vocabulary
+    plants long cross-doc token runs, so the Lee-et-al pass must cut
+    real tokens and report the count; downstream stages still run."""
+    from ocr_compare_spark.plans.curate import curate
+
+    m = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+               substring_window=24)
+    assert m["substring_tokens_removed"] is not None
+    assert m["substring_tokens_removed"] > 0
+    assert m["docs_out"] > 0
+    assert m["params"]["substring_window"] == 24
+
+
 def test_curate_shard_output(spark, sf_dir, tmp_path):
     """--shard-tokens: the output materializes as deterministic
     (lang, shard) directories with one parquet part each; metrics

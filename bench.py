@@ -180,6 +180,14 @@ def main() -> int:
             "noop"
         ).mode("overwrite").save()
 
+    def q_substring_dedup():
+        # one slim-row shuffle over ~12M 24-token window hashes;
+        # md5 compute is byte-light CPU work -> repartition(cores)
+        dedup.substring_dedup(
+            docs.select("doc_id", "text"), "doc_id", "text",
+            window=24, num_partitions=cores,
+        ).write.format("noop").mode("overwrite").save()
+
     queries = {
         "extract_multi_engine": q_extract,
         "compare_align": q_compare,
@@ -193,6 +201,7 @@ def main() -> int:
         "render": q_render,
         "dedup_cc": q_dedup_cc,
         "lm_ppl": q_lm_ppl,
+        "substring_dedup": q_substring_dedup,
         "tpch_q1": q_tpch_q1,
     }
 

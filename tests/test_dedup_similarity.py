@@ -680,3 +680,29 @@ def test_substring_dedup_partition_invariant_and_short_docs(spark):
     assert key(a)[100] == ("tiny doc", 0)
     mirror = _substring_dedup_mirror([(i, t) for i, t in corpus], 5)
     assert key(a) == {i: (t, s) for i, (t, s, _) in mirror.items()}
+
+
+def test_substring_dedup_randomized_mirror(spark):
+    """Seeded randomized cross-check: tiny vocab + short windows force
+    dense window collisions (incl. self-overlapping runs like
+    'a a a a a'); Spark must equal the pure-Python mirror on every
+    corpus."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choice("abc") for _ in range(rng.randint(0, 30))))
+            for i in range(25)
+        ]
+        docs = [(i, t) for i, t in docs if t]  # empty text -> no tokens
+        win = rng.randint(2, 5)
+        exp = _substring_dedup_mirror(docs, win)
+        got = {
+            r["id"]: (r["text"], r["n_spans_removed"], r["n_tokens_removed"])
+            for r in dedup.substring_dedup(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                "doc_id", "text", window=win,
+            ).collect()
+        }
+        assert got == exp, f"seed={seed} window={win}"

@@ -550,6 +550,7 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     out = textstats.with_text_stats(d, "text")
     pii = textstats.pii_columns("text")
+    gopher = textstats.gopher_columns("text")
     return out.select(
         "doc_id", "char_count", "word_count", "line_count",
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
@@ -563,6 +564,10 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (scrubbed_chars == char_count there); the planted-PII pytest
         # pins the actual replacement behavior
         F.length(textstats.scrub_pii("text")).cast("long").alias("scrubbed_chars"),
+        # Gopher rule-set signals (symbol/bullet/ellipsis are zero on
+        # this corpus — the planted pytest pins the non-zero math;
+        # mean_word_len/alpha_word_frac are non-trivial here)
+        *[col.alias(name) for name, col in gopher.items()],
     )
 
 
@@ -2166,7 +2171,17 @@ def oracle_sql() -> dict[str, str]:
                 )
               ), 0.0) AS top2gram_share,
               {pii_count_sql},
-              CAST(length({pii_scrub_sql}) AS BIGINT) AS scrubbed_chars
+              CAST(length({pii_scrub_sql}) AS BIGINT) AS scrubbed_chars,
+              round(CAST(list_sum(list_transform(string_split_regex(text, '\\s+'), x -> length(x))) AS DOUBLE)
+                    / len(string_split_regex(text, '\\s+')), 6) AS mean_word_len,
+              round(CAST((length(text) - length(replace(text, '#', ''))) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+                    / len(string_split_regex(text, '\\s+')), 6) AS symbol_word_ratio,
+              round(CAST(len(list_filter(string_split(text, chr(10)), x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE)
+                    / len(string_split(text, chr(10))), 6) AS bullet_line_frac,
+              round(CAST(len(list_filter(string_split(text, chr(10)), x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+                    / len(string_split(text, chr(10))), 6) AS ellipsis_line_frac,
+              round(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                    / len(string_split_regex(text, '\\s+')), 6) AS alpha_word_frac
             FROM t
         """,
         "quality_topk": f"""

@@ -95,6 +95,74 @@ def repetition_columns(text_col: str = "text") -> dict[str, Column]:
     }
 
 
+def gopher_columns(text_col: str = "text") -> dict[str, Column]:
+    """The remaining Gopher rule-set signals (Rae et al. 2021 §A1.1)
+    beyond the repetition pair — all per-row native folds, zero
+    shuffle, ASCII-only regex classes (Java == RE2 parity):
+
+    - ``mean_word_len``: mean characters per whitespace word
+      (Gopher keeps docs in [3, 10]);
+    - ``symbol_word_ratio``: ('#' occurrences + '...' occurrences)
+      per word (keep <= 0.1);
+    - ``bullet_line_frac``: lines starting with a bullet marker
+      (keep < 0.9);
+    - ``ellipsis_line_frac``: lines ending with an ellipsis
+      (keep < 0.3);
+    - ``alpha_word_frac``: words containing at least one ASCII
+      letter (keep >= 0.8).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.split(c, r"\s+")
+    n = F.size(t)
+    lines = F.split(c, r"\n")
+    n_lines = F.size(lines)
+    word_chars = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\."), 0))
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+    n_ell_end = F.size(
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike(r"[A-Za-z]")))
+    frac = lambda num, den: F.round(
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+    )
+    return {
+        "mean_word_len": frac(word_chars, n),
+        "symbol_word_ratio": frac(n_hash + n_ellipsis, n),
+        "bullet_line_frac": frac(n_bullet, n_lines),
+        "ellipsis_line_frac": frac(n_ell_end, n_lines),
+        "alpha_word_frac": frac(n_alpha, n),
+    }
+
+
+#: Gopher keep-thresholds (Rae et al. 2021 §A1.1), exposed so curate
+#: and callers share one definition.
+GOPHER_THRESHOLDS = {
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+}
+
+
+def gopher_pass(text_col: str = "text") -> Column:
+    """True when a document passes every Gopher signal threshold
+    (repetition signals are gated separately via
+    ``repetition_columns``)."""
+    g = gopher_columns(text_col)
+    th = GOPHER_THRESHOLDS
+    return (
+        g["mean_word_len"].between(th["min_mean_word_len"], th["max_mean_word_len"])
+        & (g["symbol_word_ratio"] <= th["max_symbol_word_ratio"])
+        & (g["bullet_line_frac"] < th["max_bullet_line_frac"])
+        & (g["ellipsis_line_frac"] < th["max_ellipsis_line_frac"])
+        & (g["alpha_word_frac"] >= th["min_alpha_word_frac"])
+    )
+
+
 def quality_score() -> Column:
     """Deterministic [0,1] quality score: length saturation +
     stopword presence — the classic cheap web-text filters."""

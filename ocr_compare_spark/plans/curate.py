@@ -89,6 +89,7 @@ def curate(
     lm_vocab_size: int | None = None,
     shard_tokens: int | None = None,
     substring_window: int | None = None,
+    gopher_gates: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -136,6 +137,11 @@ def curate(
     )
     if langs:
         gates = gates & F.col("lang").isin(*langs)
+    if gopher_gates:
+        # the full Gopher rule set (mean word length, symbol ratio,
+        # bullet/ellipsis lines, alphabetic-word fraction) — same
+        # row-local native pass as the other gates
+        gates = gates & textstats.gopher_pass("doc_text")
     kept = scored.filter(gates).persist()
     n_quality = kept.count()
     n_current = n_quality
@@ -359,6 +365,7 @@ def curate(
             "lm_vocab_size": lm_vocab_size,
             "shard_tokens": shard_tokens,
             "substring_window": substring_window,
+            "gopher_gates": gopher_gates,
         },
     }
     if output_dir:
@@ -413,6 +420,9 @@ def main() -> int:
     ap.add_argument("--substring-window", type=int, default=None,
                     help="exact substring dedup: cut every repeated "
                          "N-token window except its first occurrence")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the full Gopher quality rule set in the "
+                         "quality gate stage")
     args = ap.parse_args()
 
     from ocr_compare_spark.session import get_spark
@@ -445,6 +455,7 @@ def main() -> int:
         lm_vocab_size=args.lm_vocab_size,
         shard_tokens=args.shard_tokens,
         substring_window=args.substring_window,
+        gopher_gates=args.gopher,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

@@ -462,6 +462,33 @@ def test_curate_blocklist_and_ppl_stages(spark, sf_dir):
     assert m2["params"]["max_cross_entropy"] == cutoff
 
 
+def test_curate_gopher_gates(spark, sf_dir):
+    """--gopher composes into the quality stage. On this corpus the
+    alpha-word-fraction rule correctly rejects the SHORT markdown-
+    table docs (pipe/dash tokens dominate): every dropped doc must be
+    a table doc (doc_id%10==4) and the count must match a direct
+    gopher_pass evaluation over the same winner texts."""
+    from ocr_compare_spark import synth
+    from ocr_compare_spark.operators.extract import run_engines_fused
+    from ocr_compare_spark.operators.textstats import gopher_pass
+    from ocr_compare_spark.operators.winner import pick_winner
+    from ocr_compare_spark.plans.curate import curate
+
+    base = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1)
+    m = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+               gopher_gates=True)
+    assert m["params"]["gopher_gates"] is True
+    dropped = base["docs_after_quality"] - m["docs_after_quality"]
+    assert dropped > 0
+
+    w = pick_winner(run_engines_fused(
+        synth.pages_from_documents(spark, sf_dir), with_spans=False))
+    bad = w.filter(~gopher_pass("doc_text")).select("url").collect()
+    assert len(bad) == dropped
+    bad_ids = {int(r["url"].rsplit("/", 1)[1]) for r in bad}
+    assert all(i % 10 == 4 for i in bad_ids)  # only table docs rejected
+
+
 def test_curate_substring_dedup_stage(spark, sf_dir):
     """--substring-window: the synth corpus's cycling vocabulary
     plants long cross-doc token runs, so the Lee-et-al pass must cut

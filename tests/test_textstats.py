@@ -112,3 +112,68 @@ def test_pii_counts_and_scrub_match_duckdb_twins(spark):
         duck = dict(zip(names, row))
         for k in names:
             assert duck[k] == got[doc_id][k], (doc_id, k, duck[k], got[doc_id][k])
+
+
+GOPHER_CASES = [
+    (1, "short ok words here\n- bullet one\n- bullet two\nmore..."),
+    (2, "#### ## # hash heavy doc #"),
+    (3, "trailing lines end badly...\nanother one…\nclean line"),
+    (4, "12345 67890 :-) >>> +++"),          # no alphabetic words
+    (5, "a bb ccc dddd"),                     # mean_word_len = 2.5
+    (6, "perfectly normal english sentence with reasonable words"),
+]
+
+
+def test_gopher_signals_planted(spark):
+    """Planted non-zero Gopher signals (the oracle corpus has no
+    bullets/ellipses/symbols) + DuckDB twin equivalence + the
+    composite gopher_pass gate."""
+    import duckdb
+    import math
+
+    from ocr_compare_spark.operators.textstats import gopher_columns, gopher_pass
+
+    df = spark.createDataFrame(GOPHER_CASES, "doc_id int, text string")
+    cols = gopher_columns("text")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in cols.items()],
+            gopher_pass("text").alias("ok"),
+        ).collect()
+    }
+
+    # hand-pinned values
+    assert got[1]["bullet_line_frac"] == 0.5  # 2 of 4 lines
+    assert got[1]["ellipsis_line_frac"] == 0.25  # 'more...'
+    assert got[2]["symbol_word_ratio"] == round(8 / 7, 6)  # 8 '#', 7 words
+    assert got[2]["ok"] is False
+    assert got[3]["ellipsis_line_frac"] == round(2 / 3, 6)
+    assert got[3]["ok"] is False
+    assert got[4]["alpha_word_frac"] == 0.0 and got[4]["ok"] is False
+    assert got[5]["mean_word_len"] == 2.5
+    assert got[6]["ok"] is True
+    assert got[6]["alpha_word_frac"] == 1.0
+
+    # DuckDB twin (same SQL fragments the textstats oracle emits)
+    con = duckdb.connect()
+    sql = r"""
+      SELECT
+        round(CAST(list_sum(list_transform(string_split_regex(text, '\s+'), x -> length(x))) AS DOUBLE)
+              / len(string_split_regex(text, '\s+')), 6),
+        round(CAST((length(text) - length(replace(text, '#', ''))) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+              / len(string_split_regex(text, '\s+')), 6),
+        round(CAST(len(list_filter(string_split(text, chr(10)), x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE)
+              / len(string_split(text, chr(10))), 6),
+        round(CAST(len(list_filter(string_split(text, chr(10)), x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+              / len(string_split(text, chr(10))), 6),
+        round(CAST(len(list_filter(string_split_regex(text, '\s+'), x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+              / len(string_split_regex(text, '\s+')), 6)
+      FROM (SELECT ? AS text)
+    """
+    names = ["mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+             "ellipsis_line_frac", "alpha_word_frac"]
+    for doc_id, text in GOPHER_CASES:
+        row = con.execute(sql, [text]).fetchone()
+        for name, v in zip(names, row):
+            assert math.isclose(got[doc_id][name], v, abs_tol=0), (doc_id, name)

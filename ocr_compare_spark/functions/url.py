@@ -145,6 +145,53 @@ def canonical_url(url: str | Column) -> Column:
     return F.when(c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), rebuilt).otherwise(c)
 
 
+def surt_key(url: str | Column) -> Column:
+    """SURT-form sort key of a url — the ``urlkey`` convention of the
+    Common Crawl CDX index (pywb-style): host labels reversed and
+    comma-joined so that all pages of a domain (and its subdomains)
+    sort contiguously, e.g.
+    ``https://sub.example.com/A?b=2&a=1`` →
+    ``com,example,sub)/a?a=1&b=2``.
+
+    Built ON TOP of :func:`canonical_url`, so the key inherits its
+    cleanup (lowercased scheme/host, userinfo/fragment dropped,
+    default ports stripped, tracking params removed, query params
+    sorted — the tracking-param removal is a deliberate superset of
+    Common Crawl's canonicalizer). On top of that, SURT-specific:
+
+    - the scheme is dropped entirely (http/https collapse to one key,
+      as in the real index);
+    - a single leading ``www`` / ``www<digits>`` host label is
+      stripped when at least two labels remain;
+    - host labels are reversed and comma-joined; IPv4 and bracketed
+      IPv6 literals are NOT reversed (kept atomic);
+    - a non-default port survives as ``host:port`` before the ``)``;
+    - path + query are lowercased (the whole urlkey is lowercase in
+      the index — distinct case-sensitive paths weld, by contract).
+
+    Pure Catalyst expressions, zero shuffle. Non-url inputs (no
+    ``scheme://``) pass through unchanged, like canonical_url."""
+    c = F.col(url) if isinstance(url, str) else url
+    canon = canonical_url(c)
+    host = host_of(canon)
+    # strip one leading www/www<digits> label iff >=2 labels remain
+    host2 = F.regexp_replace(host, r"^www\d*\.(?=[^.]+\.)", "")
+    is_ip = host2.rlike(r"^\d+\.\d+\.\d+\.\d+$") | host2.rlike(r"^\[")
+    rev_host = F.when(is_ip, host2).otherwise(
+        F.array_join(F.reverse(F.split(host2, r"\.")), ",")
+    )
+    port = F.regexp_extract(
+        canon, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:\[[^\]/?#]*\]|[^/:?#]+):(\d+)", 1
+    )
+    port_part = F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port))
+    # canonical_url guarantees a '/' path and no fragment/userinfo
+    rest = F.lower(
+        F.regexp_extract(canon, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    )
+    key = F.concat(rev_host, port_part, F.lit(")"), rest)
+    return F.when(c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), key).otherwise(c)
+
+
 def registered_domain(host: str | Column) -> Column:
     """eTLD+1 via the PSL algorithm over the embedded snapshot
     (PSL_EXACT / PSL_WILDCARD / PSL_EXCEPTIONS):

@@ -163,6 +163,88 @@ def gopher_pass(text_col: str = "text") -> Column:
     )
 
 
+#: C4 line/page rule constants (Raffel et al. 2020 §2.2). ASCII-only
+#: regex (no lookaround) so Java (Spark) == RE2 (DuckDB) semantics.
+C4_TERMINAL_PUNCT = r'[.!?"]$'  # applied after rtrim
+C4_MIN_LINE_WORDS = 5
+#: dropped-line phrase rules: the "javascript" boilerplate line rule
+#: plus the cookie/policy-notice family (lowercased substring match).
+C4_LINE_DROP_PATTERN = (
+    "javascript|terms of use|privacy policy|cookie policy|uses cookies"
+)
+#: sentence terminators in the retained text: a terminal punct mark,
+#: optional closing quote, then whitespace or end-of-text. Consuming
+#: match (no lookahead — RE2 parity); "!!"-style runs count once.
+C4_SENTENCE_PATTERN = "[.!?][\"']?(\\s|$)"
+C4_MIN_SENTENCES = 3
+
+
+def c4_kept_lines(text_col: str | Column = "text") -> Column:
+    """The C4 line filter as an array column: the document's lines
+    ('\\n'-split) that survive all three line rules —
+
+    - end (after rtrim) in terminal punctuation ``. ! ? "``;
+    - contain at least :data:`C4_MIN_LINE_WORDS` whitespace words;
+    - contain none of the drop phrases (``javascript`` + the
+      cookie/policy-notice family), case-insensitive.
+
+    Per-row native filter lambda, zero shuffle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(c, r"\n"),
+        lambda x: F.rtrim(x).rlike(C4_TERMINAL_PUNCT)
+        & (F.size(F.split(F.trim(x), r"\s+")) >= C4_MIN_LINE_WORDS)
+        & ~F.lower(x).rlike(C4_LINE_DROP_PATTERN),
+    )
+
+
+def c4_clean_text(text_col: str | Column = "text") -> Column:
+    """Line-filtered document text: kept lines re-joined with '\\n'
+    (a document with no surviving line becomes the empty string)."""
+    return F.array_join(c4_kept_lines(text_col), "\n")
+
+
+def c4_columns(text_col: str | Column = "text") -> dict[str, Column]:
+    """C4 page-level signals, evaluated on the line-FILTERED text
+    (C4 applies the line rules first, then judges the page):
+
+    - ``c4_line_kept_frac``: surviving-line fraction;
+    - ``c4_n_sentences``: terminal-punctuation sentence count in the
+      retained text (page keep needs >= 3);
+    - ``c4_has_lorem``: retained text contains ``lorem ipsum``;
+    - ``c4_has_brace``: retained text contains ``{`` (code page).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    cleaned = c4_clean_text(c)
+    n_lines = F.size(F.split(c, r"\n"))
+    n_kept = F.size(c4_kept_lines(c))
+    return {
+        "c4_line_kept_frac": F.round(
+            F.when(n_lines > 0, n_kept / n_lines).otherwise(F.lit(0.0)), 6
+        ),
+        "c4_n_sentences": F.size(
+            F.regexp_extract_all(cleaned, F.lit(C4_SENTENCE_PATTERN), 0)
+        ),
+        "c4_has_lorem": F.lower(cleaned).contains("lorem ipsum"),
+        "c4_has_brace": cleaned.contains("{"),
+    }
+
+
+def c4_page_pass(text_col: str | Column = "text") -> Column:
+    """True when the line-filtered page survives the C4 page rules:
+    >= 3 sentences, no ``lorem ipsum``, no ``{``. (The third C4 page
+    rule — the bad-words list — is a caller-supplied phrase list via
+    :data:`C4_LINE_DROP_PATTERN`-style extension; no list is embedded
+    here. Cross-document three-sentence-span dedup is
+    ``dedup.substring_dedup``.)"""
+    s = c4_columns(text_col)
+    return (
+        (s["c4_n_sentences"] >= C4_MIN_SENTENCES)
+        & ~s["c4_has_lorem"]
+        & ~s["c4_has_brace"]
+    )
+
+
 def quality_score() -> Column:
     """Deterministic [0,1] quality score: length saturation +
     stopword presence — the classic cheap web-text filters."""

@@ -90,6 +90,7 @@ def curate(
     shard_tokens: int | None = None,
     substring_window: int | None = None,
     gopher_gates: bool = False,
+    c4_gates: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -123,6 +124,13 @@ def curate(
         pages.select("url", "lang"), "url"
     )
 
+    if c4_gates:
+        # C4 order (Raffel et al. 2020 §2.2): the LINE filter rewrites
+        # the text first (idempotent — surviving lines re-pass the
+        # rules), then the page rules gate below. Stats/token counts
+        # are computed on the retained text, as in the original.
+        winners = winners.withColumn("doc_text", textstats.c4_clean_text("doc_text"))
+
     scored = textstats.with_text_stats(winners, "doc_text").withColumn(
         "lang_pred", textstats.langid_label("doc_text")
     )
@@ -142,6 +150,8 @@ def curate(
         # bullet/ellipsis lines, alphabetic-word fraction) — same
         # row-local native pass as the other gates
         gates = gates & textstats.gopher_pass("doc_text")
+    if c4_gates:
+        gates = gates & textstats.c4_page_pass("doc_text")
     kept = scored.filter(gates).persist()
     n_quality = kept.count()
     n_current = n_quality
@@ -366,6 +376,7 @@ def curate(
             "shard_tokens": shard_tokens,
             "substring_window": substring_window,
             "gopher_gates": gopher_gates,
+            "c4_gates": c4_gates,
         },
     }
     if output_dir:
@@ -423,6 +434,9 @@ def main() -> int:
     ap.add_argument("--gopher", action="store_true",
                     help="apply the full Gopher quality rule set in the "
                          "quality gate stage")
+    ap.add_argument("--c4", action="store_true",
+                    help="apply the C4 line filter (rewrites the text) and "
+                         "page rules in the quality gate stage")
     args = ap.parse_args()
 
     from ocr_compare_spark.session import get_spark
@@ -456,6 +470,7 @@ def main() -> int:
         shard_tokens=args.shard_tokens,
         substring_window=args.substring_window,
         gopher_gates=args.gopher,
+        c4_gates=args.c4,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

@@ -177,3 +177,94 @@ def test_gopher_signals_planted(spark):
         row = con.execute(sql, [text]).fetchone()
         for name, v in zip(names, row):
             assert math.isclose(got[doc_id][name], v, abs_tol=0), (doc_id, name)
+
+
+C4_CASES = [
+    (1, "This is a good long sentence with punctuation.\n"
+        "short line.\n"
+        "This line has no terminal punctuation at all\n"
+        "Please enable javascript to view this page.\n"
+        "Another perfectly fine retained sentence is here!\n"
+        "We use cookies and a privacy policy notice here."),
+    (2, "One good sentence here is fine. Another good sentence follows"
+        " right after! A third sentence completes the page requirement?"),
+    (3, "Code snippet follows with a brace {.\n"
+        "Another very good long sentence right here."),
+    (4, "Lorem ipsum dolor sit amet consectetur adipiscing elit."
+        " The second sentence is here to help."
+        " A third sentence arrives at the end."),
+    (5, 'He said the famous words "hello world program."\n'
+        "She replied with even more enthusiasm and energy!\n"
+        "Finally a third line completes this entire document."),
+    (6, ""),
+]
+
+
+def test_c4_rules_planted(spark):
+    """C4 line + page rules (Raffel et al. 2020 §2.2): hand-pinned
+    line survival, sentence counts, page verdicts, and a DuckDB twin
+    for every signal (RE2 == Java by construction — no lookaround)."""
+    import duckdb
+
+    from ocr_compare_spark.operators.textstats import (
+        c4_clean_text,
+        c4_columns,
+        c4_page_pass,
+    )
+
+    df = spark.createDataFrame(C4_CASES, "doc_id int, text string")
+    cols = c4_columns("text")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            c4_clean_text("text").alias("cleaned"),
+            *[c.alias(n) for n, c in cols.items()],
+            c4_page_pass("text").alias("ok"),
+        ).collect()
+    }
+
+    # hand-pinned: line filter keeps exactly the right lines
+    assert got[1]["cleaned"] == (
+        "This is a good long sentence with punctuation.\n"
+        "Another perfectly fine retained sentence is here!"
+    )
+    assert got[1]["c4_line_kept_frac"] == round(2 / 6, 6)
+    assert got[1]["c4_n_sentences"] == 2 and got[1]["ok"] is False  # < 3
+    assert got[2]["c4_n_sentences"] == 3 and got[2]["ok"] is True
+    assert got[3]["c4_has_brace"] is True and got[3]["ok"] is False
+    assert got[4]["c4_has_lorem"] is True and got[4]["ok"] is False
+    assert got[4]["c4_n_sentences"] == 3  # page fails on lorem alone
+    assert got[5]["c4_n_sentences"] == 3 and got[5]["ok"] is True  # ." counts
+    assert got[6]["cleaned"] == "" and got[6]["ok"] is False
+    assert got[6]["c4_line_kept_frac"] == 0.0
+
+    # DuckDB twin — identical regexes, RE2 side
+    con = duckdb.connect()
+    sql = r"""
+      WITH kept AS (
+        SELECT list_filter(string_split(text, chr(10)), x ->
+                 regexp_matches(rtrim(x), '[.!?"]$')
+                 AND len(string_split_regex(trim(x), '\s+')) >= 5
+                 AND NOT regexp_matches(lower(x),
+                   'javascript|terms of use|privacy policy|cookie policy|uses cookies')
+               ) AS k,
+               string_split(text, chr(10)) AS all_lines
+        FROM (SELECT ? AS text)
+      )
+      SELECT array_to_string(k, chr(10)),
+             round(CAST(len(k) AS DOUBLE) / len(all_lines), 6),
+             len(regexp_extract_all(array_to_string(k, chr(10)), '[.!?]["'']?(\s|$)')),
+             contains(lower(array_to_string(k, chr(10))), 'lorem ipsum'),
+             contains(array_to_string(k, chr(10)), '{')
+      FROM kept
+    """
+    for doc_id, text in C4_CASES:
+        if text == "":
+            continue  # DuckDB len(['']) vs Spark size([""]) both 1; trivial row skipped
+        cleaned, frac, n_sent, lorem, brace = con.execute(sql, [text]).fetchone()
+        assert cleaned == got[doc_id]["cleaned"], doc_id
+        assert frac == got[doc_id]["c4_line_kept_frac"], doc_id
+        assert n_sent == got[doc_id]["c4_n_sentences"], doc_id
+        assert lorem == got[doc_id]["c4_has_lorem"], doc_id
+        assert brace == got[doc_id]["c4_has_brace"], doc_id

@@ -91,6 +91,7 @@ def curate(
     substring_window: int | None = None,
     gopher_gates: bool = False,
     c4_gates: bool = False,
+    bpe_merges: int | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -274,6 +275,24 @@ def curate(
     curated = dedup_boundary = curated.persist()
     n_after_dedup = curated.count()
 
+    n_bpe_merges_learned = None
+    if bpe_merges is not None:
+        # Train the output tokenizer on the deduplicated corpus itself
+        # and restate token_count in MODEL tokens: the budget / shard
+        # stages below are specified in the tokens the training loader
+        # will actually see, not the whitespace proxy. Training runs
+        # on the persisted dedup boundary (word-type reduction makes
+        # every round O(|word types|)); counts run on the final text.
+        from ocr_compare_spark.operators import bpe as bpe_ops
+
+        merges = bpe_ops.train_bpe(curated, "doc_text", n_merges=bpe_merges)
+        n_bpe_merges_learned = len(merges)
+        curated = (
+            bpe_ops.bpe_token_counts(curated, merges, "doc_text")
+            .drop("token_count")
+            .withColumnRenamed("bpe_token_count", "token_count")
+        )
+
     # Mix-construction stages (operators/sampling.py): both are
     # deterministic functions of the url key, so a rerun — or the
     # same job at a different cluster size — emits the same corpus.
@@ -290,9 +309,13 @@ def curate(
             token_budget_sample_bucketed,
         )
 
-        recounted = curated.withColumn(
-            "token_count", textstats.stats_columns("doc_text")["token_count"]
-        ).withColumn("_prio", hash_frac("url"))
+        if bpe_merges is not None:
+            # token_count is already model tokens over the final text
+            recounted = curated.withColumn("_prio", hash_frac("url"))
+        else:
+            recounted = curated.withColumn(
+                "token_count", textstats.stats_columns("doc_text")["token_count"]
+            ).withColumn("_prio", hash_frac("url"))
         curated = token_budget_sample_bucketed(
             recounted, "lang", "token_count", token_budget, "_prio", "url"
         ).drop("_prio")
@@ -377,7 +400,9 @@ def curate(
             "substring_window": substring_window,
             "gopher_gates": gopher_gates,
             "c4_gates": c4_gates,
+            "bpe_merges": bpe_merges,
         },
+        "bpe_merges_learned": n_bpe_merges_learned,
     }
     if output_dir:
         with open(f"{output_dir}/curation_metrics.json", "w") as f:
@@ -437,6 +462,10 @@ def main() -> int:
     ap.add_argument("--c4", action="store_true",
                     help="apply the C4 line filter (rewrites the text) and "
                          "page rules in the quality gate stage")
+    ap.add_argument("--bpe-merges", type=int, default=None,
+                    help="train an N-merge BPE tokenizer on the deduplicated "
+                         "corpus and restate token budgets/shards in model "
+                         "tokens")
     args = ap.parse_args()
 
     from ocr_compare_spark.session import get_spark
@@ -471,6 +500,7 @@ def main() -> int:
         substring_window=args.substring_window,
         gopher_gates=args.gopher,
         c4_gates=args.c4,
+        bpe_merges=args.bpe_merges,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

@@ -591,3 +591,37 @@ def test_curate_c4_gates_keep_punctuated(spark, tmp_path, sf_dir):
     # collapse near-identical rewrites, but at least one must remain
     assert 1 <= m["docs_out"] <= len(ids)
     assert m["dropped_near_dup"] == m["docs_after_quality"] - m["docs_after_dedup"]
+
+
+def test_curate_bpe_token_budget(spark, tmp_path, sf_dir):
+    """--bpe-merges restates the budget/shard stages in model tokens:
+    the output corpus's token_count is the BPE token count of the
+    final text (>= the whitespace count — unmerged words split into
+    characters), per-lang sums respect the budget, and the whole
+    composition is rerun-deterministic."""
+    import pyspark.sql.functions as F
+
+    from ocr_compare_spark.plans.curate import curate
+
+    out = str(tmp_path / "out")
+    import os
+    os.makedirs(out, exist_ok=True)
+    m = curate(spark, sf_dir, out, min_quality=0.0, min_tokens=1,
+               token_budget=20_000, shard_tokens=5_000, bpe_merges=20)
+    assert m["params"]["bpe_merges"] == 20
+    assert m["bpe_merges_learned"] == 20
+    assert m["docs_out"] > 0 and m["n_shards"] >= 1
+    for lang, t in m["tokens_out_by_lang"].items():
+        assert t <= 20_000, lang
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    chk = corpus.select(
+        "token_count",
+        F.size(F.split(F.trim(F.col("doc_text")), r"\s+")).alias("ws"),
+    ).collect()
+    assert all(r["token_count"] >= r["ws"] for r in chk)
+    assert any(r["token_count"] > r["ws"] for r in chk)  # real subword splits
+
+    m2 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+                token_budget=20_000, bpe_merges=20)
+    assert m2["tokens_out_by_lang"] == m["tokens_out_by_lang"]

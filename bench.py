@@ -188,6 +188,17 @@ def main() -> int:
             window=24, num_partitions=cores,
         ).write.format("noop").mode("overwrite").save()
 
+    def q_bpe():
+        from ocr_compare_spark.operators import bpe
+
+        # batched rounds (top-8 symbol-disjoint pairs per count pass)
+        # — the round-latency scale path; then Arrow-batched encode of
+        # the whole table under the trained merges
+        merges = bpe.train_bpe(docs, "text", n_merges=32, merges_per_round=8)
+        bpe.bpe_token_counts(docs.select("doc_id", "text"), merges).select(
+            "doc_id", "bpe_token_count"
+        ).write.format("noop").mode("overwrite").save()
+
     queries = {
         "extract_multi_engine": q_extract,
         "compare_align": q_compare,
@@ -202,6 +213,7 @@ def main() -> int:
         "dedup_cc": q_dedup_cc,
         "lm_ppl": q_lm_ppl,
         "substring_dedup": q_substring_dedup,
+        "bpe_train_encode": q_bpe,
         "tpch_q1": q_tpch_q1,
     }
 

@@ -589,7 +589,10 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the former separate `fingerprint` / `langid` registry rows,
     merged to keep the registry at the 50-row driver-gate cap), plus
     the RefinedWeb-style URL blocklist verdict (domain + pattern
-    rules over the corpus-contract url)."""
+    rules over the corpus-contract url) and the SURT urlkey (the
+    Common Crawl CDX index sort key, functions/url.surt_key — the
+    corpus host contract makes it closed-form for the oracle)."""
+    from ocr_compare_spark.functions.url import surt_key
     from ocr_compare_spark.operators import webfilter
 
     d = _docs(spark, sf_dir)
@@ -604,6 +607,7 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.langid_label("text").alias("lang_pred"),
         wf["block_reason"].alias("block_reason"),
         wf["blocked"].alias("blocked"),
+        surt_key(synth.url_expr()).alias("urlkey"),
     )
 
 
@@ -2242,7 +2246,12 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT fp.doc_id, fp.fp, lang.lang_pred, wf.block_reason,
-                   CAST(CASE WHEN wf.block_reason IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS blocked
+                   CAST(CASE WHEN wf.block_reason IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS blocked,
+                   concat('com,example,',
+                          CASE WHEN fp.doc_id % 2 = 0 THEN 'hot'
+                               WHEN fp.doc_id % 4 = 1 THEN 'warm'
+                               ELSE concat('tail', CAST(fp.doc_id % 37 AS VARCHAR)) END,
+                          ')/doc/', CAST(fp.doc_id AS VARCHAR)) AS urlkey
             FROM fp JOIN lang USING (doc_id) JOIN wf USING (doc_id)
         """,
         "para_dedup": """

@@ -8,6 +8,7 @@ the standard corpus-quality signals.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Fixed stopword list (deterministic; the synthetic corpus vocabulary
@@ -161,6 +162,33 @@ def gopher_pass(text_col: str = "text") -> Column:
         & (g["ellipsis_line_frac"] < th["max_ellipsis_line_frac"])
         & (g["alpha_word_frac"] >= th["min_alpha_word_frac"])
     )
+
+
+def normalize_unicode(col: str | Column, form: str = "NFC") -> Column:
+    """Unicode normalization of a text column (NFC by default; NFKC
+    folds compatibility forms — fullwidth ASCII, ligatures — which is
+    what tokenizer-bound web text usually wants). Crawled pages mix
+    composed and decomposed encodings of the SAME string, which
+    silently splits exact-dedup/shingle hashes and vocab counts;
+    normalizing before any hash-keyed stage welds them back.
+
+    The ONE text operator here that is not Catalyst-native: the JVM
+    has no normalization expression, so this is an Arrow-batched
+    pandas UDF over Python's unicodedata (NFC verified against
+    DuckDB's independent nfc_normalize in tests). Idempotent."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return norm(c)
 
 
 #: C4 line/page rule constants (Raffel et al. 2020 §2.2). ASCII-only

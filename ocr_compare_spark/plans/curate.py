@@ -92,6 +92,7 @@ def curate(
     gopher_gates: bool = False,
     c4_gates: bool = False,
     bpe_merges: int | None = None,
+    normalize_form: str | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -124,6 +125,15 @@ def curate(
     ).select("url", "engine", "doc_text", "confidence").join(
         pages.select("url", "lang"), "url"
     )
+
+    if normalize_form:
+        # Unicode normalization FIRST: every downstream hash-keyed
+        # stage (para/substring/minhash dedup, LM vocab, BPE) keys on
+        # the normalized bytes, so mixed NFC/NFD encodings of the same
+        # page weld instead of splitting the hashes
+        winners = winners.withColumn(
+            "doc_text", textstats.normalize_unicode("doc_text", normalize_form)
+        )
 
     if c4_gates:
         # C4 order (Raffel et al. 2020 §2.2): the LINE filter rewrites
@@ -401,6 +411,7 @@ def curate(
             "gopher_gates": gopher_gates,
             "c4_gates": c4_gates,
             "bpe_merges": bpe_merges,
+            "normalize_form": normalize_form,
         },
         "bpe_merges_learned": n_bpe_merges_learned,
     }
@@ -462,6 +473,9 @@ def main() -> int:
     ap.add_argument("--c4", action="store_true",
                     help="apply the C4 line filter (rewrites the text) and "
                          "page rules in the quality gate stage")
+    ap.add_argument("--normalize", default=None, choices=["NFC", "NFD", "NFKC", "NFKD"],
+                    help="unicode-normalize the winner text before any "
+                         "gate or hash-keyed stage")
     ap.add_argument("--bpe-merges", type=int, default=None,
                     help="train an N-merge BPE tokenizer on the deduplicated "
                          "corpus and restate token budgets/shards in model "
@@ -501,6 +515,7 @@ def main() -> int:
         gopher_gates=args.gopher,
         c4_gates=args.c4,
         bpe_merges=args.bpe_merges,
+        normalize_form=args.normalize,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

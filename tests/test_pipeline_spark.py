@@ -625,3 +625,17 @@ def test_curate_bpe_token_budget(spark, tmp_path, sf_dir):
     m2 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
                 token_budget=20_000, bpe_merges=20)
     assert m2["tokens_out_by_lang"] == m["tokens_out_by_lang"]
+
+
+def test_curate_normalize_is_noop_on_ascii(spark, sf_dir):
+    """--normalize NFC on the all-ASCII synth corpus must change
+    nothing (idempotence at pipeline level) while exercising the
+    Arrow normalization pass through the whole DAG."""
+    from ocr_compare_spark.plans.curate import curate
+
+    base = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1)
+    m = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+               normalize_form="NFC")
+    assert m["params"]["normalize_form"] == "NFC"
+    for k in ("docs_after_quality", "docs_after_dedup", "docs_out"):
+        assert m[k] == base[k], k

@@ -268,3 +268,56 @@ def test_c4_rules_planted(spark):
         assert n_sent == got[doc_id]["c4_n_sentences"], doc_id
         assert lorem == got[doc_id]["c4_has_lorem"], doc_id
         assert brace == got[doc_id]["c4_has_brace"], doc_id
+
+
+def test_normalize_unicode_planted(spark):
+    """NFC against DuckDB's independent nfc_normalize; NFKC
+    compatibility folds pinned by literal; idempotent; and the point
+    of the operator: mixed encodings of the same string weld to one
+    dedup hash after normalization."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ocr_compare_spark.operators.textstats import normalize_unicode
+
+    cases = [
+        (1, "café"),          # decomposed e + combining acute
+        (2, "café"),                # precomposed é — same string post-NFC
+        (3, "ＡＢＣ ﬁn"),  # fullwidth ABC + fi ligature
+        (4, "plain ascii stays put."),
+        (5, None),
+    ]
+    df = spark.createDataFrame(cases, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["nfc"], r["nfkc"], r["twice"])
+        for r in df.select(
+            "doc_id",
+            normalize_unicode("text").alias("nfc"),
+            normalize_unicode("text", "NFKC").alias("nfkc"),
+            normalize_unicode(normalize_unicode("text"), "NFC").alias("twice"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for doc_id, text in cases:
+        if text is None:
+            assert got[doc_id] == (None, None, None)
+            continue
+        duck_nfc = con.execute("SELECT nfc_normalize(?)", [text]).fetchone()[0]
+        assert got[doc_id][0] == duck_nfc, doc_id
+        assert got[doc_id][2] == got[doc_id][0], doc_id  # idempotent
+    assert got[1][0] == got[2][0] == "café"
+    assert got[3][1] == "ABC fin"  # NFKC compatibility folds
+    assert got[4][0] == "plain ascii stays put."
+
+    # dedup welding: both é spellings hash identically after NFC
+    hashes = (
+        df.filter(F.col("doc_id").isin(1, 2))
+        .select(F.md5(normalize_unicode("text")).alias("h"))
+        .collect()
+    )
+    assert hashes[0]["h"] == hashes[1]["h"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        normalize_unicode("text", "NFX")

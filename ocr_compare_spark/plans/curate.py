@@ -93,6 +93,10 @@ def curate(
     c4_gates: bool = False,
     bpe_merges: int | None = None,
     normalize_form: str | None = None,
+    nb_reference: str | None = None,
+    nb_text_col: str = "text",
+    nb_min_score: float = 0.0,
+    nb_vocab_size: int | None = 50_000,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -186,6 +190,31 @@ def curate(
         n_after_ppl = kept.count()
         n_high_ppl = n_current - n_after_ppl
         n_current = n_after_ppl
+        old.unpersist()
+
+    n_low_nb = None
+    if nb_reference is not None:
+        # CCNet/GPT-3-style reference classifier: train NB on the
+        # high-quality reference corpus (positive) vs the survivors
+        # themselves (negative = crawl background), keep pages scored
+        # reference-like. One counting pass to train, one broadcast-
+        # join pass to score — no iterations, plan O(1) in vocab.
+        from ocr_compare_spark.operators.classifier import score_nb, train_nb
+
+        ref = spark.read.parquet(nb_reference).select(
+            F.col(nb_text_col).alias("doc_text")
+        )
+        model = train_nb(
+            ref, kept.select("doc_text"), "doc_text", vocab_size=nb_vocab_size
+        )
+        nb_good = score_nb(
+            kept.select("url", "doc_text"), model, "url", "doc_text"
+        ).filter(F.col("nb_score") > nb_min_score).select("url")
+        old = kept
+        kept = kept.join(nb_good, "url", "left_semi").persist()
+        n_after_nb = kept.count()
+        n_low_nb = n_current - n_after_nb
+        n_current = n_after_nb
         old.unpersist()
 
     paras_dropped = None
@@ -377,6 +406,7 @@ def curate(
         "dropped_blocklist": n_blocked,
         "dropped_quality": (n_in - (n_blocked or 0)) - n_quality,
         "dropped_high_ppl": n_high_ppl,
+        "dropped_low_nb": n_low_nb,
         # n_current here = post-quality/ppl/decontam (para-dedup and
         # scrub preserve doc count), so this is ONLY the LSH drop
         "dropped_near_dup": n_current - n_after_dedup,
@@ -412,6 +442,8 @@ def curate(
             "c4_gates": c4_gates,
             "bpe_merges": bpe_merges,
             "normalize_form": normalize_form,
+            "nb_reference": nb_reference,
+            "nb_min_score": nb_min_score if nb_reference else None,
         },
         "bpe_merges_learned": n_bpe_merges_learned,
     }
@@ -473,6 +505,11 @@ def main() -> int:
     ap.add_argument("--c4", action="store_true",
                     help="apply the C4 line filter (rewrites the text) and "
                          "page rules in the quality gate stage")
+    ap.add_argument("--nb-reference", default=None,
+                    help="parquet dir of a high-quality reference corpus; "
+                         "train an NB classifier (reference vs survivors) "
+                         "and keep pages scored reference-like")
+    ap.add_argument("--nb-min-score", type=float, default=0.0)
     ap.add_argument("--normalize", default=None, choices=["NFC", "NFD", "NFKC", "NFKD"],
                     help="unicode-normalize the winner text before any "
                          "gate or hash-keyed stage")
@@ -516,6 +553,8 @@ def main() -> int:
         c4_gates=args.c4,
         bpe_merges=args.bpe_merges,
         normalize_form=args.normalize,
+        nb_reference=args.nb_reference,
+        nb_min_score=args.nb_min_score,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

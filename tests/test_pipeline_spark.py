@@ -639,3 +639,43 @@ def test_curate_normalize_is_noop_on_ascii(spark, sf_dir):
     assert m["params"]["normalize_form"] == "NFC"
     for k in ("docs_after_quality", "docs_after_dedup", "docs_out"):
         assert m[k] == base[k], k
+
+
+def test_curate_nb_reference_gate(spark, tmp_path, sf_dir):
+    """--nb-reference: train reference-vs-survivors NB, keep
+    reference-like pages. Expected drop derived by replaying the
+    stage inputs directly (gopher-test pattern): with no other gates,
+    the survivors ARE the winner texts, so the direct score_nb
+    evaluation must reproduce the metric exactly; deterministic."""
+    import pyspark.sql.functions as F
+
+    from ocr_compare_spark import synth
+    from ocr_compare_spark.operators.classifier import score_nb, train_nb
+    from ocr_compare_spark.operators.extract import run_engines_fused
+    from ocr_compare_spark.operators.winner import pick_winner
+    from ocr_compare_spark.plans.curate import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref_dir = str(tmp_path / "ref")
+    docs.filter(F.col("lang") == "en").select("text").write.parquet(ref_dir)
+
+    m = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+               nb_reference=ref_dir, nb_vocab_size=100)
+    assert m["params"]["nb_reference"] == ref_dir
+    assert m["dropped_low_nb"] is not None
+    assert 0 <= m["dropped_low_nb"] < m["docs_after_quality"]
+
+    w = pick_winner(run_engines_fused(
+        synth.pages_from_documents(spark, sf_dir), with_spans=False))
+    ref = spark.read.parquet(ref_dir).select(F.col("text").alias("doc_text"))
+    model = train_nb(ref, w.select("doc_text"), "doc_text", vocab_size=100)
+    n_bad = (
+        score_nb(w.select("url", "doc_text"), model, "url", "doc_text")
+        .filter(~(F.col("nb_score") > 0.0)).count()
+    )
+    assert m["dropped_low_nb"] == n_bad
+
+    m2 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+                nb_reference=ref_dir, nb_vocab_size=100)
+    assert m2["dropped_low_nb"] == m["dropped_low_nb"]
+    assert m2["docs_out"] == m["docs_out"]

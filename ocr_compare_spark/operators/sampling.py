@@ -277,3 +277,45 @@ def write_token_shards(
         .partitionBy(strata_col, shard_col)
         .parquet(path)
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    max_rows: int,
+    id_col: str,
+    priority_col: str | None = None,
+    method: str = "bucketed",
+    n_buckets: int = 1024,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """RefinedWeb-style per-key row cap: keep at most ``max_rows``
+    rows per key (e.g. registered domain — a handful of mega-hosts
+    otherwise dominate a crawl corpus). This IS token-budget
+    semantics with every row costing one token, so it reuses the
+    distributed prefix-sum machinery (bucketed by default; "exact"
+    = the single-window reference path).
+
+    The kept set is the deterministic (priority, id)-first prefix per
+    key — layout- and cluster-size-invariant like hash_sample.
+    ``priority_col`` defaults to ``hash_frac(id_col)`` (a uniform
+    per-key sample); pass e.g. ``1 - quality`` for quality-first."""
+    out = df
+    helper = ["_one"]
+    if priority_col is None:
+        out = out.withColumn("_prio", hash_frac(id_col))
+        priority_col = "_prio"
+        helper.append("_prio")
+    out = out.withColumn("_one", F.lit(1))
+    if method == "exact":
+        kept = token_budget_sample(
+            out, key_col, "_one", max_rows, priority_col, id_col, cum_col="_cum"
+        )
+    elif method == "bucketed":
+        kept = token_budget_sample_bucketed(
+            out, key_col, "_one", max_rows, priority_col, id_col,
+            cum_col="_cum", n_buckets=n_buckets, checkpoint=checkpoint,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return kept.drop("_cum", *helper)

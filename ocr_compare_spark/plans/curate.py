@@ -97,6 +97,7 @@ def curate(
     nb_text_col: str = "text",
     nb_min_score: float = 0.0,
     nb_vocab_size: int | None = 50_000,
+    max_per_host: int | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -336,6 +337,18 @@ def curate(
     # deterministic functions of the url key, so a rerun — or the
     # same job at a different cluster size — emits the same corpus.
     tokens_out_by_lang = None
+    if max_per_host is not None:
+        # host balancing (RefinedWeb family): cap each host's share of
+        # the output so mega-hosts can't dominate the mix. Token-budget
+        # semantics at one token per row — deterministic hash-priority
+        # prefix per host, layout/cluster-size-invariant.
+        from ocr_compare_spark.functions.url import host_of
+        from ocr_compare_spark.operators.sampling import cap_per_key
+
+        curated = cap_per_key(
+            curated.withColumn("_host", host_of(F.col("url"))),
+            "_host", max_per_host, "url",
+        ).drop("_host")
     if sample_rate is not None:
         from ocr_compare_spark.operators.sampling import hash_sample
 
@@ -444,6 +457,7 @@ def curate(
             "normalize_form": normalize_form,
             "nb_reference": nb_reference,
             "nb_min_score": nb_min_score if nb_reference else None,
+            "max_per_host": max_per_host,
         },
         "bpe_merges_learned": n_bpe_merges_learned,
     }
@@ -505,6 +519,9 @@ def main() -> int:
     ap.add_argument("--c4", action="store_true",
                     help="apply the C4 line filter (rewrites the text) and "
                          "page rules in the quality gate stage")
+    ap.add_argument("--max-per-host", type=int, default=None,
+                    help="cap each host's pages in the output mix "
+                         "(deterministic hash-priority prefix per host)")
     ap.add_argument("--nb-reference", default=None,
                     help="parquet dir of a high-quality reference corpus; "
                          "train an NB classifier (reference vs survivors) "
@@ -555,6 +572,7 @@ def main() -> int:
         normalize_form=args.normalize,
         nb_reference=args.nb_reference,
         nb_min_score=args.nb_min_score,
+        max_per_host=args.max_per_host,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

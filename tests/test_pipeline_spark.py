@@ -679,3 +679,30 @@ def test_curate_nb_reference_gate(spark, tmp_path, sf_dir):
                 nb_reference=ref_dir, nb_vocab_size=100)
     assert m2["dropped_low_nb"] == m["dropped_low_nb"]
     assert m2["docs_out"] == m["docs_out"]
+
+
+def test_curate_max_per_host(spark, tmp_path, sf_dir):
+    """--max-per-host caps each host's share of the output mix; the
+    drop lands in dropped_sampling (not the near-dup metric) and the
+    per-host counts in the written corpus respect the cap."""
+    import pyspark.sql.functions as F
+
+    from ocr_compare_spark.functions.url import host_of
+    from ocr_compare_spark.plans.curate import curate
+
+    out = str(tmp_path / "out")
+    import os
+    os.makedirs(out, exist_ok=True)
+    base = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1)
+    m = curate(spark, sf_dir, out, min_quality=0.0, min_tokens=1,
+               max_per_host=5)
+    assert m["params"]["max_per_host"] == 5
+    assert m["docs_after_dedup"] == base["docs_after_dedup"]
+    assert m["dropped_near_dup"] == base["dropped_near_dup"]
+    assert m["dropped_sampling"] == m["docs_after_dedup"] - m["docs_out"]
+    assert m["docs_out"] < base["docs_out"]
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    per_host = corpus.withColumn("h", host_of(F.col("url"))).groupBy("h").count()
+    assert per_host.filter(F.col("count") > 5).count() == 0
+    assert per_host.filter(F.col("count") == 5).count() > 0  # cap actually bit

@@ -183,3 +183,44 @@ def test_write_token_shards_one_file_per_shard(spark, sf_dir, tmp_path):
     # round-trip preserves the assignment (shard is a partition col)
     orig = {(r["doc_id"], r["shard"]) for r in out.collect()}
     assert {(r["doc_id"], int(r["shard"])) for r in back.collect()} == orig
+
+
+def test_cap_per_key_domain_balancing(spark):
+    """Per-key row cap == the deterministic (priority, id)-first
+    prefix: bucketed == exact == a driver-side replay; skewed keys
+    are cut to the cap, small keys untouched, layout-invariant."""
+    import pyspark.sql.functions as F
+
+    from ocr_compare_spark.operators.sampling import cap_per_key, hash_frac
+
+    rows = (
+        [(f"d{i}", "mega.example.com") for i in range(200)]
+        + [(f"s{i}", "small.example.org") for i in range(3)]
+        + [(f"m{i}", "mid.example.net") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "id string, domain string")
+    got = cap_per_key(df, "domain", 10, "id")
+    by_dom = {
+        r["domain"]: sorted(r["ids"])
+        for r in got.groupBy("domain").agg(F.collect_list("id").alias("ids")).collect()
+    }
+    assert len(by_dom["mega.example.com"]) == 10
+    assert len(by_dom["small.example.org"]) == 3
+    assert len(by_dom["mid.example.net"]) == 10
+
+    # driver replay: hash_frac-first prefix per key
+    fr = {
+        r["id"]: r["f"]
+        for r in df.select("id", hash_frac("id").alias("f")).collect()
+    }
+    for dom, n in (("mega.example.com", 10), ("small.example.org", 3)):
+        ids = sorted(i for i, d in rows if d == dom)
+        want = sorted(sorted(ids, key=lambda i: (fr[i], i))[:n])
+        assert by_dom[dom] == want, dom
+
+    # exact path + partition layout invariance
+    exact = cap_per_key(df.repartition(13), "domain", 10, "id", method="exact")
+    assert {r["id"] for r in exact.select("id").collect()} == {
+        r["id"] for r in got.select("id").collect()
+    }
+    assert got.columns == df.columns  # helper columns dropped

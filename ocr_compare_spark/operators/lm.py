@@ -308,3 +308,38 @@ def bigram_scores(
         "n_bigram_hits",
         _round6(-F.col("_s") / F.col("n_tokens")).alias("cross_entropy"),
     ).withColumn("ppl", _round6(F.exp(F.col("cross_entropy"))))
+
+
+# ------------------------------------------- CCNet corpus bucketing
+
+def ce_buckets(
+    scores: DataFrame,
+    strata_col: str = "lang",
+    ce_col: str = "cross_entropy",
+    bucket_col: str = "ce_bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: per stratum (language), bucket
+    documents by cross-entropy TERCILES — ``head`` = the most
+    reference-like third, the slice CCNet ships as its highest
+    quality tier.
+
+    One tiny aggregate (exact interpolated ``percentile`` per
+    stratum — #strata rows) broadcast back onto the scores; the
+    cutoffs are round6-ed so the comparison happens on the same
+    6-decimal grid as the scores themselves (lm.py's cross-engine
+    rounding contract). Fully lazy, zero extra shuffles on the
+    score stream."""
+    cuts = scores.groupBy(strata_col).agg(
+        _round6(F.expr(f"percentile({ce_col}, 1.0D/3.0D)")).alias("_t1"),
+        _round6(F.expr(f"percentile({ce_col}, 2.0D/3.0D)")).alias("_t2"),
+    )
+    bucket = (
+        F.when(F.col(ce_col) <= F.col("_t1"), F.lit("head"))
+        .when(F.col(ce_col) <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scores.join(F.broadcast(cuts), strata_col)
+        .withColumn(bucket_col, bucket)
+        .drop("_t1", "_t2")
+    )

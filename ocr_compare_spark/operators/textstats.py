@@ -232,24 +232,36 @@ def c4_clean_text(text_col: str | Column = "text") -> Column:
     return F.array_join(c4_kept_lines(text_col), "\n")
 
 
-def c4_columns(text_col: str | Column = "text") -> dict[str, Column]:
+def c4_columns(
+    text_col: str | Column = "text", already_clean: bool = False
+) -> dict[str, Column]:
     """C4 page-level signals, evaluated on the line-FILTERED text
     (C4 applies the line rules first, then judges the page):
 
-    - ``c4_line_kept_frac``: surviving-line fraction;
+    - ``c4_line_kept_frac``: surviving-line fraction (1.0 when
+      ``already_clean``);
     - ``c4_n_sentences``: terminal-punctuation sentence count in the
       retained text (page keep needs >= 3);
     - ``c4_has_lorem``: retained text contains ``lorem ipsum``;
     - ``c4_has_brace``: retained text contains ``{`` (code page).
-    """
+
+    ``already_clean=True`` skips the line filter: pass it when the
+    column has ALREADY been rewritten with :func:`c4_clean_text`
+    (Catalyst inlines an expression-backed column into every lambda
+    that references it — the CLAUDE.md trap — so re-deriving the
+    filter here would run the per-line fold once per signal)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    cleaned = c4_clean_text(c)
-    n_lines = F.size(F.split(c, r"\n"))
-    n_kept = F.size(c4_kept_lines(c))
-    return {
-        "c4_line_kept_frac": F.round(
+    cleaned = c if already_clean else c4_clean_text(c)
+    if already_clean:
+        kept_frac = F.lit(1.0)
+    else:
+        n_lines = F.size(F.split(c, r"\n"))
+        n_kept = F.size(c4_kept_lines(c))
+        kept_frac = F.round(
             F.when(n_lines > 0, n_kept / n_lines).otherwise(F.lit(0.0)), 6
-        ),
+        )
+    return {
+        "c4_line_kept_frac": kept_frac,
         "c4_n_sentences": F.size(
             F.regexp_extract_all(cleaned, F.lit(C4_SENTENCE_PATTERN), 0)
         ),
@@ -258,14 +270,16 @@ def c4_columns(text_col: str | Column = "text") -> dict[str, Column]:
     }
 
 
-def c4_page_pass(text_col: str | Column = "text") -> Column:
+def c4_page_pass(
+    text_col: str | Column = "text", already_clean: bool = False
+) -> Column:
     """True when the line-filtered page survives the C4 page rules:
     >= 3 sentences, no ``lorem ipsum``, no ``{``. (The third C4 page
     rule — the bad-words list — is a caller-supplied phrase list via
     :data:`C4_LINE_DROP_PATTERN`-style extension; no list is embedded
     here. Cross-document three-sentence-span dedup is
     ``dedup.substring_dedup``.)"""
-    s = c4_columns(text_col)
+    s = c4_columns(text_col, already_clean=already_clean)
     return (
         (s["c4_n_sentences"] >= C4_MIN_SENTENCES)
         & ~s["c4_has_lorem"]

@@ -167,7 +167,10 @@ def curate(
         # row-local native pass as the other gates
         gates = gates & textstats.gopher_pass("doc_text")
     if c4_gates:
-        gates = gates & textstats.c4_page_pass("doc_text")
+        # doc_text was rewritten with c4_clean_text above, so the page
+        # signals skip the line filter (already_clean: the fold would
+        # otherwise inline once per signal — the array-lambda trap)
+        gates = gates & textstats.c4_page_pass("doc_text", already_clean=True)
     kept = scored.filter(gates).persist()
     n_quality = kept.count()
     n_current = n_quality

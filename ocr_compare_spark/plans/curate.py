@@ -98,6 +98,7 @@ def curate(
     nb_min_score: float = 0.0,
     nb_vocab_size: int | None = 50_000,
     max_per_host: int | None = None,
+    ppl_paragraphs: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -176,25 +177,47 @@ def curate(
     n_current = n_quality
 
     n_high_ppl = None
+    paras_dropped_ppl = None
     if max_cross_entropy is not None:
         # CCNet-style LM gate: train the unigram LM on the quality
-        # survivors themselves (the in-domain reference), score every
-        # doc via the data path (broadcast vocab join — no driver
-        # collect, plan O(1) in |vocab|), drop the high-perplexity
-        # tail. Runs BEFORE the dedup stages so junk never shingles.
+        # survivors themselves (the in-domain reference), score via
+        # the data path (broadcast vocab join — no driver collect,
+        # plan O(1) in |vocab|). Runs BEFORE the dedup stages so junk
+        # never shingles.
         from ocr_compare_spark.operators import lm as lm_ops
 
         model = lm_ops.train_unigram_lm(kept, "doc_text", vocab_size=lm_vocab_size)
-        scores = lm_ops.perplexity_scores(
-            kept.select("url", "doc_text"), model, "url", "doc_text", method="data"
-        )
-        good = scores.filter(F.col("cross_entropy") <= max_cross_entropy).select("url")
-        old = kept
-        kept = kept.join(good, "url", "left_semi").persist()
-        n_after_ppl = kept.count()
-        n_high_ppl = n_current - n_after_ppl
-        n_current = n_after_ppl
-        old.unpersist()
+        if ppl_paragraphs:
+            # CCNet's actual granularity: drop high-CE PARAGRAPHS and
+            # keep the (possibly shortened) documents — a page is
+            # usually good prose wrapped in junk. Doc count unchanged
+            # (like para_dedup); the per-paragraph drop is its own
+            # metric.
+            filtered = lm_ops.paragraph_ppl_filter(
+                kept.select(F.col("url"), "doc_text"), model,
+                id_col="url", text_col="doc_text",
+                max_cross_entropy=max_cross_entropy,
+            ).persist()
+            paras_dropped_ppl = filtered.agg(F.sum("n_dropped")).first()[0] or 0
+            old = kept
+            kept = (
+                kept.drop("doc_text")
+                .join(filtered.select(F.col("id").alias("url"), "text"), "url")
+                .withColumnRenamed("text", "doc_text")
+                .persist()
+            )
+            old.unpersist()
+        else:
+            scores = lm_ops.perplexity_scores(
+                kept.select("url", "doc_text"), model, "url", "doc_text", method="data"
+            )
+            good = scores.filter(F.col("cross_entropy") <= max_cross_entropy).select("url")
+            old = kept
+            kept = kept.join(good, "url", "left_semi").persist()
+            n_after_ppl = kept.count()
+            n_high_ppl = n_current - n_after_ppl
+            n_current = n_after_ppl
+            old.unpersist()
 
     n_low_nb = None
     if nb_reference is not None:
@@ -422,6 +445,7 @@ def curate(
         "dropped_blocklist": n_blocked,
         "dropped_quality": (n_in - (n_blocked or 0)) - n_quality,
         "dropped_high_ppl": n_high_ppl,
+        "paras_dropped_ppl": paras_dropped_ppl,
         "dropped_low_nb": n_low_nb,
         # n_current here = post-quality/ppl/decontam (para-dedup and
         # scrub preserve doc count), so this is ONLY the LSH drop
@@ -461,6 +485,7 @@ def curate(
             "nb_reference": nb_reference,
             "nb_min_score": nb_min_score if nb_reference else None,
             "max_per_host": max_per_host,
+            "ppl_paragraphs": ppl_paragraphs,
         },
         "bpe_merges_learned": n_bpe_merges_learned,
     }
@@ -522,6 +547,9 @@ def main() -> int:
     ap.add_argument("--c4", action="store_true",
                     help="apply the C4 line filter (rewrites the text) and "
                          "page rules in the quality gate stage")
+    ap.add_argument("--para-ppl", action="store_true",
+                    help="apply --max-ce at PARAGRAPH granularity (drop "
+                         "high-CE paragraphs, keep the shortened docs)")
     ap.add_argument("--max-per-host", type=int, default=None,
                     help="cap each host's pages in the output mix "
                          "(deterministic hash-priority prefix per host)")
@@ -576,6 +604,7 @@ def main() -> int:
         nb_reference=args.nb_reference,
         nb_min_score=args.nb_min_score,
         max_per_host=args.max_per_host,
+        ppl_paragraphs=args.para_ppl,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

@@ -706,3 +706,40 @@ def test_curate_max_per_host(spark, tmp_path, sf_dir):
     per_host = corpus.withColumn("h", host_of(F.col("url"))).groupBy("h").count()
     assert per_host.filter(F.col("count") > 5).count() == 0
     assert per_host.filter(F.col("count") == 5).count() > 0  # cap actually bit
+
+
+def test_curate_paragraph_ppl_gate(spark, sf_dir):
+    """--max-ce --para-ppl drops PARAGRAPHS, not documents: doc count
+    survives the stage, real paragraphs are removed at a median-CE
+    cutoff, and the doc-level variant at the same cutoff drops whole
+    docs instead."""
+    from ocr_compare_spark.plans.curate import curate
+
+    base = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1)
+    # median PARAGRAPH ce from a quick probe (reuse the lm ops directly)
+    import pyspark.sql.functions as F
+
+    from ocr_compare_spark import synth
+    from ocr_compare_spark.operators.extract import run_engines_fused
+    from ocr_compare_spark.operators.lm import perplexity_scores, train_unigram_lm
+    from ocr_compare_spark.operators.winner import pick_winner
+
+    w = pick_winner(run_engines_fused(
+        synth.pages_from_documents(spark, sf_dir), with_spans=False))
+    model = train_unigram_lm(w, "doc_text")
+    paras = w.select(
+        "url", F.posexplode(F.split("doc_text", "\n\n", -1)).alias("pos", "para")
+    ).withColumn("pid", F.concat_ws(":", "url", "pos"))
+    ce = sorted(
+        r["cross_entropy"]
+        for r in perplexity_scores(paras, model, id_col="pid", text_col="para",
+                                   method="data").collect()
+    )
+    cutoff = ce[len(ce) // 2]
+
+    m = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+               max_cross_entropy=cutoff, ppl_paragraphs=True)
+    assert m["params"]["ppl_paragraphs"] is True
+    assert m["dropped_high_ppl"] is None  # doc gate not applied
+    assert m["paras_dropped_ppl"] and m["paras_dropped_ppl"] > 0
+    assert m["docs_after_quality"] == base["docs_after_quality"]  # no doc drop

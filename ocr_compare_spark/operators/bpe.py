@@ -43,6 +43,8 @@ regex proxies in operators/textstats.py).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -50,6 +52,20 @@ from pyspark.sql import Column, DataFrame, functions as F
 #: (Sennrich's convention) — merged tokens carry it, so detokenizing
 #: is ``concat(tokens).replace(EOW, ' ')``.
 EOW = "</w>"
+
+#: Pre-tokenizer split, pinned to Spark's ``split(_, '\\s+')``
+#: semantics: Java ``\\s`` is ASCII-only ([ \\t\\n\\x0B\\f\\r]), so a
+#: U+00A0-joined pair is ONE word type at train time — the encoder
+#: must agree or merges learned across the NBSP are dead weight
+#: (review r5: str.split() splits all Unicode whitespace).
+_WS_RE = re.compile(r"\s+", re.ASCII)
+
+
+def py_words(text: str) -> list[str]:
+    """Non-empty words under the training tokenization — the mirror
+    used by the encoder and tests (word_types filters '' the same
+    way)."""
+    return [w for w in _WS_RE.split(text) if w]
 
 
 def word_types(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -214,7 +230,7 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
             if text is None:
                 return None
             toks: list[str] = []
-            for w in text.split():
+            for w in py_words(text):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = _encode_word(w, ranks)

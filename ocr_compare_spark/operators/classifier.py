@@ -133,12 +133,11 @@ def score_nb(
 # Pure-Python mirror (tests pin Spark == mirror bit-for-bit)
 
 def _py_tokens(text: str) -> list[str]:
-    """Java-split(\\s+) semantics: leading empty token kept, trailing
-    empty tokens dropped."""
-    parts = re.split(r"\s+", text)
-    while parts and parts[-1] == "":
-        parts.pop()
-    return parts
+    """Spark ``F.split(_, '\\s+')`` semantics (limit -1): BOTH leading
+    and trailing empty tokens are kept — ``'a b '`` tokenizes to
+    ``['a', 'b', '']`` on both sides (review r5: the mirror previously
+    dropped trailing empties, diverging on trailing whitespace)."""
+    return re.split(r"\s+", text)
 
 
 def _r6(x: float) -> float:

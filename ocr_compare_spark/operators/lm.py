@@ -332,16 +332,19 @@ def ce_buckets(
     cuts = scores.groupBy(strata_col).agg(
         _round6(F.expr(f"percentile({ce_col}, 1.0D/3.0D)")).alias("_t1"),
         _round6(F.expr(f"percentile({ce_col}, 2.0D/3.0D)")).alias("_t2"),
-    )
+    ).withColumnRenamed(strata_col, "_s")
     bucket = (
         F.when(F.col(ce_col) <= F.col("_t1"), F.lit("head"))
         .when(F.col(ce_col) <= F.col("_t2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
+    # null-safe stratum match: a NULL stratum is a legal groupBy group
+    # (same rule as token_budget_sample_bucketed — a plain join key
+    # would silently drop those docs unlabeled)
     return (
-        scores.join(F.broadcast(cuts), strata_col)
+        scores.join(F.broadcast(cuts), F.col(strata_col).eqNullSafe(F.col("_s")))
         .withColumn(bucket_col, bucket)
-        .drop("_t1", "_t2")
+        .drop("_s", "_t1", "_t2")
     )
 
 
@@ -377,7 +380,12 @@ def paragraph_ppl_filter(
     paras = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "para"),
-    ).withColumn("is_blank", F.trim(F.col("para")) == "")
+    ).withColumn(
+        # whole-class whitespace test: F.trim strips only 0x20, so a
+        # tab/CR-only paragraph would otherwise score as OOV junk and
+        # be dropped instead of kept as a separator artifact
+        "is_blank", F.col("para").rlike(r"^\s*$")
+    )
     toks = paras.select(
         "id", "pos", "para", "is_blank", F.explode(_tokens("para")).alias("token")
     )

@@ -193,7 +193,11 @@ def normalize_unicode(col: str | Column, form: str = "NFC") -> Column:
 
 #: C4 line/page rule constants (Raffel et al. 2020 §2.2). ASCII-only
 #: regex (no lookaround) so Java (Spark) == RE2 (DuckDB) semantics.
-C4_TERMINAL_PUNCT = r'[.!?"]$'  # applied after rtrim
+#: Trailing whitespace (incl. the '\r' every CRLF document leaves on
+#: '\n'-split lines) is absorbed by the pattern itself — F.rtrim
+#: strips only 0x20 spaces, so an rtrim-based check wiped CRLF pages
+#: wholesale (review r5).
+C4_TERMINAL_PUNCT = r'[.!?"]\s*$'
 C4_MIN_LINE_WORDS = 5
 #: dropped-line phrase rules: the "javascript" boilerplate line rule
 #: plus the cookie/policy-notice family (lowercased substring match).
@@ -211,7 +215,8 @@ def c4_kept_lines(text_col: str | Column = "text") -> Column:
     """The C4 line filter as an array column: the document's lines
     ('\\n'-split) that survive all three line rules —
 
-    - end (after rtrim) in terminal punctuation ``. ! ? "``;
+    - end in terminal punctuation ``. ! ? "`` (trailing whitespace,
+      including CRLF's ``\\r``, allowed after it);
     - contain at least :data:`C4_MIN_LINE_WORDS` whitespace words;
     - contain none of the drop phrases (``javascript`` + the
       cookie/policy-notice family), case-insensitive.
@@ -220,8 +225,13 @@ def c4_kept_lines(text_col: str | Column = "text") -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.filter(
         F.split(c, r"\n"),
-        lambda x: F.rtrim(x).rlike(C4_TERMINAL_PUNCT)
-        & (F.size(F.split(F.trim(x), r"\s+")) >= C4_MIN_LINE_WORDS)
+        lambda x: x.rlike(C4_TERMINAL_PUNCT)
+        # non-empty word count: a plain split counts the empty tokens
+        # that leading/trailing whitespace ('\r'!) produces
+        & (
+            F.size(F.filter(F.split(x, r"\s+"), lambda t: t != ""))
+            >= C4_MIN_LINE_WORDS
+        )
         & ~F.lower(x).rlike(C4_LINE_DROP_PATTERN),
     )
 

@@ -176,6 +176,11 @@ def curate(
     n_quality = kept.count()
     n_current = n_quality
 
+    # stage-helper persists released together after the final count
+    # (review r5: filtered/deduped/cut leaked text-carrying caches
+    # through the LSH and mix stages)
+    helper_persists = []
+
     n_high_ppl = None
     paras_dropped_ppl = None
     if max_cross_entropy is not None:
@@ -198,6 +203,7 @@ def curate(
                 id_col="url", text_col="doc_text",
                 max_cross_entropy=max_cross_entropy,
             ).persist()
+            helper_persists.append(filtered)
             paras_dropped_ppl = filtered.agg(F.sum("n_dropped")).first()[0] or 0
             old = kept
             kept = (
@@ -258,6 +264,7 @@ def curate(
             kept.select(F.col("url").alias("id"), F.col("doc_text")),
             "id", "doc_text", min_dup_count=para_min_dup_count,
         ).persist()
+        helper_persists.append(deduped)
         paras_dropped = deduped.agg(F.sum("n_dropped")).first()[0] or 0
         old = kept
         kept = (
@@ -281,6 +288,7 @@ def curate(
             "id", "doc_text", window=substring_window,
             num_partitions=num_partitions,
         ).persist()
+        helper_persists.append(cut)
         substring_tokens_removed = (
             cut.agg(F.sum("n_tokens_removed")).first()[0] or 0
         )
@@ -371,9 +379,12 @@ def curate(
         from ocr_compare_spark.functions.url import host_of
         from ocr_compare_spark.operators.sampling import cap_per_key
 
+        # checkpoint only when curated is NOT already the persisted
+        # dedup boundary (the bpe stage derives a new UDF-backed plan)
         curated = cap_per_key(
             curated.withColumn("_host", host_of(F.col("url"))),
             "_host", max_per_host, "url",
+            checkpoint=bpe_merges is not None,
         ).drop("_host")
     if sample_rate is not None:
         from ocr_compare_spark.operators.sampling import hash_sample
@@ -437,6 +448,8 @@ def curate(
 
     kept.unpersist()
     dedup_boundary.unpersist()
+    for h in helper_persists:
+        h.unpersist()
     metrics = {
         "docs_in": n_in,
         "docs_after_quality": n_quality,

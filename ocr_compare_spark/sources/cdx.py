@@ -47,32 +47,41 @@ CDX_JSON_SCHEMA = (
     " languages: STRING, charset: STRING>"
 )
 
-_LINE_PATTERN = r"^(\S+) (\d{14}) (\{.*\})\s*$"
-
-
 def _parse_lines(lines: DataFrame) -> DataFrame:
-    v = F.col("value")
-    urlkey = F.regexp_extract(v, _LINE_PATTERN, 1)
-    ts = F.to_timestamp(F.regexp_extract(v, _LINE_PATTERN, 2), "yyyyMMddHHmmss")
-    j = F.from_json(F.regexp_extract(v, _LINE_PATTERN, 3), CDX_JSON_SCHEMA)
-    return (
-        lines.select(
-            urlkey.alias("urlkey"),
-            ts.alias("ts"),
-            j["url"].alias("url"),
-            F.coalesce(j["mime-detected"], j["mime"]).alias("mime"),
-            j["status"].cast("int").alias("status"),
-            j["digest"].alias("digest"),
-            j["length"].cast("long").alias("length"),
-            j["offset"].cast("long").alias("offset"),
-            j["filename"].alias("filename"),
-            j["languages"].alias("languages"),
-        )
+    # ONE pass per line: a 3-way space split (the urlkey and the
+    # 14-digit timestamp cannot contain spaces; the JSON remainder
+    # keeps its spaces under the split limit) — a 3-group regexp
+    # would re-run the anchored scan once per extracted group
+    parts = F.split(F.col("value"), " ", 3)
+    # F.get is null-on-missing (element_at would raise under ANSI on
+    # a line with fewer than two spaces)
+    framed = lines.select(
+        F.get(parts, 0).alias("urlkey"),
+        F.get(parts, 1).alias("_ts"),
+        F.get(parts, 2).alias("_json"),
+        F.size(parts).alias("_n"),
+    ).filter(
         # a line that doesn't frame (no key / bad timestamp / no JSON
         # object) locates nothing — dropped, unlike the WARC-tier
         # readers where a kept row still carries the page identity
-        .filter((F.col("urlkey") != "") & F.col("url").isNotNull())
+        (F.col("_n") == 3)
+        & (F.col("urlkey") != "")
+        & F.col("_ts").rlike(r"^\d{14}$")
+        & F.col("_json").startswith("{")
     )
+    j = F.from_json(F.col("_json"), CDX_JSON_SCHEMA)
+    return framed.select(
+        "urlkey",
+        F.to_timestamp(F.col("_ts"), "yyyyMMddHHmmss").alias("ts"),
+        j["url"].alias("url"),
+        F.coalesce(j["mime-detected"], j["mime"]).alias("mime"),
+        j["status"].cast("int").alias("status"),
+        j["digest"].alias("digest"),
+        j["length"].cast("long").alias("length"),
+        j["offset"].cast("long").alias("offset"),
+        j["filename"].alias("filename"),
+        j["languages"].alias("languages"),
+    ).filter(F.col("url").isNotNull())
 
 
 def cdx_entries(spark: SparkSession, path: str) -> DataFrame:
@@ -93,7 +102,11 @@ def cdx_entries_stream(spark: SparkSession, path: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Deterministic test twin
 
-_TRACKING_RE = re.compile(r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|ref|ref_src)=")
+# compiled from the canonical list so the mirror cannot drift from
+# the Spark expression (functions/url.py owns the pattern)
+from ocr_compare_spark.functions.url import TRACKING_PARAM_PATTERN
+
+_TRACKING_RE = re.compile(TRACKING_PARAM_PATTERN)
 
 
 def surt_key_py(url: str) -> str:

@@ -10,6 +10,7 @@ from ocr_compare_spark.operators.bpe import (
     EOW,
     bpe_encode_udf,
     bpe_token_counts,
+    py_words,
     train_bpe,
     train_bpe_py,
     _encode_word,
@@ -25,13 +26,16 @@ CORPUS = (
     + ["naïve naïveté"] * 3
     + ["aaaa aaa aa"] * 3
     + ["good 👍👍 vibes"] * 2
+    # NBSP-joined pair: ONE word type under Java \s+ (ASCII-only) on
+    # BOTH the train and encode sides — review r5 pinned this
+    + ["caf\u00e9\u00a0menu caf\u00e9\u00a0menu"] * 2
 )
 
 
 def _word_counts(texts) -> dict[str, int]:
     c: Counter[str] = Counter()
     for t in texts:
-        c.update(w for w in t.split() if w)
+        c.update(py_words(t))
     return dict(c)
 
 
@@ -97,11 +101,17 @@ def test_encode_rank_greedy_equals_replay_and_roundtrips(spark):
     # unseen characters survive as singleton symbols
     assert _encode_word("zzz!", ranks)[-1] == EOW
     assert "".join(_encode_word("zzz!", ranks)) == "zzz!" + EOW
+    # NBSP stays INSIDE the word at encode time (ASCII \s+ split)
+    assert py_words("caf\u00e9\u00a0menu now") == ["caf\u00e9\u00a0menu", "now"]
 
 
 def test_bpe_token_counts_spark_equals_mirror(spark):
     merges = train_bpe_py(_word_counts(CORPUS), n_merges=20)
-    rows = [(i, t) for i, t in enumerate(CORPUS[:10])] + [(99, None)]
+    rows = (
+        [(i, t) for i, t in enumerate(CORPUS[:10])]
+        + [(98, CORPUS[-1])]  # the NBSP doc crosses Arrow too
+        + [(99, None)]
+    )
     df = spark.createDataFrame(rows, "doc_id int, text string")
     got = {
         r["doc_id"]: (r["toks"], r["bpe_token_count"])
@@ -114,7 +124,7 @@ def test_bpe_token_counts_spark_equals_mirror(spark):
         if t is None:
             assert got[i][0] is None and got[i][1] is None
             continue
-        want = [tok for w in t.split() for tok in _encode_word(w, ranks)]
+        want = [tok for w in py_words(t) for tok in _encode_word(w, ranks)]
         assert list(got[i][0]) == want
         assert got[i][1] == len(want)
 

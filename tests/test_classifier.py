@@ -43,6 +43,9 @@ def test_train_and_score_equal_mirror(spark):
         "the lazy dog reads the morning news over coffee.",     # pos-ish
         "free pills !!! click click $$$ cheap",                 # neg-ish
         "completely unseen vocabulary entirely absent",         # all OOV
+        "the weather report says rain today.  ",  # trailing ws: Spark split
+                                                  # keeps the '' token — the
+                                                  # mirror must too
     ]
     got = {
         r["doc_id"]: (r["n_tokens"], r["n_oov"], r["nb_score"], r["nb_label"])

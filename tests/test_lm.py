@@ -17,14 +17,21 @@ def test_ce_buckets_head_middle_tail(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     model = train_unigram_lm(docs, "text")
-    scores = perplexity_scores(docs, model, method="data").join(
-        docs.select("doc_id", "lang"), "doc_id"
+    # plant a NULL stratum: those docs must still come back labeled
+    # (eqNullSafe join — a plain key would silently drop them)
+    langs = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 50 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ).alias("lang"),
     )
+    scores = perplexity_scores(docs, model, method="data").join(langs, "doc_id")
     got = {
         r["doc_id"]: (r["lang"], r["cross_entropy"], r["ce_bucket"])
         for r in ce_buckets(scores).collect()
     }
     assert len(got) == docs.count()  # every doc labeled exactly once
+    assert any(lang is None for lang, _, _ in got.values())
 
     by_lang: dict[str, list[float]] = {}
     for _, (lang, ce, _b) in got.items():
@@ -101,7 +108,7 @@ def test_paragraph_ppl_filter_keeps_blanks_and_order(spark):
     from ocr_compare_spark.operators.lm import paragraph_ppl_filter, train_unigram_lm
 
     base = spark.createDataFrame(
-        [(0, "common words here\n\nzzq zzq zzq\n\n\n\ncommon words again")],
+        [(0, "common words here\n\nzzq zzq zzq\n\n\t\n\ncommon words again")],
         "doc_id int, text string",
     )
     train = spark.createDataFrame(
@@ -111,7 +118,7 @@ def test_paragraph_ppl_filter_keeps_blanks_and_order(spark):
     # in-vocab paragraphs score ce = -ln(5/20) ~ 1.386; the all-OOV
     # one ce = -ln(0.5/20) ~ 3.689 — cut between them
     r = paragraph_ppl_filter(base, model, max_cross_entropy=2.0).collect()[0]
-    # the all-OOV paragraph drops; the empty paragraph (pure sep
-    # artifact) survives in place
-    assert r["text"] == "common words here\n\n\n\ncommon words again"
+    # the all-OOV paragraph drops; the tab-only paragraph (whitespace
+    # separator artifact — F.trim would have missed it) survives
+    assert r["text"] == "common words here\n\n\t\n\ncommon words again"
     assert (r["n_paras"], r["n_dropped"]) == (4, 1)

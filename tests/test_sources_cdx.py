@@ -62,6 +62,8 @@ def test_cdx_malformed_lines_dropped(spark, tmp_path):
     good = build_cdxj(RECORDS[:1]).decode()
     shard = (
         "not a cdx line\n"
+        "garbage-without-spaces\n"
+        "\n"
         "com,example)/ 2025 {\"url\": \"https://example.com/\"}\n"  # short ts
         "com,example)/ 20250301103000 not-json\n"
         + good

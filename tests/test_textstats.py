@@ -197,6 +197,11 @@ C4_CASES = [
         "She replied with even more enthusiasm and energy!\n"
         "Finally a third line completes this entire document."),
     (6, ""),
+    (7, "Good sentence number one is right here.\r\n"      # CRLF doc: the
+        "Good sentence number two is right here.\r\n"       # '\r' left on
+        "Good sentence number three is right here.\r"),     # each line must
+                                                             # not fail the
+                                                             # terminal rule
 ]
 
 
@@ -238,14 +243,16 @@ def test_c4_rules_planted(spark):
     assert got[5]["c4_n_sentences"] == 3 and got[5]["ok"] is True  # ." counts
     assert got[6]["cleaned"] == "" and got[6]["ok"] is False
     assert got[6]["c4_line_kept_frac"] == 0.0
+    assert got[7]["c4_line_kept_frac"] == 1.0  # CRLF lines all survive
+    assert got[7]["c4_n_sentences"] == 3 and got[7]["ok"] is True
 
     # DuckDB twin — identical regexes, RE2 side
     con = duckdb.connect()
     sql = r"""
       WITH kept AS (
         SELECT list_filter(string_split(text, chr(10)), x ->
-                 regexp_matches(rtrim(x), '[.!?"]$')
-                 AND len(string_split_regex(trim(x), '\s+')) >= 5
+                 regexp_matches(x, '[.!?"]\s*$')
+                 AND len(list_filter(string_split_regex(x, '\s+'), t -> t <> '')) >= 5
                  AND NOT regexp_matches(lower(x),
                    'javascript|terms of use|privacy policy|cookie policy|uses cookies')
                ) AS k,

@@ -2262,8 +2262,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT id, i - 1 AS pos, paras[i] AS para
               FROM (SELECT id, paras, unnest(range(1, len(paras) + 1)) AS i FROM t)
             ), h AS (
-              SELECT id, pos, para, trim(para) = '' AS is_blank,
-                     CASE WHEN trim(para) = '' THEN
+              SELECT id, pos, para, regexp_matches(para, '^\s*$') AS is_blank,
+                     CASE WHEN regexp_matches(para, '^\s*$') THEN
                        md5(chr(0) || 'blank:' || id || ':' || pos)
                      ELSE md5(para) END AS h
               FROM p

@@ -579,7 +579,12 @@ def paragraph_dedup(
     paras = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "para"),
-    ).withColumn("is_blank", F.trim(F.col("para")) == "")
+    ).withColumn(
+        # whole-class whitespace test (r5 review family: F.trim strips
+        # only 0x20, so a tab/CR-only separator artifact would hash as
+        # content and weld documents)
+        "is_blank", F.col("para").rlike(r"^\s*$")
+    )
     # one shuffle on the content hash: corpus-wide occurrence count +
     # first-occurrence rank from the same window partition
     w = Window.partitionBy("h")

@@ -382,6 +382,10 @@ def test_paragraph_dedup_drop_all_and_blank_safety(spark):
         (1, "same\n\n\n\nkeep a"),   # middle paragraph is empty
         (2, "same\n\n \n\nkeep b"),  # middle paragraph is a space
         (3, "only here"),
+        (4, "same\n\n\t\n\nkeep c"),  # tab-only: STILL a separator
+        (5, "same\n\n\t\n\nkeep d"),  # artifact (r5 review: F.trim
+                                      # misses \t; two tab paragraphs
+                                      # must not weld as dups)
     ]
     df = spark.createDataFrame(rows, "id int, text string")
     out = {
@@ -391,6 +395,8 @@ def test_paragraph_dedup_drop_all_and_blank_safety(spark):
     assert out[1]["text"] == "\n\nkeep a" and out[1]["n_dropped"] == 1
     assert out[2]["text"] == " \n\nkeep b" and out[2]["n_dropped"] == 1
     assert out[3]["text"] == "only here" and out[3]["n_dropped"] == 0
+    assert out[4]["text"] == "\t\n\nkeep c" and out[4]["n_dropped"] == 1
+    assert out[5]["text"] == "\t\n\nkeep d" and out[5]["n_dropped"] == 1
 
 
 def test_paragraph_dedup_order_and_empty_doc(spark):

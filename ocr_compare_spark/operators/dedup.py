@@ -852,3 +852,32 @@ def substring_dedup(
         F.coalesce(F.size("_iv"), F.lit(0)).cast("long").alias("n_spans_removed"),
         F.coalesce(n_removed_tokens, F.lit(0)).cast("long").alias("n_tokens_removed"),
     )
+
+
+def dedup_lines_within_doc(text_col: str | Column = "text") -> dict[str, Column]:
+    """WITHIN-document exact line dedup (the Dolma/CCNet in-page
+    boilerplate pass): keep only the FIRST occurrence of each
+    non-blank line, preserving order and blank lines (dropping
+    repeated blanks would silently weld paragraphs). Catches the
+    nav/footer/sidebar lines a template repeats inside one page —
+    cross-document repetition is :func:`paragraph_dedup` /
+    :func:`substring_dedup`.
+
+    Pure per-row native expression, zero shuffle: an indexed filter
+    keeps line i iff it is blank or ``array_position`` (first match,
+    1-based) equals i+1. O(lines**2) per row via the position scan —
+    lines-per-page is small and constant, so this stays cheap at any
+    corpus scale.
+
+    Returns ``{"text": <deduped text>, "n_dup_lines_removed": <count>}``.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(c, r"\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: x.rlike(r"^\s*$") | (F.array_position(lines, x) == i + 1),
+    )
+    return {
+        "text": F.array_join(kept, "\n"),
+        "n_dup_lines_removed": F.size(lines) - F.size(kept),
+    }

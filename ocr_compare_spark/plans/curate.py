@@ -99,6 +99,7 @@ def curate(
     nb_vocab_size: int | None = 50_000,
     max_per_host: int | None = None,
     ppl_paragraphs: bool = False,
+    dedup_lines: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -139,6 +140,16 @@ def curate(
         # page weld instead of splitting the hashes
         winners = winners.withColumn(
             "doc_text", textstats.normalize_unicode("doc_text", normalize_form)
+        )
+
+    if dedup_lines:
+        # within-page template boilerplate (repeated nav/footer lines)
+        # removed BEFORE stats/gates — cross-document repetition is the
+        # para-dedup / substring stages below
+        from ocr_compare_spark.operators.dedup import dedup_lines_within_doc
+
+        winners = winners.withColumn(
+            "doc_text", dedup_lines_within_doc("doc_text")["text"]
         )
 
     if c4_gates:
@@ -499,6 +510,7 @@ def curate(
             "nb_min_score": nb_min_score if nb_reference else None,
             "max_per_host": max_per_host,
             "ppl_paragraphs": ppl_paragraphs,
+            "dedup_lines": dedup_lines,
         },
         "bpe_merges_learned": n_bpe_merges_learned,
     }
@@ -560,6 +572,9 @@ def main() -> int:
     ap.add_argument("--c4", action="store_true",
                     help="apply the C4 line filter (rewrites the text) and "
                          "page rules in the quality gate stage")
+    ap.add_argument("--dedup-lines", action="store_true",
+                    help="remove repeated lines WITHIN each page before "
+                         "stats/gates (template boilerplate)")
     ap.add_argument("--para-ppl", action="store_true",
                     help="apply --max-ce at PARAGRAPH granularity (drop "
                          "high-CE paragraphs, keep the shortened docs)")
@@ -618,6 +633,7 @@ def main() -> int:
         nb_min_score=args.nb_min_score,
         max_per_host=args.max_per_host,
         ppl_paragraphs=args.para_ppl,
+        dedup_lines=args.dedup_lines,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

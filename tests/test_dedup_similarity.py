@@ -712,3 +712,46 @@ def test_substring_dedup_randomized_mirror(spark):
             ).collect()
         }
         assert got == exp, f"seed={seed} window={win}"
+
+
+def test_dedup_lines_within_doc(spark):
+    """First occurrence survives, order kept, blanks never collapse
+    (welding paragraphs would corrupt every downstream split); DuckDB
+    twin via the same indexed-lambda shape."""
+    import duckdb
+
+    cases = [
+        (1, "nav bar\ncontent one\nnav bar\ncontent two\nnav bar"),
+        (2, "a\n\nb\n\na\n\nb"),            # blanks preserved, a/b dedup
+        (3, "only\nunique\nlines"),
+        (4, ""),
+        (5, "x\n \nx\n \nx"),               # space-only lines all survive
+    ]
+    df = spark.createDataFrame(cases, "doc_id int, text string")
+    cols = dedup.dedup_lines_within_doc("text")
+    got = {
+        r["doc_id"]: (r["t"], r["n"])
+        for r in df.select(
+            "doc_id", cols["text"].alias("t"),
+            cols["n_dup_lines_removed"].alias("n"),
+        ).collect()
+    }
+    assert got[1] == ("nav bar\ncontent one\ncontent two", 2)
+    # 7 lines [a,'',b,'',a,'',b]: dup a/b removed, all 3 blanks stay
+    assert got[2] == ("a\n\nb\n\n", 2)
+    assert got[3] == ("only\nunique\nlines", 0)
+    assert got[4] == ("", 0)
+    assert got[5] == ("x\n \n ", 2)  # [x,' ',' '] — dup x's removed
+
+    con = duckdb.connect()
+    sql = r"""
+      WITH l AS (SELECT string_split(text, chr(10)) AS lines
+                 FROM (SELECT ? AS text)),
+      k AS (SELECT lines, list_filter(lines, (x, i) ->
+              regexp_matches(x, '^\s*$') OR list_position(lines, x) = i
+            ) AS kept FROM l)
+      SELECT array_to_string(kept, chr(10)), len(lines) - len(kept) FROM k
+    """
+    for doc_id, text in cases:
+        t, n = con.execute(sql, [text]).fetchone()
+        assert (t, n) == got[doc_id], doc_id

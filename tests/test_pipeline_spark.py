@@ -743,3 +743,31 @@ def test_curate_paragraph_ppl_gate(spark, sf_dir):
     assert m["dropped_high_ppl"] is None  # doc gate not applied
     assert m["paras_dropped_ppl"] and m["paras_dropped_ppl"] > 0
     assert m["docs_after_quality"] == base["docs_after_quality"]  # no doc drop
+
+
+def test_curate_dedup_lines_stage(spark, sf_dir):
+    """--dedup-lines composes through the whole DAG. This corpus has
+    NO intra-doc repeated lines (1-page PDFs, distinct cycling-vocab
+    paragraphs) — verified directly — so the stage must be an exact
+    no-op on every metric, the dedup-lines twin of the --normalize
+    ASCII probe. The biting behavior is pinned by the unit test's
+    planted cases."""
+    from ocr_compare_spark import synth
+    from ocr_compare_spark.operators.dedup import dedup_lines_within_doc
+    from ocr_compare_spark.operators.extract import run_engines_fused
+    from ocr_compare_spark.operators.winner import pick_winner
+    from ocr_compare_spark.plans.curate import curate
+
+    w = pick_winner(run_engines_fused(
+        synth.pages_from_documents(spark, sf_dir), with_spans=False))
+    n_changed = w.filter(
+        dedup_lines_within_doc("doc_text")["n_dup_lines_removed"] > 0
+    ).count()
+    assert n_changed == 0  # corpus premise: no intra-doc line repeats
+
+    base = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1)
+    m = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+               dedup_lines=True)
+    assert m["params"]["dedup_lines"] is True
+    for k in ("docs_after_quality", "docs_after_dedup", "docs_out"):
+        assert m[k] == base[k], k

@@ -1490,6 +1490,57 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "doc_id", "token_count", "cum_tokens")
 
 
+#: Temperature for the language-mix gate row: mC4's published value.
+MIX_ALPHA = 0.3
+
+
+def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced language mixing (mC4 / XLM-R alpha
+    sampling, sampling.temperature_mix): per-language keep rates
+    proportional to n_lang^(alpha-1) scaled so the rarest language
+    keeps everything, applied as a deterministic zero-shuffle
+    hash_frac filter. The DuckDB twin recomputes the rates from the
+    same token sums (same libm pow, same floor-round6) and the same
+    md5-prefix uniform, so the kept row set matches exactly."""
+    from ocr_compare_spark.operators import sampling
+
+    d = _tbl(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        textstats.stats_columns("text")["token_count"].alias("token_count"),
+    )
+    out = sampling.temperature_mix(
+        docs, "lang", "token_count", "doc_id", MIX_ALPHA, rate_col="rate"
+    )
+    return out.select("lang", "doc_id", "token_count", "rate")
+
+
+def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_extract + stream_dedup gated as ONE wide union row set
+    (null-padded per kind) — frees a 50-cap registry slot for the
+    temperature-mix sampler; both remain importable/pytest-gated
+    individually (§2.9 coverage unchanged: AvailableNow extraction
+    equivalence AND applyInPandasWithState first-seen dedup)."""
+    e = q_stream_extract(spark, sf_dir).select(
+        F.lit("extract").alias("kind"),
+        "url",
+        "engine",
+        "doc_text",
+        F.lit(None).cast("string").alias("text_hash"),
+        F.lit(None).cast("long").alias("n_docs"),
+    )
+    d = q_stream_dedup(spark, sf_dir).select(
+        F.lit("dedup").alias("kind"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("string").alias("engine"),
+        F.lit(None).cast("string").alias("doc_text"),
+        "text_hash",
+        "n_docs",
+    )
+    return e.unionByName(d)
+
+
 # ------------------------------------------------------------ contract
 
 
@@ -1562,8 +1613,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_suite": q_bbox_suite,
         "crawl_delta": q_crawl_delta,
         "doc_dims": q_doc_dims,
-        "stream_extract": q_stream_extract,
-        "stream_dedup": q_stream_dedup,
+        # stream_extract + stream_dedup gate as ONE suite row set;
+        # the freed slot gates the temperature-mix sampler
+        "stream_suite": q_stream_suite,
+        "lang_mix": q_lang_mix,
         "param_grid": q_param_grid,
         "host_stats_salted": q_host_stats_salted,
         # events_window + sessionize gate as ONE suite row set
@@ -2404,19 +2457,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 7) d
             LEFT JOIN hits h USING (doc_id)
         """,
-        "stream_extract": f"""
+        "stream_suite": f"""
             WITH {PARAS_CTE},
             dom AS ({SQL_DOM_TEXT}),
             den AS ({SQL_DENSITY_TEXT}),
             pdf AS ({SQL_PDF_TEXT})
-            SELECT t.url, 'dom' AS engine, m.doc_text
+            SELECT 'extract' AS kind, t.url, 'dom' AS engine, m.doc_text,
+                   CAST(NULL AS VARCHAR) AS text_hash, CAST(NULL AS BIGINT) AS n_docs
             FROM tmd t JOIN dom m ON t.url = m.url WHERE NOT t.is_pdf
             UNION ALL
-            SELECT t.url, 'density', coalesce(d.doc_text, '')
+            SELECT 'extract', t.url, 'density', coalesce(d.doc_text, ''), NULL, NULL
             FROM tmd t LEFT JOIN den d ON t.url = d.url WHERE NOT t.is_pdf
             UNION ALL
-            SELECT t.url, 'pdf', p.doc_text
+            SELECT 'extract', t.url, 'pdf', p.doc_text, NULL, NULL
             FROM tmd t JOIN pdf p ON t.url = p.url WHERE t.is_pdf
+            UNION ALL
+            SELECT 'dedup', NULL, NULL, NULL, md5(text), count(*)
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY md5(text)
         """,
         "report_json": f"""
             WITH {PARAS_CTE},
@@ -2725,9 +2783,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'rollup', l_returnflag, l_linestatus, CAST(n AS DOUBLE), sum_qty FROM ru
         """,
-        "stream_dedup": """
-            SELECT md5(text) AS text_hash, count(*) AS n_docs
-            FROM documents WHERE text IS NOT NULL
-            GROUP BY md5(text)
+        "lang_mix": f"""
+            WITH t AS (
+              SELECT lang, doc_id,
+                     CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS token_count,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS frac
+              FROM documents
+            ), s AS (
+              SELECT lang, CAST(sum(token_count) AS DOUBLE) AS n FROM t GROUP BY lang
+            ), r AS (
+              SELECT lang,
+                     floor(pow(n, {MIX_ALPHA - 1.0!r}) / (SELECT max(pow(n, {MIX_ALPHA - 1.0!r})) FROM s) * 1e6 + 0.5) / 1e6 AS rate
+              FROM s
+            )
+            SELECT t.lang, t.doc_id, t.token_count, r.rate
+            FROM t JOIN r ON t.lang = r.lang
+            WHERE t.frac < r.rate
         """,
     }

@@ -279,6 +279,89 @@ def write_token_shards(
     )
 
 
+MAX_MIX_STRATA = 4096  # driver guard for the temperature-mix rate collect
+
+
+def temperature_rates(
+    weights: dict[object, float], alpha: float
+) -> dict[object, float]:
+    """Per-stratum keep RATES for temperature-balanced sampling
+    (mC4 / XLM-R style): a stratum with weight (token count) n gets
+    sampled with probability proportional to n^alpha, i.e. each ROW
+    of that stratum keeps with rate proportional to n^(alpha-1),
+    scaled so the largest rate is 1.0 (the rarest stratum is never
+    downsampled — only the heads are). alpha=1 reproduces the natural
+    distribution (every rate 1.0); alpha->0 flattens toward uniform
+    across strata.
+
+    Rates are rounded to 6 decimals with the repo's floor(x*1e6+0.5)
+    convention so an oracle recomputation (same libm pow) is
+    bit-identical. Strata with non-positive weight are omitted."""
+    import math
+
+    raw = {s: float(n) ** (alpha - 1.0) for s, n in weights.items() if n and n > 0}
+    if not raw:
+        return {}
+    top = max(raw.values())
+    return {s: math.floor(r / top * 1e6 + 0.5) / 1e6 for s, r in raw.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    key_col: str,
+    alpha: float,
+    rate_col: str | None = None,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Temperature-balanced corpus mixing (the mC4/XLM-R language-
+    balancing step): downsample head strata so stratum l contributes
+    tokens proportional to n_l^alpha instead of n_l. Two parts:
+
+    - a tiny per-stratum weight aggregate (one map-side-combined
+      shuffle of #strata rows, driver collect guarded at
+      MAX_MIX_STRATA) turns into a per-stratum keep rate via
+      :func:`temperature_rates`;
+    - the data path is a zero-shuffle deterministic filter —
+      ``hash_frac(key) < rate[stratum]`` as a literal when-chain, so
+      the kept set is layout- and cluster-size-invariant like
+      hash_sample (a rerun or a resume keeps exactly the same rows).
+
+    Rows whose stratum is NULL or had non-positive total weight are
+    dropped (they have no defined rate). ``rate_col`` optionally
+    attaches the applied rate.
+
+    ``checkpoint=True`` localCheckpoints the input first: the operator
+    evaluates its lineage twice (weight collect + filter), so pass
+    True when the upstream is compute-heavy and not already persisted
+    (the ADVICE-r4 double-evaluation trap)."""
+    if checkpoint:
+        df = df.localCheckpoint()
+    sums = (
+        df.groupBy(strata_col)
+        .agg(F.sum(F.col(weight_col)).alias("_n"))
+        .limit(MAX_MIX_STRATA + 1)
+        .collect()
+    )
+    if len(sums) > MAX_MIX_STRATA:
+        raise ValueError(
+            f"temperature_mix: > {MAX_MIX_STRATA} strata; "
+            "pre-bucket the strata column"
+        )
+    rates = temperature_rates(
+        {r[strata_col]: r["_n"] for r in sums if r[strata_col] is not None},
+        alpha,
+    )
+    thr: Column = F.lit(0.0)
+    for s, r in sorted(rates.items(), key=lambda kv: str(kv[0])):
+        thr = F.when(F.col(strata_col) == s, F.lit(r)).otherwise(thr)
+    out = df.filter(hash_frac(key_col) < thr)
+    if rate_col:
+        out = out.withColumn(rate_col, thr)
+    return out
+
+
 def cap_per_key(
     df: DataFrame,
     key_col: str,

@@ -100,6 +100,7 @@ def curate(
     max_per_host: int | None = None,
     ppl_paragraphs: bool = False,
     dedup_lines: bool = False,
+    mix_alpha: float | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -397,6 +398,23 @@ def curate(
             "_host", max_per_host, "url",
             checkpoint=bpe_merges is not None,
         ).drop("_host")
+    if mix_alpha is not None:
+        # temperature-balanced language mixing (mC4/XLM-R): head
+        # languages are downsampled so lang l contributes tokens
+        # proportional to n_l^alpha — deterministic hash filter, the
+        # kept set is layout/cluster-size-invariant. Weights use the
+        # FINAL text's token counts (model tokens when --bpe-merges
+        # already restated them).
+        from ocr_compare_spark.operators.sampling import temperature_mix
+
+        if bpe_merges is None:
+            curated = curated.withColumn(
+                "token_count", textstats.stats_columns("doc_text")["token_count"]
+            )
+        curated = temperature_mix(
+            curated, "lang", "token_count", "url", mix_alpha,
+            checkpoint=bpe_merges is not None,
+        )
     if sample_rate is not None:
         from ocr_compare_spark.operators.sampling import hash_sample
 
@@ -511,6 +529,7 @@ def curate(
             "max_per_host": max_per_host,
             "ppl_paragraphs": ppl_paragraphs,
             "dedup_lines": dedup_lines,
+            "mix_alpha": mix_alpha,
         },
         "bpe_merges_learned": n_bpe_merges_learned,
     }
@@ -578,6 +597,10 @@ def main() -> int:
     ap.add_argument("--para-ppl", action="store_true",
                     help="apply --max-ce at PARAGRAPH granularity (drop "
                          "high-CE paragraphs, keep the shortened docs)")
+    ap.add_argument("--mix-alpha", type=float, default=None,
+                    help="temperature-balanced language mixing (mC4/"
+                         "XLM-R): downsample head languages so lang l "
+                         "contributes ~n_l^alpha tokens")
     ap.add_argument("--max-per-host", type=int, default=None,
                     help="cap each host's pages in the output mix "
                          "(deterministic hash-priority prefix per host)")
@@ -634,6 +657,7 @@ def main() -> int:
         max_per_host=args.max_per_host,
         ppl_paragraphs=args.para_ppl,
         dedup_lines=args.dedup_lines,
+        mix_alpha=args.mix_alpha,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

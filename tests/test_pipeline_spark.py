@@ -771,3 +771,19 @@ def test_curate_dedup_lines_stage(spark, sf_dir):
     assert m["params"]["dedup_lines"] is True
     for k in ("docs_after_quality", "docs_after_dedup", "docs_out"):
         assert m[k] == base[k], k
+
+
+def test_curate_temperature_mix_stage(spark, sf_dir):
+    """--mix-alpha temperature balancing (mC4/XLM-R): head languages
+    are downsampled in the output mix; the drop lands in the sampling
+    metric, not the near-dup one."""
+    from ocr_compare_spark.plans.curate import curate
+
+    m = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+               mix_alpha=0.3)
+    assert m["params"]["mix_alpha"] == 0.3
+    # en dominates the synth corpus (~3x any other lang's tokens), so
+    # alpha=0.3 must actually thin the output
+    assert 0 < m["docs_out"] < m["docs_after_dedup"]
+    assert m["dropped_sampling"] == m["docs_after_dedup"] - m["docs_out"]
+    assert m["dropped_near_dup"] == m["docs_after_quality"] - m["docs_after_dedup"]

@@ -224,3 +224,66 @@ def test_cap_per_key_domain_balancing(spark):
         r["id"] for r in got.select("id").collect()
     }
     assert got.columns == df.columns  # helper columns dropped
+
+
+def test_temperature_rates_shape():
+    import math
+
+    # alpha=1 reproduces the natural distribution: every rate 1.0
+    w = {"en": 64437, "de": 19525, "fr": 20623}
+    assert sampling.temperature_rates(w, 1.0) == {k: 1.0 for k in w}
+    # alpha<1: the smallest stratum is never downsampled, heads are;
+    # rates are monotone DECREASING in stratum weight
+    r = sampling.temperature_rates(w, 0.3)
+    assert r["de"] == 1.0
+    assert r["de"] > r["fr"] > r["en"] > 0.0
+    # driver replay of the closed form (floor-round6 contract)
+    expo = 0.3 - 1.0
+    top = max(float(n) ** expo for n in w.values())
+    for k, n in w.items():
+        assert r[k] == math.floor(float(n) ** expo / top * 1e6 + 0.5) / 1e6
+    # non-positive weights are omitted (no defined rate)
+    assert "x" not in sampling.temperature_rates({"x": 0, "en": 5}, 0.3)
+
+
+def test_temperature_mix_deterministic_and_mirror(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = sampling.temperature_mix(
+        d, "lang", "token_count", "doc_id", 0.3, rate_col="rate"
+    )
+    kept = {r.doc_id: r.rate for r in out.collect()}
+    # layout invariance: the kept set is a pure function of the key
+    kept2 = {
+        r.doc_id
+        for r in sampling.temperature_mix(
+            d.repartition(13), "lang", "token_count", "doc_id", 0.3
+        ).collect()
+    }
+    assert set(kept) == kept2
+
+    # full driver mirror: recompute rates + hash threshold in python
+    rows = d.collect()
+    sums: dict[str, int] = {}
+    for r in rows:
+        sums[r.lang] = sums.get(r.lang, 0) + r.token_count
+    rates = sampling.temperature_rates(sums, 0.3)
+    want = {r.doc_id for r in rows if r.prio < rates[r.lang]}
+    assert set(kept) == want
+    for r in rows:
+        if r.doc_id in kept:
+            assert kept[r.doc_id] == rates[r.lang]
+    # the head language is actually downsampled, the tail kept whole-ish
+    by_lang_in = {}
+    by_lang_out = {}
+    for r in rows:
+        by_lang_in[r.lang] = by_lang_in.get(r.lang, 0) + 1
+        if r.doc_id in kept:
+            by_lang_out[r.lang] = by_lang_out.get(r.lang, 0) + 1
+    head = max(sums, key=lambda k: sums[k])
+    assert by_lang_out[head] < by_lang_in[head]
+
+
+def test_temperature_mix_alpha_one_keeps_everything(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = sampling.temperature_mix(d, "lang", "token_count", "doc_id", 1.0)
+    assert out.count() == d.count()

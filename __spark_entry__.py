@@ -634,6 +634,60 @@ def q_dedup_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.adjacent_ngram_jaccard(_docs(spark, sf_dir), "doc_id", "text", "lang", n=3)
 
 
+def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_exact + dedup_adjacent gated as ONE wide union row set
+    (null-padded per kind) — frees a 50-cap registry slot for the
+    DSIR importance-resampling row; both remain importable/pytest-
+    gated individually."""
+    e = q_dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("kind"),
+        "text_hash",
+        "keep_id",
+        "n_docs",
+        F.lit(None).cast("string").alias("part"),
+        F.lit(None).cast("long").alias("id"),
+        F.lit(None).cast("long").alias("next_id"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    a = q_dedup_adjacent(spark, sf_dir).select(
+        F.lit("adjacent").alias("kind"),
+        F.lit(None).cast("string").alias("text_hash"),
+        F.lit(None).cast("long").alias("keep_id"),
+        F.lit(None).cast("long").alias("n_docs"),
+        "part",
+        "id",
+        "next_id",
+        "jaccard",
+    )
+    return e.unionByName(a)
+
+
+#: DSIR gate constants: the paper's hashed dimensionality order (8k
+#: buckets), 100 resampled docs, doc_id%25==3 playing the target set.
+DSIR_BUCKETS = 8192
+DSIR_K = 100
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023; operators/
+    dsir.py): hashed uni+bigram bucket models for target (doc_id%25
+    ==3) vs the raw pool, integer-microunit log-ratio per bucket
+    (driver-fit, broadcast back), exact int64 per-doc weight sums,
+    Gumbel-top-k selection with deterministic md5 noise. The DuckDB
+    twin recomputes everything — same md5 buckets, same glibc ln,
+    same floor-round6 — so weights, keys and the selected set match
+    exactly."""
+    from ocr_compare_spark.operators import dsir
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 25 == 3)
+    cand = d.filter(F.col("doc_id") % 25 != 3)
+    w = dsir.dsir_log_weights(cand, target, "doc_id", "text", n_buckets=DSIR_BUCKETS)
+    return dsir.dsir_resample(w, "doc_id", DSIR_K).select(
+        "doc_id", "n_grams", "logw6", "key6"
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs. Oracle = the EXACT shingle-jaccard
     pair set at the same threshold via an inverted-index join (shared
@@ -1595,8 +1649,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topk": q_quality_topk,
         "text_signals": q_text_signals,
         "para_dedup": q_para_dedup,
-        "dedup_exact": q_dedup_exact,
-        "dedup_adjacent": q_dedup_adjacent,
+        # dedup_exact + dedup_adjacent gate as ONE suite row set;
+        # the freed slot gates the DSIR importance resampler
+        "dedup_suite": q_dedup_suite,
+        "dsir": q_dsir,
         "dedup_minhash": q_dedup_minhash,
         "dedup_embed": q_dedup_embed,
         "simhash": q_simhash,
@@ -2335,12 +2391,15 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
             FROM f GROUP BY id
         """,
-        "dedup_exact": """
-            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+        "dedup_suite": """
+            SELECT 'exact' AS kind, md5(text) AS text_hash,
+                   min(doc_id) AS keep_id, count(*) AS n_docs,
+                   CAST(NULL AS VARCHAR) AS part, CAST(NULL AS BIGINT) AS id,
+                   CAST(NULL AS BIGINT) AS next_id, CAST(NULL AS DOUBLE) AS jaccard
             FROM documents GROUP BY md5(text)
-        """,
-        "simhash": _simhash_oracle(),
-        "dedup_adjacent": """
+            UNION ALL
+            SELECT 'adjacent', NULL, NULL, NULL, part, id, next_id, jaccard
+            FROM (
             WITH tok AS (
               SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents
             ), ex AS (
@@ -2363,7 +2422,48 @@ def oracle_sql() -> dict[str, str]:
                               / len(list_distinct(list_concat(shingles, next_sh)))
                          ELSE 1.0 END, 6) AS jaccard
             FROM nxt WHERE next_id IS NOT NULL
+            )
         """,
+        "dsir": f"""
+            WITH ws AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_concat(w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS gram
+              FROM ws
+            ), b AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(gram), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bkt
+              FROM g
+            ), p AS (
+              SELECT bkt, count(*) AS c FROM b WHERE doc_id % 25 = 3 GROUP BY bkt
+            ), q AS (
+              SELECT bkt, count(*) AS c FROM b WHERE doc_id % 25 <> 3 GROUP BY bkt
+            ), tot AS (
+              SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM p) AS pt,
+                     (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM q) AS qt
+            ), r AS (
+              SELECT q.bkt,
+                     CAST(floor((ln((coalesce(p.c, 0) + 1.0) / (tot.pt + {float(DSIR_BUCKETS)!r}))
+                               - ln((q.c + 1.0) / (tot.qt + {float(DSIR_BUCKETS)!r}))) * 1e6 + 0.5) AS BIGINT) AS ratio6
+              FROM q LEFT JOIN p ON q.bkt = p.bkt, tot
+            ), s AS (
+              SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(r.ratio6) AS BIGINT) AS logw6
+              FROM b JOIN r ON b.bkt = r.bkt
+              WHERE b.doc_id % 25 <> 3
+              GROUP BY b.doc_id
+            )
+            SELECT doc_id, n_grams, logw6,
+                   logw6 + CAST(floor((-ln(-ln(
+                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                       / 4294967296.0))) * 1e6 + 0.5) AS BIGINT) AS key6
+            FROM s
+            ORDER BY key6 DESC, doc_id
+            LIMIT {DSIR_K}
+        """,
+        "simhash": _simhash_oracle(),
         "dedup_minhash": """
             WITH tok AS (SELECT doc_id AS id, string_split_regex(text, '\\s+') AS t FROM documents),
             ex AS (SELECT id, t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i FROM tok),

@@ -101,6 +101,9 @@ def curate(
     ppl_paragraphs: bool = False,
     dedup_lines: bool = False,
     mix_alpha: float | None = None,
+    dsir_target: str | None = None,
+    dsir_text_col: str = "text",
+    dsir_k: int = 1 << 30,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -379,6 +382,32 @@ def curate(
             .withColumnRenamed("bpe_token_count", "token_count")
         )
 
+    n_mix_base = n_after_dedup
+    n_dsir_dropped = None
+    if dsir_target is not None:
+        # DSIR data selection (Xie et al. 2023): resample the
+        # deduplicated corpus toward a target distribution — hashed
+        # n-gram importance weights + deterministic Gumbel top-k.
+        # Runs on the dedup boundary so junk/dups never count toward
+        # the raw bucket model; the selected set is rerun-stable.
+        from ocr_compare_spark.operators.dsir import (
+            dsir_log_weights,
+            dsir_resample,
+        )
+
+        tgt = spark.read.parquet(dsir_target).select(
+            F.col(dsir_text_col).alias("doc_text")
+        )
+        w = dsir_log_weights(
+            curated.select("url", "doc_text"), tgt, "url", "doc_text",
+            checkpoint=bpe_merges is not None,
+        )
+        sel = dsir_resample(w, "url", dsir_k).select("url")
+        curated = curated.join(sel, "url", "left_semi").persist()
+        helper_persists.append(curated)
+        n_mix_base = curated.count()
+        n_dsir_dropped = n_after_dedup - n_mix_base
+
     # Mix-construction stages (operators/sampling.py): both are
     # deterministic functions of the url key, so a rerun — or the
     # same job at a different cluster size — emits the same corpus.
@@ -492,7 +521,8 @@ def curate(
         # n_current here = post-quality/ppl/decontam (para-dedup and
         # scrub preserve doc count), so this is ONLY the LSH drop
         "dropped_near_dup": n_current - n_after_dedup,
-        "dropped_sampling": n_after_dedup - n_out,
+        "dropped_dsir": n_dsir_dropped,
+        "dropped_sampling": n_mix_base - n_out,
         "paras_dropped": paras_dropped,
         "substring_tokens_removed": substring_tokens_removed,
         "dropped_contaminated": n_contaminated,
@@ -530,6 +560,8 @@ def curate(
             "ppl_paragraphs": ppl_paragraphs,
             "dedup_lines": dedup_lines,
             "mix_alpha": mix_alpha,
+            "dsir_target": dsir_target,
+            "dsir_k": dsir_k if dsir_target else None,
         },
         "bpe_merges_learned": n_bpe_merges_learned,
     }
@@ -597,6 +629,14 @@ def main() -> int:
     ap.add_argument("--para-ppl", action="store_true",
                     help="apply --max-ce at PARAGRAPH granularity (drop "
                          "high-CE paragraphs, keep the shortened docs)")
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet dir of a TARGET corpus; DSIR-resample "
+                         "the deduplicated docs toward its hashed n-gram "
+                         "distribution (Gumbel top-k importance sampling)")
+    ap.add_argument("--dsir-text-col", default="text")
+    ap.add_argument("--dsir-k", type=int, default=1 << 30,
+                    help="number of docs DSIR keeps (default: no cap — "
+                         "weights only rank, nothing dropped)")
     ap.add_argument("--mix-alpha", type=float, default=None,
                     help="temperature-balanced language mixing (mC4/"
                          "XLM-R): downsample head languages so lang l "
@@ -658,6 +698,9 @@ def main() -> int:
         ppl_paragraphs=args.para_ppl,
         dedup_lines=args.dedup_lines,
         mix_alpha=args.mix_alpha,
+        dsir_target=args.dsir_target,
+        dsir_text_col=args.dsir_text_col,
+        dsir_k=args.dsir_k,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

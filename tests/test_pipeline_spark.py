@@ -787,3 +787,29 @@ def test_curate_temperature_mix_stage(spark, sf_dir):
     assert 0 < m["docs_out"] < m["docs_after_dedup"]
     assert m["dropped_sampling"] == m["docs_after_dedup"] - m["docs_out"]
     assert m["dropped_near_dup"] == m["docs_after_quality"] - m["docs_after_dedup"]
+
+
+def test_curate_dsir_stage(spark, sf_dir, tmp_path):
+    """--dsir-target resamples the deduplicated corpus toward a
+    target corpus's hashed n-gram distribution, keeping exactly
+    --dsir-k docs; the drop is its own metric and the downstream
+    sampling metric stays clean."""
+    from pyspark.sql import functions as F
+
+    from ocr_compare_spark.plans.curate import curate
+
+    tgt = str(tmp_path / "target")
+    (spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 25 == 3).select("text")
+        .write.mode("overwrite").parquet(tgt))
+    k = 40
+    m = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+               dsir_target=tgt, dsir_k=k)
+    assert m["docs_out"] == k
+    assert m["dropped_dsir"] == m["docs_after_dedup"] - k
+    assert m["dropped_sampling"] == 0
+    assert m["params"]["dsir_k"] == k
+    # rerun-stability: the selected corpus is deterministic
+    m2 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+                dsir_target=tgt, dsir_k=k)
+    assert m2["docs_out"] == k

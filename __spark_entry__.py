@@ -850,6 +850,88 @@ def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded.unionByName(trained).unionByName(data)
 
 
+def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embed_topk_lsh + embed_topk_ivf gated as ONE union row set
+    (they already share the (variant, query_id, rank, neighbor_id)
+    schema; a family column tells them apart) — frees a 50-cap
+    registry slot for the SemDeDup row. All five ANN variants
+    (lsh literal/data, ivf seeded/trained/data) stay gated."""
+    lsh = q_embed_topk_lsh(spark, sf_dir).select(F.lit("lsh").alias("family"), "*")
+    ivf = q_embed_topk_ivf(spark, sf_dir).select(F.lit("ivf").alias("family"), "*")
+    return lsh.unionByName(ivf)
+
+
+#: SemDeDup gate config: seeded 16-cell quantizer over the dim-64
+#: embeddings, threshold from the corpus's planted near-dup band
+#: (129 of 500 drop at sf0.01 — nontrivial, far from degenerate).
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023; dedup.semdedup): k-means cells +
+    within-cell cosine near-dup removal keeping the LOW-centroid-sim
+    member of every pair (the paper's keep rule), literal path. The
+    DuckDB twin embeds the seeded centroids and replays assignment
+    (argmax with ties to the lowest cell), greatest() centroid sim,
+    the same left-to-right cosine folds, and the pairwise earlier-
+    in-order drop rule bit-for-bit. The data path (broadcast GEMM)
+    is pytest-pinned to the same kept set."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = dedup.semdedup(emb, threshold=SEMDEDUP_THRESHOLD)
+    return out.select("id", "cell", "centsim", "kept")
+
+
+def _semdedup_oracle(
+    n_centroids: int = 16, dim: int = 64, threshold: float = SEMDEDUP_THRESHOLD
+) -> str:
+    """SQL twin of q_semdedup: seeded-centroid literals, the same
+    argmax/greatest assignment as _embed_ivf_oracle, pairwise cosine
+    within cells, and the (centsim asc, id asc) earlier-member drop
+    rule. Every float op sequence matches the Spark folds, so cells,
+    centroid sims and the kept set reproduce bit-for-bit."""
+    cents = similarity.seeded_centroids(n_centroids, dim)
+
+    def chain(terms) -> str:
+        return " + ".join(terms)
+
+    d_cols = ", ".join(
+        f"({chain(f'v[{i + 1}] * {float(c)!r}' for i, c in enumerate(cents[j]))}) AS d{j}"
+        for j in range(n_centroids)
+    )
+    argmax = " ".join(
+        f"WHEN {' AND '.join(f'd{j} >= d{m}' for m in range(n_centroids) if m != j)} THEN {j}"
+        for j in range(n_centroids)
+    )
+    dmax = ", ".join(f"d{j}" for j in range(n_centroids))
+    dot = chain(f"a.v[{i + 1}] * b.v[{i + 1}]" for i in range(dim))
+    aa = chain(f"a.v[{i + 1}] * a.v[{i + 1}]" for i in range(dim))
+    bb = chain(f"b.v[{i + 1}] * b.v[{i + 1}]" for i in range(dim))
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scores AS (SELECT vec_id, v, {d_cols} FROM v),
+        assigned AS (
+          SELECT vec_id AS id, v, CASE {argmax} END AS cell,
+                 greatest({dmax}) AS centsim
+          FROM scores
+        ),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b, a.centsim AS cs_a, b.centsim AS cs_b,
+                 CASE WHEN sqrt({aa}) > 0 AND sqrt({bb}) > 0
+                      THEN ({dot}) / (sqrt({aa}) * sqrt({bb})) ELSE 0.0 END AS sim
+          FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+        ),
+        dropped AS (
+          SELECT DISTINCT CASE WHEN cs_a < cs_b OR (cs_a = cs_b AND id_a < id_b)
+                               THEN id_b ELSE id_a END AS id
+          FROM pairs WHERE sim >= {threshold!r}
+        )
+        SELECT a.id, CAST(a.cell AS BIGINT) AS cell,
+               floor(a.centsim * 1e6 + 0.5) / 1e6 AS centsim,
+               (d.id IS NULL) AS kept
+        FROM assigned a LEFT JOIN dropped d ON a.id = d.id
+    """
+
+
 def _embed_ivf_oracle(
     n_centroids: int = 16, dim: int = 64, nprobe: int = 4, k: int = 3, cents=None
 ) -> str:
@@ -1657,8 +1739,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed": q_dedup_embed,
         "simhash": q_simhash,
         "embed_topk": q_embed_topk,
-        "embed_topk_lsh": q_embed_topk_lsh,
-        "embed_topk_ivf": q_embed_topk_ivf,
+        # embed_topk_lsh + embed_topk_ivf gate as ONE suite row set;
+        # the freed slot gates SemDeDup
+        "ann_suite": q_ann_suite,
+        "semdedup": q_semdedup,
         "decontam": q_decontam,
         # media_features + media_frames gate as ONE suite row set
         # (50-row gate cap; both remain importable individually)
@@ -2516,20 +2600,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= 3
         """,
-        "embed_topk_lsh": f"""
-            SELECT 'literal' AS variant, * FROM ({_embed_lsh_oracle()})
+        "ann_suite": f"""
+            SELECT 'lsh' AS family, 'literal' AS variant, * FROM ({_embed_lsh_oracle()})
             UNION ALL
-            SELECT 'data' AS variant, * FROM ({_embed_lsh_oracle()})
+            SELECT 'lsh', 'data', * FROM ({_embed_lsh_oracle()})
+            UNION ALL
+            SELECT 'ivf', 'seeded', * FROM ({_embed_ivf_oracle()})
+            UNION ALL
+            SELECT 'ivf', 'trained', * FROM ({_embed_ivf_trained_oracle()})
+            UNION ALL
+            -- the data paths (broadcast-GEMM assignment) must equal
+            -- their literal twins row for row
+            SELECT 'ivf', 'data', * FROM ({_embed_ivf_oracle()})
         """,
-        "embed_topk_ivf": f"""
-            SELECT 'seeded' AS variant, * FROM ({_embed_ivf_oracle()})
-            UNION ALL
-            SELECT 'trained' AS variant, * FROM ({_embed_ivf_trained_oracle()})
-            UNION ALL
-            -- the data path (broadcast-GEMM assignment) must equal the
-            -- seeded literal path row for row
-            SELECT 'data' AS variant, * FROM ({_embed_ivf_oracle()})
-        """,
+        "semdedup": _semdedup_oracle(),
         "decontam": """
             WITH tok AS (
               SELECT doc_id,

@@ -881,3 +881,135 @@ def dedup_lines_within_doc(text_col: str | Column = "text") -> dict[str, Column]
         "text": F.array_join(kept, "\n"),
         "n_dup_lines_removed": F.size(lines) - F.size(kept),
     }
+
+
+# ------------------------------------------------------ semantic dedup
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids=None,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "literal",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    deduplication — cluster the embedding space with k-means, then
+    within each cluster drop every point that is cosine-similar
+    (>= ``threshold``) to an EARLIER point in the cluster's keep
+    order. The paper keeps the examples with LOW similarity to the
+    cluster centroid (they carry more information than the cluster's
+    "typical" members), so the order is (centroid_sim asc, id asc)
+    and a point is dropped iff some same-cluster point that sorts
+    before it is a near-duplicate — the pairwise form of the paper's
+    sorted-sim-matrix rule, deterministic and SQL-expressible.
+
+    Why clustering first: the quadratic pair step runs only WITHIN a
+    cell, so total pair work is sum(|cell|^2) ≈ n^2/k — with k grown
+    alongside the corpus (the paper uses 50k clusters for LAION) the
+    per-cell cost is bounded and the candidate join is a cell
+    equi-join, never a cross join (same scale shape as ivf_topk /
+    embed_near_dups).
+
+    method="literal" (default): centroid dots as native left-to-right
+    folds over per-component literals — bit-reproducible in a DuckDB
+    twin, for oracle-checked small configs. method="data": broadcast
+    centroids + one numpy GEMM per Arrow batch (plan O(1) in
+    dim x cells — the real-embedding path; pytest-pinned to the
+    literal kept set).
+
+    ``centroids`` is a (k, dim) ndarray — seeded_centroids() when
+    None; pass train_centroids(...) output for data-trained cells
+    (both are deterministic, so reruns keep the same set).
+
+    Output: one row per input vector —
+    (id, cell, centsim (round6), kept boolean).
+    """
+    from ocr_compare_spark.operators.similarity import (
+        _centroid_scores,
+        cosine_native,
+        seeded_centroids,
+    )
+
+    cents = seeded_centroids() if centroids is None else centroids
+
+    if method == "literal":
+        scores = _centroid_scores(vec_col, cents)
+        cells = F.array(
+            *[F.struct((-s).alias("nd"), F.lit(i).alias("cid")) for i, s in enumerate(scores)]
+        )
+        staged = emb.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            cells.alias("_cells"),
+        )
+        keyed = staged.select(
+            "id",
+            "v",
+            F.array_min("_cells").cid.alias("cell"),
+            (-F.array_min("_cells").nd).alias("centsim"),
+        )
+    elif method == "data":
+        import numpy as np
+        import pandas as pd
+
+        spark = emb.sparkSession
+        bc = spark.sparkContext.broadcast(np.ascontiguousarray(cents, dtype=np.float64))
+
+        def assign(batches):
+            c = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+                s = mat @ c.T
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col].to_numpy(dtype=np.int64),
+                        "v": [list(row) for row in mat],
+                        "cell": np.argmax(s, axis=1).astype(np.int32),
+                        "centsim": np.max(s, axis=1),
+                    }
+                )
+
+        keyed = emb.select(id_col, vec_col).mapInPandas(
+            assign, "id long, v array<double>, cell int, centsim double"
+        )
+    else:
+        raise ValueError(f"semdedup: unknown method {method!r} (literal|data)")
+
+    a = keyed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        "cell", F.col("centsim").alias("cs_a"),
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        "cell", F.col("centsim").alias("cs_b"),
+    )
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_native(F.col("v_a"), F.col("v_b"))
+    # the pair member LATER in (centsim asc, id asc) order is dropped
+    a_first = (F.col("cs_a") < F.col("cs_b")) | (
+        (F.col("cs_a") == F.col("cs_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    dropped = (
+        pairs.withColumn("_sim", sim)
+        .filter(F.col("_sim") >= threshold)
+        .select(F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("id"))
+        .distinct()
+    )
+    return (
+        keyed.join(dropped.withColumn("_drop", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.col("cell").cast("long").alias("cell"),
+            # floor(x*1e6+0.5)/1e6, not F.round: centroid sims can be
+            # negative, and this is the repo's cross-engine rounding
+            # contract (HALF_UP on negatives differs between engines)
+            (F.floor(F.col("centsim") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "centsim"
+            ),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -755,3 +755,61 @@ def test_dedup_lines_within_doc(spark):
     for doc_id, text in cases:
         t, n = con.execute(sql, [text]).fetchone()
         assert (t, n) == got[doc_id], doc_id
+
+
+# ------------------------------------------------------ semantic dedup
+
+
+def test_semdedup_keeps_low_centroid_sim_member(spark):
+    """SemDeDup keep rule (Abbas et al. 2023): of a near-dup pair the
+    member with LOWER similarity to its cluster centroid survives."""
+    cents = np.eye(4)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),        # centsim 1.0 -> dropped
+        (2, [0.995, 0.0995, 0.0, 0.0]),   # ~paraphrase, centsim ~.995 -> kept
+        (3, [0.0, 1.0, 0.0, 0.0]),        # alone in its cell -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.id: (r.cell, r.kept) for r in dedup.semdedup(df, cents, threshold=0.95).collect()}
+    assert got[1] == (0, False)
+    assert got[2][0] == 0 and got[2][1] is True
+    assert got[3] == (1, True)
+
+
+def test_semdedup_pairwise_all_earlier_rule(spark):
+    """Chain a~b, b~c (a!~c): order by centroid-sim asc is a, b, c;
+    b drops against a, and c drops against b EVEN THOUGH b itself was
+    dropped — the paper's sorted-sim-matrix rule compares against all
+    earlier points, not only kept ones (pinned as the contract)."""
+    import math
+
+    cents = np.array([[1.0, 0.0]])
+    ang = lambda d: [math.cos(math.radians(d)), math.sin(math.radians(d))]
+    df = spark.createDataFrame(
+        [(10, ang(30)), (20, ang(20)), (30, ang(10))],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.id: r.kept for r in dedup.semdedup(df, cents, threshold=0.97).collect()}
+    assert got == {10: True, 20: False, 30: False}
+
+
+def test_semdedup_data_path_matches_literal(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lit_ = {(r.id, r.cell, r.kept) for r in dedup.semdedup(emb, threshold=0.3).collect()}
+    data = {
+        (r.id, r.cell, r.kept)
+        for r in dedup.semdedup(emb, threshold=0.3, method="data").collect()
+    }
+    assert lit_ == data
+    n_drop = sum(1 for _, _, k in lit_ if not k)
+    assert 0 < n_drop < len(lit_)  # nontrivial at the gate threshold
+
+    # scale shape: a dim-256 / 32-cell data-path run stays plan-light
+    rng = np.random.default_rng(3)
+    big = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(256)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.lloyd_kmeans(rng.standard_normal((64, 256)), 32, 2)
+    out = dedup.semdedup(big, cents, threshold=0.99, method="data").collect()
+    assert len(out) == 64 and all(r.kept for r in out)  # random vecs: no dups

@@ -437,6 +437,53 @@ def q_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cache_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cache_misses + cache_roundtrip gated as ONE wide union row set
+    (null-padded per kind) — frees a 50-cap registry slot for the
+    Bloom-filter dedup row; both remain importable individually."""
+    m = q_cache_misses(spark, sf_dir).select(
+        F.lit("misses").alias("kind"),
+        "url",
+        F.lit(None).cast("string").alias("engine"),
+        F.lit(None).cast("long").alias("total_length"),
+        F.lit(None).cast("long").alias("fresh_run2"),
+    )
+    r = q_cache_roundtrip(spark, sf_dir).select(
+        F.lit("roundtrip").alias("kind"), "url", "engine", "total_length", "fresh_run2"
+    )
+    return m.unionByName(r)
+
+
+#: Bloom gate sizing: deliberately small (2048 bits / 2 hashes for
+#: ~170 seen keys) so the gate exercises REAL false positives — the
+#: oracle reproduces them exactly, proving flag parity rather than
+#: just the easy all-zeros case.
+BLOOM_M = 2048
+BLOOM_K = 2
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter cross-batch dedup (operators/bloom.py — the Dolma
+    dedupe shape): docs with doc_id%3==0 play the already-ingested
+    crawl; the DATA path (distributed partial bitmaps OR-reduced,
+    broadcast numpy membership) flags the probe batch, gated against
+    the DuckDB relational twin (distinct set-bit table + all-k-
+    positions-present), with the exact-dup truth column alongside so
+    false positives are visible and pinned."""
+    from ocr_compare_spark.operators import bloom
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    seen = d.filter(F.col("doc_id") % 3 == 0)
+    bmp = bloom.build_bloom(seen, "text", BLOOM_M, BLOOM_K)
+    flagged = bloom.might_contain(d, "text", bmp, BLOOM_M, BLOOM_K)
+    dup = seen.select("text").distinct().withColumn("_dup", F.lit(True))
+    return flagged.join(dup, "text", "left").select(
+        "doc_id",
+        "might_contain",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+    )
+
+
 def q_layout_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style layout chunking of dom blocks at 1000 chars
     (reference ChunkingConfig defaults, gdai_executor.py:191-195).
@@ -1717,10 +1764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_alignment": q_compare_alignment,
         "mime_route": q_mime_route,
         "pages_meta": q_pages_meta,
-        "cache_misses": q_cache_misses,
+        # cache_misses + cache_roundtrip gate as ONE suite row set;
+        # the freed slot gates the Bloom-filter dedup
+        "cache_suite": q_cache_suite,
+        "bloom_dedup": q_bloom_dedup,
         "chunk_segments": q_chunk_segments,
         "chunk_roundtrip": q_chunk_roundtrip,
-        "cache_roundtrip": q_cache_roundtrip,
         "layout_chunks": q_layout_chunks,
         "anchors": q_anchors,
         # table_tsv + table_records gate as ONE suite row set;
@@ -2188,7 +2237,7 @@ def oracle_sql() -> dict[str, str]:
                    lang
             FROM documents
         """,
-        "cache_misses": f"SELECT {synth.SQL_URL} AS url FROM documents WHERE doc_id % 2 = 1",
+
         "chunk_segments": f"""
             WITH {PARAS_CTE},
             pd AS (
@@ -2207,20 +2256,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS match
             FROM pd
         """,
-        "cache_roundtrip": f"""
+        "cache_suite": f"""
             WITH {PARAS_CTE},
             dom AS ({SQL_DOM_TEXT}),
             den AS ({SQL_DENSITY_TEXT}),
             pdf AS ({SQL_PDF_TEXT})
-            SELECT t.url, 'dom' AS engine, CAST(length(m.doc_text) AS BIGINT) AS total_length,
-                   CAST(0 AS BIGINT) AS fresh_run2
+            SELECT 'misses' AS kind, {synth.SQL_URL} AS url,
+                   CAST(NULL AS VARCHAR) AS engine,
+                   CAST(NULL AS BIGINT) AS total_length,
+                   CAST(NULL AS BIGINT) AS fresh_run2
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT 'roundtrip', t.url, 'dom', CAST(length(m.doc_text) AS BIGINT), CAST(0 AS BIGINT)
             FROM tmd t JOIN dom m ON t.url = m.url WHERE NOT t.is_pdf
             UNION ALL
-            SELECT t.url, 'density', CAST(length(coalesce(d.doc_text, '')) AS BIGINT), CAST(0 AS BIGINT)
+            SELECT 'roundtrip', t.url, 'density', CAST(length(coalesce(d.doc_text, '')) AS BIGINT), CAST(0 AS BIGINT)
             FROM tmd t LEFT JOIN den d ON t.url = d.url WHERE NOT t.is_pdf
             UNION ALL
-            SELECT t.url, 'pdf', CAST(length(p.doc_text) AS BIGINT), CAST(0 AS BIGINT)
+            SELECT 'roundtrip', t.url, 'pdf', CAST(length(p.doc_text) AS BIGINT), CAST(0 AS BIGINT)
             FROM tmd t JOIN pdf p ON t.url = p.url WHERE t.is_pdf
+        """,
+        "bloom_dedup": f"""
+            WITH probe AS (
+              SELECT doc_id, text,
+                     ('0x' || substr(md5(text), 1, 8))::BIGINT AS h1,
+                     ('0x' || substr(md5(text), 9, 8))::BIGINT * 2 + 1 AS h2
+              FROM documents
+            ),
+            sp AS (
+              SELECT DISTINCT unnest([(h1 + i * h2) % {BLOOM_M} for i in range(0, {BLOOM_K})]) AS p
+              FROM probe WHERE doc_id % 3 = 0
+            ),
+            pr AS (
+              SELECT doc_id,
+                     unnest(list_distinct([(h1 + i * h2) % {BLOOM_M} for i in range(0, {BLOOM_K})])) AS p,
+                     len(list_distinct([(h1 + i * h2) % {BLOOM_M} for i in range(0, {BLOOM_K})])) AS np
+              FROM probe
+            ),
+            mc AS (
+              SELECT pr.doc_id FROM pr JOIN sp ON pr.p = sp.p
+              GROUP BY pr.doc_id, pr.np HAVING count(*) = pr.np
+            )
+            SELECT p.doc_id, (mc.doc_id IS NOT NULL) AS might_contain,
+                   (p.text IN (SELECT text FROM probe WHERE doc_id % 3 = 0)) AS is_dup
+            FROM probe p LEFT JOIN mc ON p.doc_id = mc.doc_id
         """,
         "layout_chunks": f"""
             WITH {PARAS_CTE},

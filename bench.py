@@ -199,6 +199,46 @@ def main() -> int:
             "doc_id", "bpe_token_count"
         ).write.format("noop").mode("overwrite").save()
 
+    def q_dsir():
+        from ocr_compare_spark.operators import dsir as dsir_ops
+
+        # hashed n-gram importance weights (two bucket-count passes +
+        # broadcast ratio join) + Gumbel top-k selection
+        target = docs.filter(F.col("doc_id") % 25 == 3).select("text")
+        cand = docs.filter(F.col("doc_id") % 25 != 3).select("doc_id", "text")
+        w = dsir_ops.dsir_log_weights(cand, target, "doc_id", "text")
+        dsir_ops.dsir_resample(w, "doc_id", 1000).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def q_semdedup():
+        # scale path: broadcast-GEMM cell assignment (plan O(1) in
+        # dim x cells); 64 cells bound the within-cell quadratic step
+        dedup.semdedup(
+            emb, similarity.seeded_centroids(64), threshold=0.3, method="data"
+        ).write.format("noop").mode("overwrite").save()
+
+    def q_bloom():
+        from ocr_compare_spark.operators import bloom
+
+        # cross-batch bloom dedup: distributed partial-bitmap build
+        # over the "already ingested" third, then broadcast-bitmap
+        # membership filter of the full batch (no join vs history)
+        keyed = docs.select("doc_id", "text")
+        seen = keyed.filter(F.col("doc_id") % 3 == 0)
+        bmp = bloom.build_bloom(seen, "text", 1 << 20, 4)
+        bloom.bloom_filter_new(keyed, "text", bmp, 1 << 20, 4).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def q_lang_mix():
+        from ocr_compare_spark.operators.sampling import temperature_mix
+
+        keyed = docs.select("doc_id", "lang", F.size(F.split("text", " ")).alias("tok"))
+        temperature_mix(keyed, "lang", "tok", "doc_id", 0.3).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     queries = {
         "extract_multi_engine": q_extract,
         "compare_align": q_compare,
@@ -214,6 +254,10 @@ def main() -> int:
         "lm_ppl": q_lm_ppl,
         "substring_dedup": q_substring_dedup,
         "bpe_train_encode": q_bpe,
+        "dsir": q_dsir,
+        "semdedup": q_semdedup,
+        "lang_mix": q_lang_mix,
+        "bloom_dedup": q_bloom,
         "tpch_q1": q_tpch_q1,
     }
 

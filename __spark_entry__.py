@@ -437,6 +437,44 @@ def q_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_meta_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mime_route + pages_meta gated as ONE wide union row set
+    (null-padded per kind) — frees a 50-cap registry slot for the
+    tfidf keyword row; both remain importable individually."""
+    m = q_mime_route(spark, sf_dir).select(
+        F.lit("mime").alias("kind"),
+        "mime",
+        "n",
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("long").alias("ts_epoch"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    p = q_pages_meta(spark, sf_dir).select(
+        F.lit("meta").alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("long").alias("n"),
+        "url",
+        "ts_epoch",
+        "lang",
+    )
+    return m.unionByName(p)
+
+
+TFIDF_K = 3
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-k keywords per document (operators/keywords.py):
+    smooth sklearn idf in integer microunits (round6 contract —
+    Spark ln and DuckDB ln agree under the floor-round, the lm_ppl
+    precedent), score6 = tf * idf6 exact int64, rank by
+    (score6 desc, term asc)."""
+    from ocr_compare_spark.operators import keywords
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return keywords.tfidf_topk(d, "doc_id", "text", k=TFIDF_K)
+
+
 def q_cache_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cache_misses + cache_roundtrip gated as ONE wide union row set
     (null-padded per kind) — frees a 50-cap registry slot for the
@@ -1762,8 +1800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_suite": q_compare_suite,
         "substring_dedup": q_substring_dedup,
         "compare_alignment": q_compare_alignment,
-        "mime_route": q_mime_route,
-        "pages_meta": q_pages_meta,
+        # mime_route + pages_meta gate as ONE suite row set; the
+        # freed slot gates the tf-idf keyword extractor
+        "meta_suite": q_meta_suite,
+        "tfidf": q_tfidf,
         # cache_misses + cache_roundtrip gate as ONE suite row set;
         # the freed slot gates the Bloom-filter dedup
         "cache_suite": q_cache_suite,
@@ -2226,16 +2266,45 @@ def oracle_sql() -> dict[str, str]:
                             + any_value(CASE WHEN has_table THEN CASE WHEN tbl_header THEN 20 ELSE 10 END ELSE 0 END)), 6) AS wer
             FROM paras WHERE NOT is_pdf GROUP BY url
         """,
-        "mime_route": f"""
-            SELECT CASE WHEN {synth.SQL_IS_PDF} THEN 'application/pdf' ELSE 'text/html' END AS mime,
-                   count(*) AS n
-            FROM documents GROUP BY 1
-        """,
-        "pages_meta": f"""
-            SELECT {synth.SQL_URL} AS url,
-                   CAST({synth.EPOCH_2025} + (doc_id % {synth.TS_SPAN_MIN}) * 60 AS BIGINT) AS ts_epoch,
+        "meta_suite": f"""
+            SELECT 'mime' AS kind,
+                   CASE WHEN {synth.SQL_IS_PDF} THEN 'application/pdf' ELSE 'text/html' END AS mime,
+                   count(*) AS n,
+                   CAST(NULL AS VARCHAR) AS url,
+                   CAST(NULL AS BIGINT) AS ts_epoch,
+                   CAST(NULL AS VARCHAR) AS lang
+            FROM documents GROUP BY 2
+            UNION ALL
+            SELECT 'meta', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   {synth.SQL_URL},
+                   CAST({synth.EPOCH_2025} + (doc_id % {synth.TS_SPAN_MIN}) * 60 AS BIGINT),
                    lang
             FROM documents
+        """,
+        "tfidf": f"""
+            WITH words AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfn FROM words GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            idf AS (
+              SELECT term,
+                     CAST(floor((ln((1 + n.n) / (dfn + 1.0)) + 1) * 1e6 + 0.5) AS BIGINT) AS idf6
+              FROM dfreq, n
+            ),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf6 AS score6
+              FROM tf JOIN idf USING (term)
+            ),
+            ranked AS (
+              SELECT doc_id, term, tf, score6,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score6 DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score6
+            FROM ranked WHERE rank <= {TFIDF_K}
         """,
 
         "chunk_segments": f"""

@@ -49,7 +49,8 @@ def main() -> int:
     replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "4"))
     pages = synth.pages_from_documents(spark, sf_dir, replicate=replicate)
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
-    n_docs = docs.count() * replicate
+    n_docs_raw = docs.count()
+    n_docs = n_docs_raw * replicate
     emb = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
     li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
 
@@ -218,6 +219,15 @@ def main() -> int:
             emb, similarity.seeded_centroids(64), threshold=0.3, method="data"
         ).write.format("noop").mode("overwrite").save()
 
+    def q_tfidf():
+        from ocr_compare_spark.operators import keywords
+
+        # two slim shuffles (tf counts, vocab idf join) + one
+        # ObjectHashAggregate top-k; n_docs hint skips the count job
+        keywords.tfidf_topk(
+            docs.select("doc_id", "text"), "doc_id", "text", k=5, n_docs=n_docs_raw
+        ).write.format("noop").mode("overwrite").save()
+
     def q_bloom():
         from ocr_compare_spark.operators import bloom
 
@@ -258,6 +268,7 @@ def main() -> int:
         "semdedup": q_semdedup,
         "lang_mix": q_lang_mix,
         "bloom_dedup": q_bloom,
+        "tfidf": q_tfidf,
         "tpch_q1": q_tpch_q1,
     }
 

@@ -207,7 +207,9 @@ def main() -> int:
         # broadcast ratio join) + Gumbel top-k selection
         target = docs.filter(F.col("doc_id") % 25 == 3).select("text")
         cand = docs.filter(F.col("doc_id") % 25 != 3).select("doc_id", "text")
-        w = dsir_ops.dsir_log_weights(cand, target, "doc_id", "text")
+        w = dsir_ops.dsir_log_weights(
+            cand, target, "doc_id", "text", num_partitions=cores
+        )
         dsir_ops.dsir_resample(w, "doc_id", 1000).write.format("noop").mode(
             "overwrite"
         ).save()

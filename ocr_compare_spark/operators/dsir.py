@@ -123,6 +123,7 @@ def dsir_log_weights(
     n_buckets: int = DEFAULT_BUCKETS,
     smoothing: float = 1.0,
     checkpoint: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Per-candidate log importance weight under the hashed-n-gram
     bucket models: columns (id_col, n_grams, logw6, log_weight) where
@@ -134,6 +135,12 @@ def dsir_log_weights(
         target_text_col = text_col
     if checkpoint:
         candidates = candidates.localCheckpoint()
+    if num_partitions:
+        # the gram stream is byte-light but compute-heavy (md5 per
+        # uni+bigram, three passes) — a narrow parquet input leaves
+        # most cores idle, the CLAUDE.md decontam/compare_align trap;
+        # one explicit shuffle of the slim (id, text) rows fixes it
+        candidates = candidates.repartition(num_partitions)
 
     q_counts, q_total = _bucket_counts(candidates, text_col, n_buckets)
     p_counts, p_total = _bucket_counts(target, target_text_col, n_buckets)

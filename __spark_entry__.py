@@ -460,6 +460,81 @@ def q_meta_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.unionByName(p)
 
 
+def q_chunk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_segments + chunk_roundtrip gated as ONE wide union row
+    set (null-padded per kind) — frees a 50-cap registry slot for the
+    robots gate; both remain importable individually."""
+    s = q_chunk_segments(spark, sf_dir).select(
+        F.lit("segments").alias("kind"),
+        "url",
+        "n_segments",
+        "n_pages",
+        F.lit(None).cast("long").alias("match"),
+    )
+    r = q_chunk_roundtrip(spark, sf_dir).select(
+        F.lit("roundtrip").alias("kind"),
+        "url",
+        "n_segments",
+        F.lit(None).cast("long").alias("n_pages"),
+        "match",
+    )
+    return s.unionByName(r)
+
+
+#: robots.txt bodies for the gated row — deterministic per host-
+#: contract class, exercising grouped agents, wildcard+anchor
+#: patterns, allow-override, group merge (same agent twice),
+#: crawl-delay, sitemap, comments, and the * fallback.
+ROBOTS_AGENT = "ccbot"
+ROBOTS_HOT = (
+    "# synthetic policy\n"
+    "User-Agent: ccbot\n"
+    "User-agent: otherbot\n"
+    "Disallow: /doc/*2$\n"
+    "Allow: /doc/\n"
+    "Crawl-delay: 2\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /\n"
+    "\n"
+    "Sitemap: https://hot.example.com/sitemap.xml\n"
+)
+ROBOTS_WARM = (
+    "User-agent: CCBot\n"
+    "Disallow: /\n"
+    "Allow: /doc/1*\n"
+    "\n"
+    "User-agent: ccbot\n"
+    "Allow: /doc/5\n"
+)
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt compliance gate (operators/robots.py):
+    per-host synthetic policies (closed-form in the host contract)
+    parsed once per host, matched natively per doc. hot: wildcard
+    Disallow /doc/*2$ beats Allow /doc/ by length (blocked iff the
+    id ends in 2), with the * group ignored for ccbot; warm: two
+    merged ccbot groups — Disallow / overridden by the longer
+    Allow /doc/1* and /doc/5 prefixes; tailN: N%%3==0 disallows
+    everything, others have an empty Disallow (= allow all)."""
+    from ocr_compare_spark.operators import robots as robots_ops
+
+    d = _docs(spark, sf_dir).select("doc_id", synth.url_expr("doc_id").alias("url"))
+    hosts = d.select(synth.host_expr("doc_id").alias("host")).distinct()
+    tail_n = F.regexp_extract("host", r"^tail(\d+)\.", 1).cast("long")
+    body = (
+        F.when(F.col("host") == "hot.example.com", F.lit(ROBOTS_HOT))
+        .when(F.col("host") == "warm.example.com", F.lit(ROBOTS_WARM))
+        .when(tail_n % 3 == 0, F.lit("User-agent: *\nDisallow: /\n"))
+        .otherwise(F.lit("User-agent: *\nDisallow:\n"))
+    )
+    rdf = hosts.withColumn("robots_txt", body)
+    return robots_ops.robots_gate(d, rdf, ROBOTS_AGENT).select(
+        "doc_id", "robots_allowed", "crawl_delay"
+    )
+
+
 TFIDF_K = 3
 
 
@@ -1808,8 +1883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the freed slot gates the Bloom-filter dedup
         "cache_suite": q_cache_suite,
         "bloom_dedup": q_bloom_dedup,
-        "chunk_segments": q_chunk_segments,
-        "chunk_roundtrip": q_chunk_roundtrip,
+        # chunk_segments + chunk_roundtrip gate as ONE suite row set;
+        # the freed slot gates the RFC 9309 robots compliance gate
+        "chunk_suite": q_chunk_suite,
+        "robots_gate": q_robots_gate,
         "layout_chunks": q_layout_chunks,
         "anchors": q_anchors,
         # table_tsv + table_records gate as ONE suite row set;
@@ -2307,23 +2384,30 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= {TFIDF_K}
         """,
 
-        "chunk_segments": f"""
+        "chunk_suite": f"""
             WITH {PARAS_CTE},
             pd AS (
               SELECT url, CAST(ceil(count(*) / {synth.PAGE_PARAS}.0) AS BIGINT) AS n_pages
               FROM paras WHERE is_pdf GROUP BY url
             )
-            SELECT url, CAST(ceil(n_pages / 2.0) AS BIGINT) AS n_segments, n_pages FROM pd
-        """,
-        "chunk_roundtrip": f"""
-            WITH {PARAS_CTE},
-            pd AS (
-              SELECT url, CAST(ceil(count(*) / {synth.PAGE_PARAS}.0) AS BIGINT) AS n_pages
-              FROM paras WHERE is_pdf GROUP BY url
-            )
-            SELECT url, CAST(ceil(n_pages / 2.0) AS BIGINT) AS n_segments,
-                   CAST(1 AS BIGINT) AS match
+            SELECT 'segments' AS kind, url,
+                   CAST(ceil(n_pages / 2.0) AS BIGINT) AS n_segments, n_pages,
+                   CAST(NULL AS BIGINT) AS match
             FROM pd
+            UNION ALL
+            SELECT 'roundtrip', url, CAST(ceil(n_pages / 2.0) AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(1 AS BIGINT)
+            FROM pd
+        """,
+        "robots_gate": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN doc_id % 10 != 2
+                        WHEN doc_id % 4 = 1 THEN
+                          (CAST(doc_id AS VARCHAR) LIKE '1%' OR CAST(doc_id AS VARCHAR) LIKE '5%')
+                        ELSE (doc_id % 37) % 3 != 0
+                   END AS robots_allowed,
+                   CASE WHEN doc_id % 2 = 0 THEN 2.0 ELSE CAST(NULL AS DOUBLE) END AS crawl_delay
+            FROM documents
         """,
         "cache_suite": f"""
             WITH {PARAS_CTE},

@@ -104,6 +104,8 @@ def curate(
     dsir_target: str | None = None,
     dsir_text_col: str = "text",
     dsir_k: int = 1 << 30,
+    robots_txt: str | None = None,
+    robots_agent: str = "ccbot",
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -119,6 +121,20 @@ def curate(
     pages = synth.pages_from_documents(spark, input_dir)
     n_in = pages.count()
 
+    n_robots_blocked = None
+    if robots_txt:
+        # robots compliance FIRST (it is a crawl-time rule — before
+        # even the blocklist): parse per host, decide natively per
+        # url, drop disallowed pages before extraction ever runs
+        from ocr_compare_spark.operators.robots import robots_gate
+
+        rdf = spark.read.parquet(robots_txt)
+        pages = robots_gate(pages, rdf, robots_agent).filter(
+            F.col("robots_allowed")
+        ).drop("robots_allowed", "crawl_delay")
+        n_robots_blocked = n_in - pages.count()
+
+    n_pages_live = n_in - (n_robots_blocked or 0)
     n_blocked = None
     if blocked_domains or blocked_patterns:
         # URL blocklist FIRST (RefinedWeb §3.1 order): a row-local
@@ -129,7 +145,7 @@ def curate(
 
         wf = url_filter_columns("url", tuple(blocked_domains), tuple(blocked_patterns))
         pages = pages.filter(wf["block_reason"].isNull())
-        n_blocked = n_in - pages.count()
+        n_blocked = n_pages_live - pages.count()
 
     winners = pick_winner(
         run_engines_fused(pages, with_spans=False, num_partitions=num_partitions)
@@ -513,8 +529,9 @@ def curate(
         "docs_after_quality": n_quality,
         "docs_after_dedup": n_after_dedup,
         "docs_out": n_out,
+        "dropped_robots": n_robots_blocked,
         "dropped_blocklist": n_blocked,
-        "dropped_quality": (n_in - (n_blocked or 0)) - n_quality,
+        "dropped_quality": (n_pages_live - (n_blocked or 0)) - n_quality,
         "dropped_high_ppl": n_high_ppl,
         "paras_dropped_ppl": paras_dropped_ppl,
         "dropped_low_nb": n_low_nb,
@@ -562,6 +579,8 @@ def curate(
             "mix_alpha": mix_alpha,
             "dsir_target": dsir_target,
             "dsir_k": dsir_k if dsir_target else None,
+            "robots_txt": robots_txt,
+            "robots_agent": robots_agent if robots_txt else None,
         },
         "bpe_merges_learned": n_bpe_merges_learned,
     }
@@ -637,6 +656,11 @@ def main() -> int:
     ap.add_argument("--dsir-k", type=int, default=1 << 30,
                     help="number of docs DSIR keeps (default: no cap — "
                          "weights only rank, nothing dropped)")
+    ap.add_argument("--robots-txt", default=None,
+                    help="parquet of (host, robots_txt) captures; drop "
+                         "pages the host disallows for --robots-agent "
+                         "(RFC 9309) before any other stage")
+    ap.add_argument("--robots-agent", default="ccbot")
     ap.add_argument("--mix-alpha", type=float, default=None,
                     help="temperature-balanced language mixing (mC4/"
                          "XLM-R): downsample head languages so lang l "
@@ -701,6 +725,8 @@ def main() -> int:
         dsir_target=args.dsir_target,
         dsir_text_col=args.dsir_text_col,
         dsir_k=args.dsir_k,
+        robots_txt=args.robots_txt,
+        robots_agent=args.robots_agent,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

@@ -813,3 +813,28 @@ def test_curate_dsir_stage(spark, sf_dir, tmp_path):
     m2 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
                 dsir_target=tgt, dsir_k=k)
     assert m2["docs_out"] == k
+
+
+def test_curate_robots_stage(spark, sf_dir, tmp_path):
+    """--robots-txt drops disallowed pages BEFORE any other stage:
+    warm.example.com fully disallowed for ccbot (125 of 500 pages)
+    plus hot's /doc/*2$ wildcard (ids ending in 2 — 50 even docs);
+    tail hosts have no robots row and stay. The drop metric is
+    separate from blocklist/quality."""
+    from ocr_compare_spark.plans.curate import curate
+
+    path = str(tmp_path / "robots_parquet")
+    spark.createDataFrame(
+        [
+            ("warm.example.com", "User-agent: ccbot\nDisallow: /\n"),
+            ("hot.example.com", "User-agent: ccbot\nDisallow: /doc/*2$\n"),
+        ],
+        "host string, robots_txt string",
+    ).write.parquet(path)
+    m = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+               robots_txt=path)
+    assert m["dropped_robots"] == 125 + 50
+    assert m["dropped_blocklist"] is None
+    assert m["params"]["robots_agent"] == "ccbot"
+    # quality stage starts from the robots survivors
+    assert m["docs_after_quality"] + m["dropped_quality"] == 500 - 175

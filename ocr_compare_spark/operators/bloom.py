@@ -172,6 +172,32 @@ def might_contain_join(
     ).withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
 
 
+def save_bloom(spark, bloom: np.ndarray, path: str) -> None:
+    """Persist the bitmap as a one-row binary parquet (with m/k-free
+    sizing implicit in its length) — the artifact a recurring crawl
+    job reloads before each batch."""
+    spark.createDataFrame([(bloom.tobytes(),)], "bmp binary").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_bloom(spark, path: str) -> np.ndarray:
+    bmp = spark.read.parquet(path).first()["bmp"]
+    return np.frombuffer(bmp, dtype=np.uint8).copy()
+
+
+def union_bloom(*blooms: np.ndarray) -> np.ndarray:
+    """OR together filters built with the SAME m_bits/k — the
+    cross-crawl fold: filter(crawl N) = filter(crawl N-1) | build
+    (new keys of crawl N). Sizes must match."""
+    out = blooms[0].copy()
+    for b in blooms[1:]:
+        if b.shape != out.shape:
+            raise ValueError("bloom_union: mismatched filter sizes")
+        out |= b
+    return out
+
+
 def bloom_filter_new(
     batch: DataFrame,
     key_col: str,

@@ -90,3 +90,38 @@ def test_small_filter_false_positive_direction(spark):
     }
     assert all(flags[f"s{i}"] for i in range(64))
     assert any(flags[f"n{i}"] for i in range(64))  # fps exist here
+
+
+def test_persistence_and_incremental_fold(spark, tmp_path):
+    # crawl 1 -> filter -> save; crawl 2 filtered against it, its
+    # survivors folded in; crawl 3 must see BOTH prior crawls
+    path = str(tmp_path / "bloom_parquet")
+    crawl1 = _keys(spark, 150, "a")
+    f1 = bloom.build_bloom(crawl1, "key", M, K)
+    bloom.save_bloom(spark, f1, path)
+    f1b = bloom.load_bloom(spark, path)
+    assert (f1 == f1b).all()
+
+    crawl2 = _keys(spark, 150, "a").unionByName(_keys(spark, 150, "b"))
+    fresh2 = bloom.bloom_filter_new(crawl2, "key", f1b, M, K)
+    assert not any(r.key.startswith("a") for r in fresh2.collect())
+    f2 = bloom.union_bloom(f1b, bloom.build_bloom(fresh2, "key", M, K))
+    bloom.save_bloom(spark, f2, path)
+
+    crawl3 = _keys(spark, 300, "a").unionByName(_keys(spark, 150, "b"))
+    flags = bloom.might_contain(crawl3, "key", bloom.load_bloom(spark, path), M, K)
+    rows = flags.collect()
+    # every a<150 and every b key is seen; a150.. are new (modulo fp)
+    assert all(r.might_contain for r in rows if r.key.startswith("b"))
+    assert all(
+        r.might_contain
+        for r in rows
+        if r.key.startswith("a") and int(r.key[1:]) < 150
+    )
+    new = [r for r in rows if r.key.startswith("a") and int(r.key[1:]) >= 150]
+    assert sum(not r.might_contain for r in new) >= 140  # fp-rare
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom.union_bloom(f1b, bloom.build_bloom(crawl1, "key", M * 2, K))

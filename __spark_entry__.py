@@ -1286,10 +1286,11 @@ def q_bbox_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bbox_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bbox_containment + bbox_union folded into ONE gated row set
-    (normalized (q, url, k, v1..v5)) to free a registry slot for
-    crawl_delta under the driver's 50-row gate cap; see q_events_suite
-    for the pattern. Both component queries remain importable."""
+    """bbox_containment + bbox_union + doc_dims folded into ONE gated
+    row set (normalized (q, url, k, v1..v5)) — the bbox fold freed a
+    slot for crawl_delta (r5s1), the doc_dims fold one for
+    sitemap_roundtrip (r5s4). All component queries remain
+    importable."""
     cont = q_bbox_containment(spark, sf_dir)
     un = q_bbox_union(spark, sf_dir)
     nd = F.lit(None).cast("double")
@@ -1313,7 +1314,17 @@ def q_bbox_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("double").alias("v4"),
         F.col("n_words").cast("double").alias("v5"),
     )
-    return a.unionByName(b)
+    c = q_doc_dims(spark, sf_dir).select(
+        F.lit("dims").alias("q"),
+        "url",
+        F.lit("").alias("k"),
+        F.col("doc_width").cast("double").alias("v1"),
+        F.col("doc_height").cast("double").alias("v2"),
+        F.col("n_pages").cast("double").alias("v3"),
+        F.col("mediabox_width").cast("double").alias("v4"),
+        F.col("mediabox_height").cast("double").alias("v5"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1380,6 +1391,30 @@ def q_doc_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(pm, "url").select(
         "url", "doc_width", "doc_height", F.col("n_pages").cast("long").alias("n_pages"),
         "mediabox_width", "mediabox_height",
+    )
+
+
+def q_sitemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap generate + parse end-to-end (operators/sitemap.py —
+    the discovery-side companion to robots_gate): per host, build a
+    urlset document from its docs' urls (sorted, entity-escaped) and
+    parse it back — one (host, kind, loc) row per doc, which the
+    oracle reproduces closed-form from the host contract. Gates the
+    entry framing, loc extraction, kind detection, and the
+    escape/unescape bijection in one pass."""
+    from ocr_compare_spark.operators import sitemap as sitemap_ops
+
+    d = _docs(spark, sf_dir).select(
+        synth.host_expr("doc_id").alias("host"),
+        synth.url_expr("doc_id").alias("url"),
+    )
+    xml = d.groupBy("host").agg(
+        sitemap_ops.sitemap_xml(F.sort_array(F.collect_list("url"))).alias(
+            "sitemap_xml"
+        )
+    )
+    return sitemap_ops.parse_sitemap(xml, keep_cols=("host",)).select(
+        "host", "kind", "loc"
     )
 
 
@@ -1918,7 +1953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the freed slot gates the incremental crawl_delta plan
         "bbox_suite": q_bbox_suite,
         "crawl_delta": q_crawl_delta,
-        "doc_dims": q_doc_dims,
+        # doc_dims folded into bbox_suite; the freed slot gates the
+        # sitemap generate+parse roundtrip
+        "sitemap_roundtrip": q_sitemap_roundtrip,
         # stream_extract + stream_dedup gate as ONE suite row set;
         # the freed slot gates the temperature-mix sampler
         "stream_suite": q_stream_suite,
@@ -3032,6 +3069,16 @@ def oracle_sql() -> dict[str, str]:
                    12.0,
                    CAST(n_tok AS DOUBLE)
             FROM paras WHERE is_pdf
+            UNION ALL
+            SELECT 'dims', url, '', CAST(max(w) AS DOUBLE),
+                   CAST(sum(h) AS DOUBLE), CAST(count(*) AS DOUBLE),
+                   612.0, CAST(792 * count(*) AS DOUBLE)
+            FROM (
+              SELECT url, para_no // {synth.PAGE_PARAS} AS pg,
+                     max(72 + 6 * length(para_text)) AS w,
+                     72 + 40 * (count(*) - 1) + 12 AS h
+              FROM paras WHERE is_pdf GROUP BY url, para_no // {synth.PAGE_PARAS}
+            ) GROUP BY url
         """,
         "crawl_delta": f"""
             -- unchanged urls' run-2 text must be byte-identical to the
@@ -3064,22 +3111,16 @@ def oracle_sql() -> dict[str, str]:
             FROM tmd t JOIN pdf p ON t.url = p.url, meta
             WHERE t.is_pdf
         """,
-        "doc_dims": f"""
-            WITH {PARAS_CTE},
-            pp AS (
-              SELECT url, para_no // {synth.PAGE_PARAS} AS pg,
-                     max(72 + 6 * length(para_text)) AS w,
-                     72 + 40 * (count(*) - 1) + 12 AS h
-              FROM paras WHERE is_pdf GROUP BY url, para_no // {synth.PAGE_PARAS}
-            )
-            -- mediabox_* prove the engine PARSED the MediaBox
-            -- (generator emits [0 0 612 792] per page; heights stack)
-            SELECT url, CAST(max(w) AS DOUBLE) AS doc_width,
-                   CAST(sum(h) AS DOUBLE) AS doc_height,
-                   count(*) AS n_pages,
-                   CAST(612 AS DOUBLE) AS mediabox_width,
-                   CAST(792 * count(*) AS DOUBLE) AS mediabox_height
-            FROM pp GROUP BY url
+        "sitemap_roundtrip": f"""
+            -- generate+parse is lossless: one urlset row per doc,
+            -- loc == the contract url (no entities in synth urls,
+            -- escape/unescape bijection pinned in pytest/fuzz)
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
+                        WHEN doc_id % 4 = 1 THEN 'warm.example.com'
+                        ELSE concat('tail', CAST(doc_id % 37 AS VARCHAR), '.example.com') END AS host,
+                   'urlset' AS kind,
+                   {synth.SQL_URL} AS loc
+            FROM documents
         """,
         "param_grid": """
             WITH g AS (SELECT unnest([0.25, 0.5, 0.75]) AS threshold),

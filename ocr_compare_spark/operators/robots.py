@@ -212,8 +212,12 @@ def robots_gate(
     from ocr_compare_spark.functions.url import host_of
 
     rules = agent_rules(robots, agent, host_col, body_col)
+    # host_of lowercases; normalize the robots side too so mixed-case
+    # capture hosts still join
     joined = docs.withColumn("_host", host_of(F.col(url_col))).join(
-        F.broadcast(rules.withColumnRenamed("host", "_host")), "_host", "left"
+        F.broadcast(rules.select(F.lower("host").alias("_host"), *rules.columns[1:])),
+        "_host",
+        "left",
     )
     return (
         joined.withColumn(out_col, allowed_expr(url_path(F.col(url_col))))

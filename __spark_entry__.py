@@ -795,10 +795,11 @@ def q_dedup_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_exact + dedup_adjacent gated as ONE wide union row set
-    (null-padded per kind) — frees a 50-cap registry slot for the
-    DSIR importance-resampling row; both remain importable/pytest-
-    gated individually."""
+    """dedup_exact + dedup_adjacent + simhash gated as ONE wide union
+    row set (null-padded per kind) — the exact/adjacent fold freed a
+    50-cap registry slot for the DSIR row; folding simhash in (r5
+    final) freed the slot that gates BM25 retrieval. All three remain
+    importable/pytest-gated individually."""
     e = q_dedup_exact(spark, sf_dir).select(
         F.lit("exact").alias("kind"),
         "text_hash",
@@ -808,6 +809,8 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("id"),
         F.lit(None).cast("long").alias("next_id"),
         F.lit(None).cast("double").alias("jaccard"),
+        F.lit(None).cast("long").alias("sim_hi"),
+        F.lit(None).cast("long").alias("sim_lo"),
     )
     a = q_dedup_adjacent(spark, sf_dir).select(
         F.lit("adjacent").alias("kind"),
@@ -818,8 +821,22 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "next_id",
         "jaccard",
+        F.lit(None).cast("long").alias("sim_hi"),
+        F.lit(None).cast("long").alias("sim_lo"),
     )
-    return e.unionByName(a)
+    s = q_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("kind"),
+        F.lit(None).cast("string").alias("text_hash"),
+        F.lit(None).cast("long").alias("keep_id"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("string").alias("part"),
+        F.col("id"),
+        F.lit(None).cast("long").alias("next_id"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.col("sim_hi").cast("long"),
+        F.col("sim_lo").cast("long"),
+    )
+    return e.unionByName(a).unionByName(s)
 
 
 #: DSIR gate constants: the paper's hashed dimensionality order (8k
@@ -907,6 +924,166 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk_df(emb, queries, k=3).select(
         "query_id", "rank", "neighbor_id"
     )
+
+
+#: BM25 gate config: docs with doc_id % 97 == 5 play the query set
+#: (their first 4 tokens = the query string), top-10 per query.
+BM25_K = 10
+BM25_QUERY_MOD = 97
+BM25_QUERY_REM = 5
+BM25_QUERY_TERMS = 4
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index BM25 top-k retrieval (operators/index.py): the
+    query set is corpus-derived (first 4 tokens of every doc_id%97==5
+    doc), so the DuckDB twin rebuilds queries, postings, df, dl and
+    avgdl from the same table and reproduces every per-term microunit
+    weight — score6 sums and the (score6 desc, id asc) ranking are
+    exact int64 (round6-before-sum, lm.py precedent)."""
+    from ocr_compare_spark.operators import index as index_ops
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    queries = d.filter(F.col("doc_id") % BM25_QUERY_MOD == BM25_QUERY_REM).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(index_ops._words("text"), 1, BM25_QUERY_TERMS), " "
+        ).alias("query_text"),
+    )
+    return index_ops.bm25_topk(d, queries, k=BM25_K)
+
+
+def _bm25_oracle() -> str:
+    """SQL twin of q_bm25 — every double expression below is written
+    in the SAME grouping/order as operators/index.py's Column chain,
+    so the floor-round6 term weights match bit-for-bit (Spark ln and
+    DuckDB ln agree under the round at the gate sfs — tfidf/lm_ppl
+    precedent)."""
+    k1, b = 1.2, 0.75
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+          FROM documents
+        ),
+        st AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
+        n AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(coalesce(sum(dl), 0) AS BIGINT) AS sumdl
+          FROM st
+        ),
+        post AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(w) AS term FROM tok)
+          GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+        qt AS (
+          SELECT doc_id AS query_id, unnest(list_distinct(w[1:{BM25_QUERY_TERMS}])) AS term
+          FROM tok WHERE doc_id % {BM25_QUERY_MOD} = {BM25_QUERY_REM}
+        ),
+        scored AS (
+          SELECT qt.query_id, p.doc_id AS id,
+                 CAST(floor(
+                   ln(1.0 + (n.n - d.df + 0.5) / (d.df + 0.5))
+                   * ((p.tf * ({k1!r} + 1.0))
+                      / (p.tf + {k1!r} * (1.0 - {b!r} + {b!r} * (s.dl / (CAST(n.sumdl AS DOUBLE) / n.n)))))
+                   * 1e6 + 0.5) AS BIGINT) AS w6
+          FROM qt
+          JOIN post p USING (term)
+          JOIN dfreq d USING (term)
+          JOIN st s ON s.doc_id = p.doc_id, n
+        ),
+        agg AS (
+          SELECT query_id, id, CAST(sum(w6) AS BIGINT) AS score6
+          FROM scored GROUP BY query_id, id
+        ),
+        ranked AS (
+          SELECT query_id, id, score6,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, id) AS rank
+          FROM agg
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, id, score6
+        FROM ranked WHERE rank <= {BM25_K}
+    """
+
+
+#: PageRank gate config: 3 damped rounds (0.85 = 85/100) over the
+#: REAL extract_links graph of the synth corpus (every html doc has
+#: exactly 4 same-host anchors: /, /about, /contact, /buy).
+PAGERANK_ITERS = 3
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-microunit PageRank (operators/graph.py) over the edge
+    table operators/links.extract_links pulls from the synth html —
+    this row gates BOTH the link extractor (previously pytest-only)
+    and the iterative rank loop end to end. The DuckDB twin rebuilds
+    the edge list from the synth url/anchor contract and unrolls the
+    same exact-int64 rounds."""
+    from ocr_compare_spark.operators import graph, links
+
+    edges = links.extract_links(_pages(spark, sf_dir), with_anchor_text=False)
+    return graph.pagerank(edges, iters=PAGERANK_ITERS)
+
+
+def _pagerank_oracle(iters: int = PAGERANK_ITERS, d_num: int = 85, d_den: int = 100) -> str:
+    """SQL twin of q_pagerank: VALUES-built anchor paths per html doc
+    (the synth contract), generic outdeg/node CTEs, then one CTE per
+    unrolled round — all arithmetic is int64 floor division, so any
+    evaluation order matches Spark exactly."""
+    teleport6 = 1_000_000 - (1_000_000 * d_num) // d_den
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""r{i} AS (
+          SELECT nd.node,
+                 CAST({teleport6} + ({d_num} * coalesce(s.s, 0)) // {d_den} AS BIGINT) AS rank6
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank6 // e.outdeg) AS s
+            FROM edges e JOIN {prev} r ON r.node = e.src
+            GROUP BY e.dst
+          ) s ON nd.node = s.node
+        )""")
+        prev = f"r{i}"
+    rounds_sql = ",\n        ".join(rounds)
+    return f"""
+        WITH html AS (
+          SELECT {synth.SQL_URL} AS src,
+                 concat('https://',
+                        CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
+                             WHEN doc_id % 4 = 1 THEN 'warm.example.com'
+                             ELSE concat('tail', CAST(doc_id % 37 AS VARCHAR), '.example.com') END
+                 ) AS origin
+          FROM documents WHERE NOT {synth.SQL_IS_PDF}
+        ),
+        edges0 AS (
+          SELECT src, concat(origin, p) AS dst
+          FROM html, (VALUES ('/'), ('/about'), ('/contact'), ('/buy')) t(p)
+        ),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges0 GROUP BY src),
+        edges AS (SELECT e.src, e.dst, d.outdeg FROM edges0 e JOIN deg d USING (src)),
+        nodes AS (SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank6 FROM nodes),
+        {rounds_sql}
+        SELECT node, rank6 FROM {prev}
+    """
+
+
+#: SQL twin of q_embed_topk (brute-force cosine top-3 for queries
+#: vec_id < 8) — folded into the ann_suite 'bf' arm.
+_EMBED_BF_ORACLE = """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+      FROM q, embeddings c WHERE q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= 3
+"""
 
 
 def _embed_lsh_oracle(n_planes: int = 8, n_tables: int = 4, dim: int = 64, k: int = 3) -> str:
@@ -1011,14 +1188,17 @@ def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embed_topk_lsh + embed_topk_ivf gated as ONE union row set
+    """embed_topk_lsh + embed_topk_ivf (+ brute-force, folded in r5
+    final — its freed slot gates PageRank) gated as ONE union row set
     (they already share the (variant, query_id, rank, neighbor_id)
-    schema; a family column tells them apart) — frees a 50-cap
-    registry slot for the SemDeDup row. All five ANN variants
-    (lsh literal/data, ivf seeded/trained/data) stay gated."""
+    schema; a family column tells them apart). All six ANN variants
+    (bf, lsh literal/data, ivf seeded/trained/data) stay gated."""
+    bf = q_embed_topk(spark, sf_dir).select(
+        F.lit("bf").alias("family"), F.lit("literal").alias("variant"), "*"
+    )
     lsh = q_embed_topk_lsh(spark, sf_dir).select(F.lit("lsh").alias("family"), "*")
     ivf = q_embed_topk_ivf(spark, sf_dir).select(F.lit("ivf").alias("family"), "*")
-    return lsh.unionByName(ivf)
+    return bf.unionByName(lsh).unionByName(ivf)
 
 
 #: SemDeDup gate config: seeded 16-cell quantizer over the dim-64
@@ -1938,10 +2118,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "dedup_minhash": q_dedup_minhash,
         "dedup_embed": q_dedup_embed,
-        "simhash": q_simhash,
-        "embed_topk": q_embed_topk,
-        # embed_topk_lsh + embed_topk_ivf gate as ONE suite row set;
-        # the freed slot gates SemDeDup
+        # simhash folded into dedup_suite (r5 final); the freed slot
+        # gates BM25 ranked retrieval over the inverted index
+        "bm25": q_bm25,
+        # embed_topk folded into ann_suite (r5 final); the freed slot
+        # gates PageRank over the real extract_links graph
+        "pagerank": q_pagerank,
+        # embed_topk_lsh + embed_topk_ivf (+ bf) gate as ONE suite row
+        # set; the original fold's freed slot gates SemDeDup
         "ann_suite": q_ann_suite,
         "semdedup": q_semdedup,
         "decontam": q_decontam,
@@ -2744,14 +2928,20 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
             FROM f GROUP BY id
         """,
-        "dedup_suite": """
+        "dedup_suite": f"""
             SELECT 'exact' AS kind, md5(text) AS text_hash,
                    min(doc_id) AS keep_id, count(*) AS n_docs,
                    CAST(NULL AS VARCHAR) AS part, CAST(NULL AS BIGINT) AS id,
-                   CAST(NULL AS BIGINT) AS next_id, CAST(NULL AS DOUBLE) AS jaccard
+                   CAST(NULL AS BIGINT) AS next_id, CAST(NULL AS DOUBLE) AS jaccard,
+                   CAST(NULL AS BIGINT) AS sim_hi, CAST(NULL AS BIGINT) AS sim_lo
             FROM documents GROUP BY md5(text)
             UNION ALL
-            SELECT 'adjacent', NULL, NULL, NULL, part, id, next_id, jaccard
+            SELECT 'simhash', NULL, NULL, NULL, NULL, id, NULL, NULL,
+                   CAST(sim_hi AS BIGINT), CAST(sim_lo AS BIGINT)
+            FROM ({_simhash_oracle()})
+            UNION ALL
+            SELECT 'adjacent', NULL, NULL, NULL, part, id, next_id, jaccard,
+                   NULL, NULL
             FROM (
             WITH tok AS (
               SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents
@@ -2816,7 +3006,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY key6 DESC, doc_id
             LIMIT {DSIR_K}
         """,
-        "simhash": _simhash_oracle(),
         "dedup_minhash": """
             WITH tok AS (SELECT doc_id AS id, string_split_regex(text, '\\s+') AS t FROM documents),
             ex AS (SELECT id, t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i FROM tok),
@@ -2856,21 +3045,10 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE na > 0 AND nb > 0 AND dot / (na * nb) >= 0.30
         """,
-        "embed_topk": """
-            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
-            scored AS (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
-              FROM q, embeddings c WHERE q.vec_id <> c.vec_id
-            ), ranked AS (
-              SELECT query_id, neighbor_id,
-                     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-              FROM scored
-            )
-            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= 3
-        """,
         "ann_suite": f"""
-            SELECT 'lsh' AS family, 'literal' AS variant, * FROM ({_embed_lsh_oracle()})
+            SELECT 'bf' AS family, 'literal' AS variant, * FROM ({_EMBED_BF_ORACLE})
+            UNION ALL
+            SELECT 'lsh', 'literal', * FROM ({_embed_lsh_oracle()})
             UNION ALL
             SELECT 'lsh', 'data', * FROM ({_embed_lsh_oracle()})
             UNION ALL
@@ -2882,6 +3060,8 @@ def oracle_sql() -> dict[str, str]:
             -- their literal twins row for row
             SELECT 'ivf', 'data', * FROM ({_embed_ivf_oracle()})
         """,
+        "bm25": _bm25_oracle(),
+        "pagerank": _pagerank_oracle(),
         "semdedup": _semdedup_oracle(),
         "decontam": """
             WITH tok AS (

@@ -243,6 +243,52 @@ def main() -> int:
             "noop"
         ).mode("overwrite").save()
 
+    # BM25 corpus stats computed ONCE untimed (the dedup_cc
+    # materialize-inputs precedent): the documented scale path is the
+    # caller knowing n/sum_dl, and the timed query then measures the
+    # index+score+topk work itself
+    from ocr_compare_spark.operators import index as _index_ops
+
+    bm25_n = n_docs_raw
+    bm25_sumdl = int(
+        _index_ops.doc_lengths(docs.select("doc_id", "text"), "doc_id", "text")
+        .agg(F.sum("dl")).collect()[0][0]
+    )
+
+    def q_bm25():
+        import __spark_entry__ as entry
+        from ocr_compare_spark.operators import index as index_ops
+
+        # inverted index + BM25 top-10; corpus-derived query set,
+        # n/sum_dl hints skip the stats job (dl is one native size())
+        d = docs.select("doc_id", "text")
+        queries_df = d.filter(F.col("doc_id") % entry.BM25_QUERY_MOD == entry.BM25_QUERY_REM).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(index_ops._words("text"), 1, entry.BM25_QUERY_TERMS), " "
+            ).alias("query_text"),
+        )
+        index_ops.bm25_topk(
+            d, queries_df, k=10, n_docs=bm25_n, sum_dl=bm25_sumdl,
+            num_partitions=cores,
+        ).write.format("noop").mode("overwrite").save()
+
+    def q_pagerank():
+        from ocr_compare_spark.operators import graph, links
+
+        # real link extraction over the replicated page corpus + 3
+        # integer-exact damped rounds (per-round localCheckpoint).
+        # input-level repartition: the payload UDF AND the link regex
+        # both need the parallelism BELOW them (the dsir trap — a
+        # repartition of the pages OUTPUT leaves the UDF on the 1-2
+        # parquet splits)
+        pr_pages = synth.pages_from_documents(
+            spark, sf_dir, replicate=replicate, num_partitions=cores
+        )
+        graph.pagerank(
+            links.extract_links(pr_pages, with_anchor_text=False), iters=3
+        ).write.format("noop").mode("overwrite").save()
+
     def q_lang_mix():
         from ocr_compare_spark.operators.sampling import temperature_mix
 
@@ -269,6 +315,8 @@ def main() -> int:
         "dsir": q_dsir,
         "semdedup": q_semdedup,
         "lang_mix": q_lang_mix,
+        "bm25": q_bm25,
+        "pagerank": q_pagerank,
         "bloom_dedup": q_bloom,
         "tfidf": q_tfidf,
         "tpch_q1": q_tpch_q1,

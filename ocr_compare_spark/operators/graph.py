@@ -1,0 +1,118 @@
+"""Link-graph analytics: PageRank over crawl edges.
+
+Web-scale pipelines rank pages for crawl-frontier priority and for
+quality priors (a page many pages link to is worth re-crawling and
+worth up-weighting in the training mix). This is the standard damped
+power iteration (Page et al. 1999) over the (src, dst) edge table
+that operators/links.extract_links produces.
+
+Determinism contract (ANSI-SQL-reproducible end to end):
+
+- ranks live in **integer microunits** (rank6; 1_000_000 == rank 1.0,
+  every node starts at 1_000_000). Each round:
+
+      contrib(u -> v) = rank6(u) div outdeg(u)            (int64)
+      rank6'(v) = teleport6 + (d_num * sum(contrib)) div d_den
+
+  with teleport6 = 1_000_000 - (1_000_000 * d_num) div d_den. All
+  arithmetic is exact int64 floor division — no float summation, so
+  the DuckDB twin unrolls the same iterations and matches bit-for-bit
+  in any evaluation order.
+- **dangling nodes** (no out-edges) contribute nothing — their mass
+  leaves the system, the web-graph convention when the node set is an
+  open crawl frontier rather than a closed matrix.
+- **multi-edges count**: outdeg is the out-EDGE count and each edge
+  contributes once. Dedup edges first if you want simple-graph ranks.
+
+Scale shape (100 TB story): the edge table is the big side; it is
+joined-to-ranks on src and aggregated on dst once per round — the two
+shuffles every distributed PageRank pays. The rank table is
+node-sized (orders smaller than edges) and is localCheckpoint'ed
+every round, BOTH to cut the iterative lineage (CLAUDE.md rule: a
+persisted-but-not-checkpointed loop doubles the logical-plan string
+per round and can wedge the driver) AND so round N+1's join reads a
+materialized table instead of recomputing rounds 1..N. The
+edge+outdeg input is checkpointed once up front for the same reason.
+
+Reference analog: the reference has no graph stage; this extends the
+crawl-side dataset family (links.py, robots.py, sitemap.py) that a
+production crawl loop needs around the extractor core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: rank 1.0 in microunits — every node's starting mass.
+RANK_ONE6 = 1_000_000
+
+
+def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
+    """(src, outdeg) — out-EDGE counts (multi-edges count)."""
+    return edges.groupBy(src).agg(F.count("*").alias("outdeg"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    d_num: int = 85,
+    d_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Damped PageRank in integer microunits: (node, rank6).
+
+    Node set = distinct(src) UNION distinct(dst). Damping d = d_num /
+    d_den applied by exact integer floor division (default 0.85).
+    ``iters`` fixed rounds — at crawl-graph diameters a handful of
+    rounds orders the frontier; convergence tests live in pytest.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    teleport6 = RANK_ONE6 - (RANK_ONE6 * d_num) // d_den
+
+    # materialize the RAW edge list first: the outdeg self-join below
+    # would otherwise evaluate the upstream plan (html scan + link
+    # regex) once per join side — the two exchanges project different
+    # columns, so ReuseExchange never fires (measured 2x at bench)
+    edges = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("node")
+    ).localCheckpoint(eager=True)
+    # one edge row per contribution, outdeg pre-attached; checkpointed
+    # so every round joins a materialized table (and the loop's
+    # lineage never nests the upstream plan)
+    keyed = (
+        edges.join(
+            edges.groupBy("_src").agg(F.count("*").alias("outdeg")), "_src"
+        )
+        .localCheckpoint(eager=True)
+    )
+    # node set from the CHECKPOINTED edges — a source-derived node set
+    # would re-run the whole upstream (html scan + link regex) a
+    # second time just to materialize it (measured 2x on the bench).
+    # Every src survives the outdeg join (outdeg >= 1 by construction)
+    # and every dst is present, so nothing is lost.
+    nodes = (
+        keyed.select(F.col("_src").alias("node"))
+        .unionByName(keyed.select("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    ranks = nodes.select("node", F.lit(RANK_ONE6).cast("long").alias("rank6"))
+    for _ in range(iters):
+        contrib = keyed.join(
+            ranks.select(F.col("node").alias("_src"), "rank6"), "_src"
+        ).select("node", F.expr("rank6 div outdeg").alias("c"))
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport6)
+                + F.expr(f"({d_num} * coalesce(s, 0L)) div {d_den}")
+            ).cast("long").alias("rank6"),
+        )
+        # cut lineage per round — persist is NOT enough (plan-string
+        # doubling; see connected_components)
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks

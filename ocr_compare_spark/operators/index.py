@@ -1,0 +1,177 @@
+"""Distributed inverted index + BM25 ranked retrieval.
+
+The corpus-side half of every search / retrieval-augmented pipeline:
+build a postings table (term -> doc, tf) from the document corpus,
+then score a (small) query set against it with BM25 (Robertson &
+Walker; the Lucene ``k1``/``b`` form) and return per-query top-k.
+
+Determinism contract (ANSI-SQL-reproducible end to end):
+
+- **tokens**: ``[a-z0-9]+`` over ``lower(text)`` — ASCII classes only
+  (Java regex == RE2 == DuckDB), the same convention as keywords.py /
+  dsir.py. Query strings tokenize with the SAME regex and duplicate
+  query terms count once (standard bag-of-words-query BM25 with
+  query-tf clamped to 1).
+- **score**: per (query, term, doc) weight
+
+      idf   = ln(1.0 + (N - df + 0.5) / (df + 0.5))
+      denom = tf + k1 * (1.0 - b + b * (dl / avgdl))
+      w     = idf * ((tf * (k1 + 1.0)) / denom)
+      w6    = floor(w * 1e6 + 0.5)                    (int64)
+
+  then ``score6 = sum(w6)`` — the repo's round6-before-sum contract
+  (lm.py precedent): each term weight is a pure double expression of
+  exact integer inputs evaluated in ONE written-down order on both
+  engines, rounded to microunits BEFORE any summation, so the int64
+  sums and the (score6 desc, id asc) ranking are bit-exact.
+- **avgdl** = sum(dl) / N as one IEEE double division of two exact
+  int64 aggregates — identical on both engines.
+
+Scale shape (100 TB story): postings come from one explode+groupBy
+(map-side combined, shuffles (id, term) pairs once); document
+frequencies ride a second vocabulary-sized aggregate with
+array_distinct BEFORE the explode. The query set is the small side —
+its distinct (query, term) pairs broadcast into the postings join, so
+the corpus-sized stream is filtered to matching terms before the
+(query, doc) aggregate. Top-k per query is the collect_list +
+array_sort + slice pattern (bounded by matches per query), never a
+window over the full score stream. ``n_docs=`` / ``sum_dl=`` hints
+skip the corpus-stats job when the caller already knows them (the
+repo's embed_near_dups convention).
+
+Reference analog: the reference repo has no retrieval stage; this is
+part of the training-data-pipeline family (keyword/TF-IDF sibling in
+keywords.py) a corpus engine needs for decontamination-by-retrieval
+and eval-set mining.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ocr_compare_spark.operators.keywords import WORD_RE
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def _words(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), 0)
+
+
+def postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, id, tf) — the inverted-index postings table."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dl) — token counts per document (the BM25 length prior)."""
+    return df.select(
+        F.col(id_col).alias("id"), F.size(_words(text_col)).cast("long").alias("dl")
+    )
+
+
+def query_terms(queries: DataFrame, query_id_col: str, query_text_col: str) -> DataFrame:
+    """(query_id, term) — DISTINCT query terms (query-tf clamped to 1)."""
+    return queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(_words(query_text_col))).alias("term"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    n_docs: int | None = None,
+    sum_dl: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-query BM25 top-k: (query_id, rank, id, score6), rank 1..k
+    by (score6 desc, id asc). Queries with no indexed terms produce
+    no rows. score6 is the exact int64 sum of per-term microunit
+    weights (see module contract). ``num_partitions`` repartitions
+    the corpus before the tokenize passes — a small parquet reads as
+    1-2 splits and the regex tokenization (byte-light, compute-heavy)
+    would otherwise run nearly single-threaded (the dsir trap)."""
+    if num_partitions:
+        docs = docs.repartition(num_partitions)
+    dl = doc_lengths(docs, id_col, text_col)
+    if n_docs is None or sum_dl is None:
+        stats = dl.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+        ).collect()[0]
+        n_docs, sum_dl = int(stats["n"]), int(stats["s"])
+    if n_docs == 0:
+        raise ValueError("bm25_topk: empty corpus")
+    avgdl = sum_dl / n_docs  # one IEEE double division, same on both engines
+
+    qt = query_terms(queries, query_id_col, query_text_col)
+    # Restrict the token stream to QUERY terms before any aggregate:
+    # tf/df for a term only ever read that term's postings, so the
+    # broadcast semi-join cuts the shuffle from |corpus tokens| to
+    # |matching tokens| and the full-vocabulary df aggregate away
+    # entirely. (Building a STANDING index for many query batches is
+    # what postings() is exported for.) The filtered postings are
+    # localCheckpoint'ed — df and the score join both read them, and
+    # a plain reuse would re-run the corpus explode once per branch
+    # (the two-branches-off-one-exchange trap).
+    qterms = qt.select("term").distinct()
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("term")
+    )
+    post = (
+        tok.join(F.broadcast(qterms), "term")
+        .groupBy("term", "id")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
+
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.lit(avgdl))
+    )
+    w = idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom)
+    scored = (
+        qt.join(post, "term")  # query side broadcasts; corpus stream filtered by term
+        .join(dfreq, "term")
+        .join(dl, "id")
+        .select(
+            "query_id",
+            "id",
+            F.floor(w * F.lit(1e6) + F.lit(0.5)).cast("long").alias("w6"),
+        )
+        .groupBy("query_id", "id")
+        .agg(F.sum("w6").alias("score6"))
+    )
+    top = (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("score6")).alias("_neg"), "id", "score6"))
+                ),
+                1,
+                k,
+            ).alias("_top")
+        )
+        .select("query_id", F.posexplode("_top").alias("_i", "_hit"))
+    )
+    return top.select(
+        "query_id",
+        (F.col("_i") + 1).cast("long").alias("rank"),
+        F.col("_hit.id").alias("id"),
+        F.col("_hit.score6").alias("score6"),
+    )

@@ -75,7 +75,10 @@ def remove_dot_segments(path: Column) -> Column:
 
 
 def extract_links(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    with_anchor_text: bool = True,
 ) -> DataFrame:
     """One row per resolvable anchor: ``(src, dst, anchor_text)``.
 
@@ -86,12 +89,20 @@ def extract_links(
     removed natively); ``?q`` replaces the query on the base path.
     Dropped (by contract): other-scheme hrefs (mailto:, javascript:,
     ftp:, ...), fragment-only, and empty hrefs.
+
+    ``with_anchor_text=False`` returns ``(src, dst)`` only and runs
+    the anchor regex ONCE instead of once per capture group — the
+    fast path for graph-only callers (PageRank, frontier ranking),
+    where the second full-document scan is pure waste.
     """
     src = F.col(url_col)
     html_str = F.col(html_col).cast("string")
     hrefs = F.regexp_extract_all(html_str, F.lit(ANCHOR_PATTERN), 1)
-    texts = F.regexp_extract_all(html_str, F.lit(ANCHOR_PATTERN), 2)
-    pairs = F.arrays_zip(hrefs.alias("href"), texts.alias("txt"))
+    if with_anchor_text:
+        texts = F.regexp_extract_all(html_str, F.lit(ANCHOR_PATTERN), 2)
+        pairs = F.arrays_zip(hrefs.alias("href"), texts.alias("txt"))
+    else:
+        pairs = F.transform(hrefs, lambda h: F.struct(h.alias("href"), F.lit("").alias("txt")))
 
     src_path_raw = F.regexp_extract(src, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     src_path = F.when(src_path_raw == "", F.lit("/")).otherwise(src_path_raw)
@@ -134,11 +145,13 @@ def extract_links(
         # bare-relative: merge with the base directory
         .otherwise(F.concat(origin, merged, href_query))
     )
-    return (
+    out = (
         exploded.withColumn("dst", canonical_url(dst_raw))
         .filter(F.col("dst").isNotNull())
-        .select("src", "dst", "anchor_text")
     )
+    if not with_anchor_text:
+        return out.select("src", "dst")
+    return out.select("src", "dst", "anchor_text")
 
 
 def inbound_anchors(links: DataFrame, max_texts: int = 100) -> DataFrame:

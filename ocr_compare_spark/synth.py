@@ -357,15 +357,21 @@ def url_expr(doc_id_col: str = "doc_id") -> F.Column:
 
 
 def pages_from_documents(
-    spark: SparkSession, sf_dir: str, replicate: int = 1
+    spark: SparkSession, sf_dir: str, replicate: int = 1, num_partitions: int | None = None
 ) -> DataFrame:
     """documents.parquet -> input_hint pages table.
 
     url/warc_ts/lang are pure native expressions (oracle-mirrorable);
     only the payload bytes use an Arrow-batched UDF. ``replicate``
     unions k deterministic copies (url suffixed) for bench scaling.
+    ``num_partitions`` repartitions the INPUT rows before the payload
+    UDF — the small parquet reads as 1-2 splits, so without it the
+    byte building runs nearly single-threaded (callers that repartition
+    the OUTPUT put the exchange above the UDF and don't fix that).
     """
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    if num_partitions:
+        docs = docs.repartition(num_partitions)
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("text"),

@@ -1,0 +1,82 @@
+"""PageRank (operators/graph.py): pure-python integer mirror, the
+dangling/multi-edge contract, layout invariance, and the iters=0
+identity."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from ocr_compare_spark.operators import graph
+
+# cycle + fan-in + a dangling sink + a MULTI-edge (a->b twice)
+EDGES = [
+    ("a", "b"),
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "a"),
+    ("b", "d"),  # d is dangling (no out-edges)
+    ("e", "d"),  # e has inbound 0 (teleport-only after round 1)
+]
+
+
+def _mirror(edges, iters, d_num=85, d_den=100):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    outdeg = Counter(u for u, _ in edges)
+    teleport = 1_000_000 - (1_000_000 * d_num) // d_den
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        s: dict[str, int] = defaultdict(int)
+        for u, v in edges:
+            s[v] += rank[u] // outdeg[u]
+        rank = {n: teleport + (d_num * s.get(n, 0)) // d_den for n in nodes}
+    return rank
+
+
+def _run(spark, edges, iters, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = graph.pagerank(df, iters=iters, **kw)
+    return {r["node"]: r["rank6"] for r in out.collect()}
+
+
+def test_pagerank_matches_integer_mirror(spark):
+    for iters in (1, 2, 3, 5):
+        assert _run(spark, EDGES, iters) == _mirror(EDGES, iters)
+
+
+def test_pagerank_iters_zero_is_uniform(spark):
+    got = _run(spark, EDGES, 0)
+    assert set(got.values()) == {1_000_000}
+    assert set(got) == {"a", "b", "c", "d", "e"}
+
+
+def test_pagerank_dangling_mass_leaves(spark):
+    # d never redistributes: with only a->d, total mass shrinks and
+    # a settles at pure teleport while d keeps receiving from it
+    got = _run(spark, [("a", "d")], 2)
+    assert got["a"] == 150_000
+    assert got["d"] == 150_000 + (85 * (150_000 // 1)) // 100
+
+
+def test_pagerank_multi_edge_counts(spark):
+    # a->b twice + a->c once: b gets 2/3 of a's contribution
+    got = _run(spark, [("a", "b"), ("a", "b"), ("a", "c")], 1)
+    third = 1_000_000 // 3
+    assert got["b"] == 150_000 + (85 * (2 * third)) // 100
+    assert got["c"] == 150_000 + (85 * third) // 100
+
+
+def test_pagerank_damping_params(spark):
+    got = _run(spark, EDGES, 2, d_num=1, d_den=2)
+    assert got == _mirror(EDGES, 2, d_num=1, d_den=2)
+
+
+def test_pagerank_layout_invariant(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    base = {r["node"]: r["rank6"] for r in graph.pagerank(df, iters=3).collect()}
+    for parts in (1, 7):
+        shuffled = df.repartition(parts, F.col("dst"))
+        got = {r["node"]: r["rank6"] for r in graph.pagerank(shuffled, iters=3).collect()}
+        assert got == base

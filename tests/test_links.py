@@ -101,3 +101,14 @@ def test_extract_links_rfc3986_resolution_matrix(spark):
     drop_html = b'<a href="mailto:a@b.c">m</a><a href="#x">f</a><a href="">e</a>'
     df2 = spark.createDataFrame([(base, drop_html)], ["url", "html"])
     assert extract_links(df2).count() == 0
+
+
+def test_extract_links_graph_only_fast_path(spark):
+    df = spark.createDataFrame(PAGES, ["url", "html"])
+    full = {(r.src, r.dst) for r in extract_links(df).collect()}
+    fast = extract_links(df, with_anchor_text=False)
+    assert fast.columns == ["src", "dst"]
+    # same EDGE MULTISET as the text-carrying path (multi-edges kept)
+    full_rows = sorted((r.src, r.dst) for r in extract_links(df).collect())
+    fast_rows = sorted((r.src, r.dst) for r in fast.collect())
+    assert fast_rows == full_rows and set(fast_rows) == full

@@ -1374,6 +1374,40 @@ def _embed_ivf_trained_oracle() -> str:
     return _embed_ivf_oracle(cents=cents)
 
 
+def _unimax_budget_values() -> str:
+    """UniMax per-language budget literals for the lang_mix oracle:
+    reads the SAME per-language token sums (same tokenizer regex) the
+    Spark side aggregates, then runs the SAME shared integer
+    water-fill (sampling.unimax_budgets) — the lloyd_kmeans
+    shared-generator convention, so the literals match the data path
+    exactly."""
+    import os
+
+    import duckdb
+
+    from ocr_compare_spark.operators.sampling import unimax_budgets
+
+    d = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01").rstrip("/")
+    try:
+        rows = duckdb.sql(
+            "SELECT lang, sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))"
+            f" FROM read_parquet('{d}/documents.parquet') GROUP BY lang"
+        ).fetchall()
+        budgets = unimax_budgets(
+            {lang: int(n) for lang, n in rows}, UNIMAX_TOTAL, UNIMAX_EPOCHS
+        )
+    except Exception:
+        # unreadable table must not break the WHOLE oracle dict —
+        # an empty budget set keeps the SQL parseable (this one row
+        # would then mismatch instead of all 50 erroring)
+        budgets = {"__none__": 0}
+    if not budgets:
+        budgets = {"__none__": 0}
+    return ", ".join(
+        f"('{lang}', {b})" for lang, b in sorted(budgets.items(), key=lambda kv: str(kv[0]))
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload -> feature vector via
     mapInPandas (decode stubbed — no image libs in env; the Arrow
@@ -2005,14 +2039,29 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_ALPHA = 0.3
 
 
+#: UniMax gate config (with the sf0.01 lang token sums: every
+#: language's 0.8-epoch cap bites AND en is additionally
+#: budget-limited — no degenerate keep-everything stratum).
+UNIMAX_TOTAL = 16000
+UNIMAX_EPOCHS = 0.8
+
+
 def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-balanced language mixing (mC4 / XLM-R alpha
-    sampling, sampling.temperature_mix): per-language keep rates
-    proportional to n_lang^(alpha-1) scaled so the rarest language
-    keeps everything, applied as a deterministic zero-shuffle
-    hash_frac filter. The DuckDB twin recomputes the rates from the
-    same token sums (same libm pow, same floor-round6) and the same
-    md5-prefix uniform, so the kept row set matches exactly."""
+    """Language-mix suite, TWO arms (null-padded union; r5 final):
+
+    - 'temperature': mC4 / XLM-R alpha sampling
+      (sampling.temperature_mix) — per-language keep rates
+      proportional to n_lang^(alpha-1) scaled so the rarest language
+      keeps everything, applied as a deterministic zero-shuffle
+      hash_frac filter. The DuckDB twin recomputes the rates from the
+      same token sums (same libm pow, same floor-round6) and the same
+      md5-prefix uniform.
+    - 'unimax': UniMax (Chung et al. 2023, sampling.unimax_sample) —
+      epoch-capped water-filling per-language budgets + deterministic
+      token-budget prefix. The oracle GENERATOR computes the budgets
+      with the SAME shared python water-fill over the same table
+      (lloyd_kmeans convention) and embeds them as literals; the
+      bucketed scale path is pytest-pinned equal to the exact one."""
     from ocr_compare_spark.operators import sampling
 
     d = _tbl(spark, sf_dir, "documents")
@@ -2021,10 +2070,30 @@ def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         textstats.stats_columns("text")["token_count"].alias("token_count"),
     )
-    out = sampling.temperature_mix(
+    temp = sampling.temperature_mix(
         docs, "lang", "token_count", "doc_id", MIX_ALPHA, rate_col="rate"
+    ).select(
+        F.lit("temperature").alias("kind"),
+        "lang",
+        "doc_id",
+        "token_count",
+        "rate",
+        F.lit(None).cast("long").alias("cum_tokens"),
+        F.lit(None).cast("long").alias("budget"),
     )
-    return out.select("lang", "doc_id", "token_count", "rate")
+    uni = sampling.unimax_sample(
+        docs, "lang", "token_count", "doc_id", UNIMAX_TOTAL, UNIMAX_EPOCHS,
+        budget_col="budget",
+    ).select(
+        F.lit("unimax").alias("kind"),
+        "lang",
+        "doc_id",
+        "token_count",
+        F.lit(None).cast("double").alias("rate"),
+        "cum_tokens",
+        "budget",
+    )
+    return temp.unionByName(uni)
 
 
 def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3433,8 +3502,28 @@ def oracle_sql() -> dict[str, str]:
                      floor(pow(n, {MIX_ALPHA - 1.0!r}) / (SELECT max(pow(n, {MIX_ALPHA - 1.0!r})) FROM s) * 1e6 + 0.5) / 1e6 AS rate
               FROM s
             )
-            SELECT t.lang, t.doc_id, t.token_count, r.rate
+            SELECT 'temperature' AS kind, t.lang, t.doc_id, t.token_count, r.rate,
+                   CAST(NULL AS BIGINT) AS cum_tokens, CAST(NULL AS BIGINT) AS budget
             FROM t JOIN r ON t.lang = r.lang
             WHERE t.frac < r.rate
+            UNION ALL
+            SELECT 'unimax', lang, doc_id, token_count, CAST(NULL AS DOUBLE),
+                   cum_tokens, budget
+            FROM (
+              WITH t AS (
+                SELECT lang, doc_id,
+                       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS token_count,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS prio
+                FROM documents
+              ), b AS (
+                SELECT * FROM (VALUES {_unimax_budget_values()}) AS b(lang, budget)
+              ), c AS (
+                SELECT t.lang, t.doc_id, t.token_count, CAST(b.budget AS BIGINT) AS budget,
+                       CAST(sum(t.token_count) OVER (PARTITION BY t.lang ORDER BY t.prio, t.doc_id) AS BIGINT) AS cum_tokens
+                FROM t JOIN b ON t.lang = b.lang
+              )
+              SELECT lang, doc_id, token_count, cum_tokens, budget
+              FROM c WHERE cum_tokens <= budget
+            )
         """,
     }

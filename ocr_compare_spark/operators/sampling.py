@@ -35,6 +35,8 @@ sums (bounded, guarded).
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # 2^32 as an exact double: the 8-hex-digit md5 prefix is uniform on
@@ -88,11 +90,24 @@ def _order_cols(priority_col: str, id_col: str) -> list[Column]:
     return [F.col(priority_col).asc(), F.col(id_col).asc()]
 
 
+def _budget_expr(budget: int | Mapping, strata_col: str) -> Column:
+    """Budget as a Column: a single int applies to every stratum; a
+    mapping gives each stratum its own budget as a literal when-chain
+    (strata ABSENT from the mapping get NULL — `cum <= NULL` is never
+    true, so their rows drop, the documented contract)."""
+    if isinstance(budget, Mapping):
+        expr = F.lit(None).cast("long")
+        for s, v in sorted(budget.items(), key=lambda kv: str(kv[0])):
+            expr = F.when(F.col(strata_col) == s, F.lit(int(v))).otherwise(expr)
+        return expr
+    return F.lit(int(budget))
+
+
 def token_budget_sample(
     df: DataFrame,
     strata_col: str,
     token_col: str,
-    budget: int,
+    budget: int | Mapping,
     priority_col: str,
     id_col: str,
     cum_col: str = "cum_tokens",
@@ -102,17 +117,21 @@ def token_budget_sample(
     sum stays <= budget. One window shuffle partitioned by stratum;
     cumulative sums are monotone so ``cum <= budget`` IS the prefix.
     Parallelism is #strata — fine for a gate corpus, the bottleneck
-    at web scale (use token_budget_sample_bucketed there)."""
+    at web scale (use token_budget_sample_bucketed there). ``budget``
+    may be a per-stratum mapping (see :func:`_budget_expr`); strata
+    not in the mapping are dropped."""
     w = Window.partitionBy(strata_col).orderBy(*_order_cols(priority_col, id_col))
     cum = F.sum(F.col(token_col)).over(w)
-    return df.withColumn(cum_col, cum.cast("long")).filter(F.col(cum_col) <= budget)
+    return df.withColumn(cum_col, cum.cast("long")).filter(
+        F.col(cum_col) <= _budget_expr(budget, strata_col)
+    )
 
 
 def token_budget_sample_bucketed(
     df: DataFrame,
     strata_col: str,
     token_col: str,
-    budget: int,
+    budget: int | Mapping,
     priority_col: str,
     id_col: str,
     cum_col: str = "cum_tokens",
@@ -168,16 +187,24 @@ def token_budget_sample_bucketed(
     # bucket = sum of all earlier buckets' tokens in its stratum.
     # Buckets starting past the budget cannot contribute rows (cum is
     # monotone and already > budget at their first row) — drop them
-    # from the offset map and anti-filter them below.
+    # from the offset map and anti-filter them below. With a mapping
+    # budget, strata absent from it are dropped wholesale (same
+    # contract as the exact variant).
     by_stratum: dict[object, list[tuple[int, int]]] = {}
     for row in sums:
         by_stratum.setdefault(row[strata_col], []).append((row["_bkt"], row["_t"] or 0))
-    offsets: list[tuple[object, int, int]] = []
+    offsets: list[tuple[object, int, int, int]] = []
     for stratum, buckets in by_stratum.items():
+        if isinstance(budget, Mapping):
+            if stratum not in budget:
+                continue
+            bud = int(budget[stratum])
+        else:
+            bud = int(budget)
         running = 0
         for b, t in sorted(buckets):
-            if running <= budget:
-                offsets.append((stratum, b, running))
+            if running <= bud:
+                offsets.append((stratum, b, running, bud))
             running += t
 
     if not offsets:
@@ -187,7 +214,7 @@ def token_budget_sample_bucketed(
     spark = df.sparkSession
     off_df = F.broadcast(
         spark.createDataFrame(
-            offsets, f"_s {dict(df.dtypes)[strata_col]}, _obkt int, _off long"
+            offsets, f"_s {dict(df.dtypes)[strata_col]}, _obkt int, _off long, _bud long"
         )
     )
     # null-safe stratum match: a NULL stratum is a legal window
@@ -204,8 +231,8 @@ def token_budget_sample_bucketed(
     cum = (F.col("_off") + F.sum(F.col(token_col)).over(w)).cast("long")
     return (
         survivors.withColumn(cum_col, cum)
-        .filter(F.col(cum_col) <= budget)
-        .drop("_bkt", "_off")
+        .filter(F.col(cum_col) <= F.col("_bud"))
+        .drop("_bkt", "_off", "_bud")
     )
 
 
@@ -359,6 +386,95 @@ def temperature_mix(
     out = df.filter(hash_frac(key_col) < thr)
     if rate_col:
         out = out.withColumn(rate_col, thr)
+    return out
+
+
+def unimax_budgets(
+    weights: Mapping, total_budget: int, max_epochs: float = 1.0
+) -> dict[object, int]:
+    """UniMax (Chung et al. 2023) water-filling allocation: split a
+    TOTAL token budget across strata as uniformly as possible,
+    capping every stratum at ``max_epochs`` passes over its own
+    tokens (capacity = floor(n * max_epochs)).
+
+    Strata sorted by (capacity asc, str(stratum) asc); each takes
+    ``min(capacity, remaining // strata_left)`` — whatever a capped
+    stratum cannot absorb is re-split among the rest, so low-resource
+    strata are never over-epoched and high-resource strata soak up
+    the slack. Pure int arithmetic: deterministic and shareable with
+    an oracle generator (the lloyd_kmeans convention). Non-positive
+    weights are omitted."""
+    caps = {s: int(n * max_epochs) for s, n in weights.items() if n and n > 0}
+    remaining = int(total_budget)
+    left = len(caps)
+    out: dict[object, int] = {}
+    for s, cap in sorted(caps.items(), key=lambda kv: (kv[1], str(kv[0]))):
+        alloc = min(cap, remaining // left) if left else 0
+        out[s] = alloc
+        remaining -= alloc
+        left -= 1
+    return out
+
+
+def unimax_sample(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    id_col: str,
+    total_budget: int,
+    max_epochs: float = 1.0,
+    priority_col: str | None = None,
+    bucketed: bool = True,
+    n_buckets: int = 1024,
+    checkpoint: bool = True,
+    cum_col: str = "cum_tokens",
+    budget_col: str | None = None,
+) -> DataFrame:
+    """UniMax corpus mix: per-stratum budgets from
+    :func:`unimax_budgets` (one tiny guarded weight aggregate),
+    applied as a deterministic token-budget prefix per stratum.
+    Default priority is hash_frac(id) — a layout-invariant uniform
+    mix within each stratum; pass ``priority_col`` to mix
+    quality-first instead. ``budget_col`` optionally attaches the
+    applied budget. Rows with NULL strata have no capacity and drop.
+
+    ``checkpoint`` localCheckpoints the input ONCE up front (the
+    weight collect + the sampler would otherwise each re-evaluate a
+    compute-heavy upstream — the ADVICE-r4 trap); the nested
+    bucketed sampler then reuses that boundary."""
+    if checkpoint:
+        df = df.localCheckpoint()
+    if priority_col is None:
+        priority_col = "_prio"
+        df = df.withColumn(priority_col, hash_frac(id_col))
+    sums = (
+        df.groupBy(strata_col)
+        .agg(F.sum(F.col(token_col)).alias("_n"))
+        .limit(MAX_MIX_STRATA + 1)
+        .collect()
+    )
+    if len(sums) > MAX_MIX_STRATA:
+        raise ValueError(
+            f"unimax_sample: > {MAX_MIX_STRATA} strata; pre-bucket the strata column"
+        )
+    budgets = unimax_budgets(
+        {r[strata_col]: r["_n"] for r in sums if r[strata_col] is not None},
+        total_budget,
+        max_epochs,
+    )
+    if bucketed:
+        out = token_budget_sample_bucketed(
+            df, strata_col, token_col, budgets, priority_col, id_col,
+            cum_col=cum_col, n_buckets=n_buckets, checkpoint=False,
+        )
+    else:
+        out = token_budget_sample(
+            df, strata_col, token_col, budgets, priority_col, id_col, cum_col=cum_col
+        )
+    if budget_col:
+        out = out.withColumn(budget_col, _budget_expr(budgets, strata_col))
+    if priority_col == "_prio":
+        out = out.drop("_prio")
     return out
 
 

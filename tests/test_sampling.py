@@ -287,3 +287,77 @@ def test_temperature_mix_alpha_one_keeps_everything(spark, sf_dir):
     d = _docs(spark, sf_dir)
     out = sampling.temperature_mix(d, "lang", "token_count", "doc_id", 1.0)
     assert out.count() == d.count()
+
+
+def test_unimax_budgets_water_fill():
+    # hand-checked waterfall: caps {a:10, b:50, c:100}, budget 90
+    # a (cap 10) < share 30 -> 10; rem 80/2=40 -> b 40; rem 40 -> c 40
+    got = sampling.unimax_budgets({"a": 10, "b": 50, "c": 100}, 90)
+    assert got == {"a": 10, "b": 40, "c": 40}
+    assert sum(got.values()) <= 90
+    # epoch cap: 0.5 epochs halves every capacity
+    got = sampling.unimax_budgets({"a": 10, "b": 50, "c": 100}, 90, max_epochs=0.5)
+    assert got == {"a": 5, "b": 25, "c": 50}
+    # budget ample: everyone gets exactly their capacity
+    got = sampling.unimax_budgets({"a": 10, "b": 50}, 10_000)
+    assert got == {"a": 10, "b": 50}
+    # non-positive weights omitted; empty in -> empty out
+    assert sampling.unimax_budgets({"a": 0, "b": -3}, 100) == {}
+
+
+def test_token_budget_per_stratum_mapping(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    budgets = {"en": 2000, "de": 500}  # fr/es/zh absent -> dropped
+    exact = sampling.token_budget_sample(
+        d, "lang", "token_count", budgets, "prio", "doc_id"
+    )
+    rows = exact.collect()
+    assert {r.lang for r in rows} == {"en", "de"}
+    for r in rows:
+        assert r.cum_tokens <= budgets[r.lang]
+    # bucketed scale path identical INCLUDING cum_tokens
+    bucketed = sampling.token_budget_sample_bucketed(
+        d, "lang", "token_count", budgets, "prio", "doc_id", n_buckets=16
+    )
+    key = lambda r: (r.lang, r.doc_id, r.cum_tokens)
+    assert sorted(map(key, rows)) == sorted(map(key, bucketed.collect()))
+
+
+def test_unimax_sample_matches_manual_prefix(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    total, epochs = 16000, 0.8
+    out = sampling.unimax_sample(
+        d, "lang", "token_count", "doc_id", total, epochs, budget_col="budget"
+    ).collect()
+
+    # recompute budgets + prefixes in plain python
+    rows = d.collect()
+    weights = {}
+    for r in rows:
+        weights[r.lang] = weights.get(r.lang, 0) + r.token_count
+    budgets = sampling.unimax_budgets(weights, total, epochs)
+    expect = {}
+    for lang in budgets:
+        cum = 0
+        for r in sorted((x for x in rows if x.lang == lang), key=lambda x: (x.prio, x.doc_id)):
+            cum += r.token_count
+            if cum > budgets[lang]:
+                break
+            expect[(lang, r.doc_id)] = cum
+    got = {(r.lang, r.doc_id): r.cum_tokens for r in out}
+    assert got == expect
+    # every kept row carries its stratum's budget; caps bite (no lang
+    # keeps its whole corpus at these constants) and en is also
+    # budget-limited below its cap
+    assert all(r.budget == budgets[r.lang] for r in out)
+    per_lang_cum = {}
+    for r in out:
+        per_lang_cum[r.lang] = max(per_lang_cum.get(r.lang, 0), r.cum_tokens)
+    assert set(per_lang_cum) == set(budgets)
+    assert all(per_lang_cum[l] <= budgets[l] for l in per_lang_cum)
+    assert budgets["en"] < int(weights["en"] * epochs)  # budget-limited
+    # exact (non-bucketed) path identical
+    out2 = sampling.unimax_sample(
+        d, "lang", "token_count", "doc_id", total, epochs, bucketed=False
+    ).collect()
+    assert {(r.lang, r.doc_id): r.cum_tokens for r in out2} == expect

@@ -1,0 +1,119 @@
+"""Crawl-frontier construction: the plan that closes the crawl loop.
+
+The crawl stack built across the operator family — link extraction
+(operators/links.py), PageRank priority (operators/graph.py), the
+RFC 9309 robots gate (operators/robots.py), url canonicalization
+(functions/url.py) and the deterministic per-key politeness cap
+(operators/sampling.cap_per_key) — composed into the standard
+frontier pipeline a production crawler runs between batches:
+
+    discovered links  ->  not yet crawled  ->  robots-allowed
+        ->  ranked by PageRank  ->  per-host politeness cap
+        ->  batch-size cap  =  the next crawl batch
+
+Scale shape: one html scan (graph-only link extraction, single regex
+pass), the PageRank rounds over the checkpointed edge table, ONE
+left_anti against the seen set (url-hash equi join), a broadcast
+robots-rule join, and the distributed prefix-sum cap machinery for
+both politeness and the global batch limit — no windows over the
+full candidate stream, no driver-side url lists. Determinism: every
+stage is a pure function of (url, rank), so reruns and different
+cluster sizes emit the SAME batch (the resume property every crawler
+scheduler needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_compare_spark.functions.url import canonical_url, host_of
+from ocr_compare_spark.operators import graph, links, sampling
+
+
+def crawl_frontier(
+    pages: DataFrame,
+    seen_urls: DataFrame | None = None,
+    robots: DataFrame | None = None,
+    agent: str = "ocrbot",
+    per_host_cap: int | None = None,
+    max_urls: int | None = None,
+    pagerank_iters: int = 2,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> tuple[DataFrame, dict]:
+    """Build the next crawl batch from this batch's pages.
+
+    - ``seen_urls``: one-column DataFrame of already-fetched urls
+      (canonicalized with the same functions/url.py rules — e.g. the
+      url column of sources.cache or dedup.latest_snapshot output).
+      The batch's OWN page urls always count as seen.
+    - ``robots``: optional (host, robots_txt) table; candidates whose
+      host's rules disallow ``agent`` are dropped, crawl_delay rides
+      along for the scheduler.
+    - ``per_host_cap``: politeness — at most N urls per host per
+      batch, highest-rank first (deterministic prefix, not a sample).
+    - ``max_urls``: global batch size, highest-rank first.
+
+    Returns ``(frontier, metrics)``: frontier columns are
+    (url, host, rank6[, crawl_delay]), metrics counts per stage.
+    The frontier DataFrame is localCheckpoint'ed (the metrics counts
+    already paid for the evaluation; callers iterate crawl rounds on
+    top, and an unmaterialized plan would re-run everything).
+    """
+    edges = links.extract_links(
+        pages, url_col=url_col, html_col=html_col, with_anchor_text=False
+    )
+    # pagerank checkpoints the edge list once; ranks cover every
+    # discovered url (dst nodes) — the priority signal
+    ranks = graph.pagerank(edges, iters=pagerank_iters)
+
+    crawled = pages.select(canonical_url(F.col(url_col)).alias("url")).distinct()
+    if seen_urls is not None:
+        seen_col = seen_urls.columns[0]
+        crawled = crawled.unionByName(
+            seen_urls.select(canonical_url(F.col(seen_col)).alias("url"))
+        ).distinct()
+
+    candidates = (
+        ranks.select(F.col("node").alias("url"), "rank6")
+        .join(crawled, "url", "left_anti")
+        .withColumn("host", host_of(F.col("url")))
+        .localCheckpoint(eager=True)
+    )
+    metrics = {"n_discovered": candidates.count()}
+
+    if robots is not None:
+        from ocr_compare_spark.operators.robots import robots_gate
+
+        gated = robots_gate(candidates, robots, agent).localCheckpoint(eager=True)
+        allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
+        metrics["n_blocked_robots"] = metrics["n_discovered"] - allowed.count()
+    else:
+        allowed = candidates.withColumn(
+            "crawl_delay", F.lit(None).cast("double")
+        )
+        metrics["n_blocked_robots"] = 0
+
+    # highest-rank-first priority in [0,1) for the prefix-sum cappers
+    # (exact integer ranks -> exact priority ordering; url tie-break)
+    maxr = allowed.agg(F.coalesce(F.max("rank6"), F.lit(0))).collect()[0][0]
+    prio = (F.lit(int(maxr)) - F.col("rank6")) / F.lit(float(maxr) + 1.0)
+    ordered = allowed.withColumn("_prio", prio)
+
+    if per_host_cap is not None:
+        ordered = sampling.cap_per_key(
+            ordered, "host", per_host_cap, "url", priority_col="_prio",
+            checkpoint=False,
+        )
+    if max_urls is not None:
+        ordered = sampling.cap_per_key(
+            ordered.withColumn("_all", F.lit(1)), "_all", max_urls, "url",
+            priority_col="_prio", checkpoint=False,
+        ).drop("_all")
+
+    frontier = ordered.drop("_prio").localCheckpoint(eager=True)
+    metrics["n_frontier"] = frontier.count()
+    metrics["n_dropped_politeness"] = (
+        metrics["n_discovered"] - metrics["n_blocked_robots"] - metrics["n_frontier"]
+    )
+    return frontier, metrics

@@ -1,0 +1,87 @@
+"""Crawl-frontier plan (plans/frontier.py): seen-set exclusion,
+robots gating, rank-first politeness caps, metrics bookkeeping and
+layout determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_compare_spark.plans.frontier import crawl_frontier
+
+# three pages on a.com, one on b.com; /popular is linked from every
+# page (top rank), /x from two, the rest from one
+PAGES = [
+    (
+        "http://a.com/p1",
+        b'<a href="/popular">t</a><a href="/rare">t</a>'
+        b'<a href="/blocked/page">t</a><a href="http://b.com/x">t</a>',
+    ),
+    ("http://a.com/p2", b'<a href="/popular">t</a><a href="http://b.com/x">t</a>'),
+    ("http://a.com/p3", b'<a href="/popular">t</a><a href="/p1">t</a>'),
+    ("http://b.com/q", b'<a href="http://a.com/popular">t</a><a href="/y">t</a>'),
+]
+
+ROBOTS = [("a.com", "User-agent: *\nDisallow: /blocked/\nCrawl-delay: 2\n")]
+
+
+def _pages(spark):
+    return spark.createDataFrame(PAGES, ["url", "html"])
+
+
+def test_frontier_basic_and_metrics(spark):
+    fr, m = crawl_frontier(_pages(spark))
+    got = {r.url for r in fr.collect()}
+    # crawled pages excluded even when linked (p1 is linked by p3)
+    assert "http://a.com/p1" not in got
+    assert got == {
+        "http://a.com/popular",
+        "http://a.com/rare",
+        "http://a.com/blocked/page",
+        "http://b.com/x",
+        "http://b.com/y",
+    }
+    assert m["n_discovered"] == 5 and m["n_frontier"] == 5
+    assert m["n_blocked_robots"] == 0 and m["n_dropped_politeness"] == 0
+    # rank signal: /popular (3 inbound) outranks /x (2) outranks /y (1)
+    rank = {r.url: r.rank6 for r in fr.collect()}
+    assert rank["http://a.com/popular"] > rank["http://b.com/x"] > rank["http://b.com/y"]
+
+
+def test_frontier_seen_and_robots(spark):
+    seen = spark.createDataFrame([("http://a.com/rare",)], ["url"])
+    robots = spark.createDataFrame(ROBOTS, ["host", "robots_txt"])
+    fr, m = crawl_frontier(_pages(spark), seen_urls=seen, robots=robots)
+    got = {r.url for r in fr.collect()}
+    assert "http://a.com/rare" not in got  # seen
+    assert "http://a.com/blocked/page" not in got  # robots
+    assert m["n_discovered"] == 4 and m["n_blocked_robots"] == 1
+    assert m["n_frontier"] == 3
+    # crawl_delay rides along for the scheduler
+    delays = {r.url: r.crawl_delay for r in fr.collect()}
+    assert delays["http://a.com/popular"] == 2.0
+    assert delays["http://b.com/x"] is None
+
+
+def test_frontier_politeness_and_batch_caps(spark):
+    fr, m = crawl_frontier(_pages(spark), per_host_cap=1)
+    by_host = {}
+    for r in fr.collect():
+        by_host.setdefault(r.host, []).append(r.url)
+    assert all(len(v) == 1 for v in by_host.values())
+    # highest-rank url survives the cap on each host
+    assert by_host["a.com"] == ["http://a.com/popular"]
+    assert by_host["b.com"] == ["http://b.com/x"]
+    assert m["n_dropped_politeness"] == 3
+
+    fr2, m2 = crawl_frontier(_pages(spark), max_urls=2)
+    got = {r.url for r in fr2.collect()}
+    assert len(got) == 2 and "http://a.com/popular" in got
+    assert m2["n_frontier"] == 2
+
+
+def test_frontier_layout_deterministic(spark):
+    base, _ = crawl_frontier(_pages(spark), per_host_cap=2, max_urls=3)
+    a = sorted((r.url, r.rank6) for r in base.collect())
+    again, _ = crawl_frontier(_pages(spark).repartition(7), per_host_cap=2, max_urls=3)
+    b = sorted((r.url, r.rank6) for r in again.collect())
+    assert a == b and len(a) == 3

@@ -106,6 +106,7 @@ def curate(
     dsir_k: int = 1 << 30,
     robots_txt: str | None = None,
     robots_agent: str = "ccbot",
+    dolma_out: str | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -520,6 +521,21 @@ def curate(
         curated = curated.persist()
         n_out = curated.count()
 
+    if dolma_out:
+        # interchange export: Dolma-shaped gzip JSONL documents tree
+        # (id = url, metadata carries the curation signals), written
+        # from the already-materialized boundary — no recomputation
+        from ocr_compare_spark.sources import jsonl
+
+        src = out if output_dir else curated
+        meta_cols = [c for c in ("token_count", "quality") if c in src.columns]
+        jsonl.write_documents(
+            src, dolma_out, id_col="url",
+            text_col="doc_text" if "doc_text" in src.columns else "text",
+            metadata_cols=meta_cols or None,
+            partition_by="lang", shards_per_partition=8,
+        )
+
     kept.unpersist()
     dedup_boundary.unpersist()
     for h in helper_persists:
@@ -661,6 +677,10 @@ def main() -> int:
                          "pages the host disallows for --robots-agent "
                          "(RFC 9309) before any other stage")
     ap.add_argument("--robots-agent", default="ccbot")
+    ap.add_argument("--dolma-out", default=None,
+                    help="also export the curated corpus as a Dolma-"
+                         "shaped gzip JSONL documents tree (id=url, "
+                         "lang-partitioned)")
     ap.add_argument("--mix-alpha", type=float, default=None,
                     help="temperature-balanced language mixing (mC4/"
                          "XLM-R): downsample head languages so lang l "
@@ -727,6 +747,7 @@ def main() -> int:
         dsir_k=args.dsir_k,
         robots_txt=args.robots_txt,
         robots_agent=args.robots_agent,
+        dolma_out=args.dolma_out,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

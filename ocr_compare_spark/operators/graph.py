@@ -59,6 +59,7 @@ def pagerank(
     d_den: int = 100,
     src: str = "src",
     dst: str = "dst",
+    tol6: int | None = None,
 ) -> DataFrame:
     """Damped PageRank in integer microunits: (node, rank6).
 
@@ -66,6 +67,11 @@ def pagerank(
     d_den applied by exact integer floor division (default 0.85).
     ``iters`` fixed rounds — at crawl-graph diameters a handful of
     rounds orders the frontier; convergence tests live in pytest.
+    ``tol6`` adds early stopping: after each round, if
+    max|rank6' - rank6| <= tol6, return (one extra node-sized
+    aggregate per round — ranks are already checkpointed, so the
+    check is cheap; the RESULT stays a pure function of the input
+    because the integer ranks are deterministic).
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -100,6 +106,7 @@ def pagerank(
     )
 
     ranks = nodes.select("node", F.lit(RANK_ONE6).cast("long").alias("rank6"))
+    prev_ranks = ranks
     for _ in range(iters):
         contrib = keyed.join(
             ranks.select(F.col("node").alias("_src"), "rank6"), "_src"
@@ -114,5 +121,18 @@ def pagerank(
         )
         # cut lineage per round — persist is NOT enough (plan-string
         # doubling; see connected_components)
-        ranks = ranks.localCheckpoint(eager=True)
+        new_ranks = ranks.localCheckpoint(eager=True)
+        if tol6 is not None:
+            delta = (
+                prev_ranks.select("node", F.col("rank6").alias("_old"))
+                .join(new_ranks, "node")
+                .agg(F.max(F.abs(F.col("rank6") - F.col("_old"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta <= tol6:
+                break
+        else:
+            ranks = new_ranks
+        prev_ranks = ranks
     return ranks

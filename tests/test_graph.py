@@ -80,3 +80,16 @@ def test_pagerank_layout_invariant(spark):
         shuffled = df.repartition(parts, F.col("dst"))
         got = {r["node"]: r["rank6"] for r in graph.pagerank(shuffled, iters=3).collect()}
         assert got == base
+
+
+def test_pagerank_early_stop_tolerance(spark):
+    # a->d converges exactly after round 2 (see dangling test); with
+    # tol6=0 and a generous iteration cap the result equals the
+    # fixed-round answer (rounds 3+ are no-ops the tol detects)
+    fixed = _run(spark, [("a", "d")], 2)
+    early = _run(spark, [("a", "d")], 50, tol6=0)
+    assert early == fixed
+    # a loose tolerance on the cycle graph still matches SOME fixed
+    # round's ranks (the tol path never produces off-contract values)
+    got = _run(spark, EDGES, 50, tol6=100)
+    assert got in [_mirror(EDGES, k) for k in range(1, 51)]

@@ -85,3 +85,48 @@ def test_frontier_layout_deterministic(spark):
     again, _ = crawl_frontier(_pages(spark).repartition(7), per_host_cap=2, max_urls=3)
     b = sorted((r.url, r.rank6) for r in again.collect())
     assert a == b and len(a) == 3
+
+
+def test_crawl_loop_frontier_plus_incremental(spark, tmp_path):
+    """The full crawl LOOP: batch 1 -> extract (cache) -> frontier
+    proposes undiscovered urls -> synthesize their fetch -> batch 2
+    extracts ONLY the new payloads -> frontier round 2 shrinks to
+    empty once everything is crawled."""
+    from pyspark.sql import functions as F
+
+    from ocr_compare_spark.plans.incremental import crawl_delta
+
+    cache = str(tmp_path / "cache")
+
+    def fetch(urls):
+        # deterministic synthetic server: every page links to /hub
+        rows = [
+            (u, f'<p>page {u}</p><a href="/hub">hub</a>'.encode()) for u in urls
+        ]
+        return (
+            spark.createDataFrame(rows, ["url", "html"])
+            .withColumn("warc_ts", F.to_timestamp(F.lit("2025-01-01 00:00:00")))
+            .withColumn("text", F.lit(""))
+            .withColumn("lang", F.lit("en"))
+        )
+
+    batch1 = fetch(["http://x.com/a", "http://x.com/b"])
+    _, m1 = crawl_delta(spark, batch1, cache)
+    assert m1["fresh_docs"] > 0
+
+    fr1, fm1 = crawl_frontier(batch1)
+    todo = [r.url for r in fr1.collect()]
+    assert todo == ["http://x.com/hub"]  # the one undiscovered url
+
+    # crawl the frontier; seen set = everything fetched so far
+    batch2 = fetch(todo)
+    _, m2 = crawl_delta(spark, batch2, cache)
+    assert m2["fresh_docs"] > 0  # hub's payload is new
+
+    seen = batch1.select("url").unionByName(batch2.select("url"))
+    fr2, fm2 = crawl_frontier(batch2, seen_urls=seen)
+    assert fr2.count() == 0 and fm2["n_frontier"] == 0  # loop closed
+
+    # re-fetching an already-cached batch does zero engine work
+    _, m3 = crawl_delta(spark, batch2, cache)
+    assert m3["fresh_docs"] == 0

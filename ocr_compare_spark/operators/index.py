@@ -47,17 +47,14 @@ and eval-set mining.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-from ocr_compare_spark.operators.keywords import WORD_RE
+# the ONE tokenizer this module shares with keywords.py (BM25 scores
+# must see the same token stream TF-IDF does)
+from ocr_compare_spark.operators.keywords import WORD_RE, _words
 
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
-
-
-def _words(text_col: str | Column) -> Column:
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), 0)
 
 
 def postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -109,6 +106,10 @@ def bm25_topk(
         docs = docs.repartition(num_partitions)
     dl = doc_lengths(docs, id_col, text_col)
     if n_docs is None or sum_dl is None:
+        # the stats collect AND the score join both read dl — without
+        # a checkpoint the second consumer re-runs the full-corpus
+        # tokenize pass (the ADVICE-r4 double-eval trap)
+        dl = dl.localCheckpoint()
         stats = dl.agg(
             F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
         ).collect()[0]

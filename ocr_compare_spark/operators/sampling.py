@@ -94,11 +94,16 @@ def _budget_expr(budget: int | Mapping, strata_col: str) -> Column:
     """Budget as a Column: a single int applies to every stratum; a
     mapping gives each stratum its own budget as a literal when-chain
     (strata ABSENT from the mapping get NULL — `cum <= NULL` is never
-    true, so their rows drop, the documented contract)."""
+    true, so their rows drop, the documented contract). Matches are
+    null-safe: a NULL stratum is a legal window partition, so
+    ``{None: b}`` budgets it like any other key (`==` would silently
+    drop it and diverge from the bucketed path's dict lookup)."""
     if isinstance(budget, Mapping):
         expr = F.lit(None).cast("long")
         for s, v in sorted(budget.items(), key=lambda kv: str(kv[0])):
-            expr = F.when(F.col(strata_col) == s, F.lit(int(v))).otherwise(expr)
+            expr = F.when(
+                F.col(strata_col).eqNullSafe(F.lit(s)), F.lit(int(v))
+            ).otherwise(expr)
         return expr
     return F.lit(int(budget))
 

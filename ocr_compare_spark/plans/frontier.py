@@ -100,11 +100,18 @@ def crawl_frontier(
     prio = (F.lit(int(maxr)) - F.col("rank6")) / F.lit(float(maxr) + 1.0)
     ordered = allowed.withColumn("_prio", prio)
 
+    n_allowed = metrics["n_discovered"] - metrics["n_blocked_robots"]
+    n_after_host = n_allowed
     if per_host_cap is not None:
         ordered = sampling.cap_per_key(
             ordered, "host", per_host_cap, "url", priority_col="_prio",
             checkpoint=False,
         )
+        if max_urls is not None:
+            # both caps: materialize the politeness boundary so the
+            # per-stage attribution below doesn't re-run the prefix
+            ordered = ordered.localCheckpoint(eager=True)
+            n_after_host = ordered.count()
     if max_urls is not None:
         ordered = sampling.cap_per_key(
             ordered.withColumn("_all", F.lit(1)), "_all", max_urls, "url",
@@ -113,7 +120,8 @@ def crawl_frontier(
 
     frontier = ordered.drop("_prio").localCheckpoint(eager=True)
     metrics["n_frontier"] = frontier.count()
-    metrics["n_dropped_politeness"] = (
-        metrics["n_discovered"] - metrics["n_blocked_robots"] - metrics["n_frontier"]
-    )
+    if per_host_cap is not None and max_urls is None:
+        n_after_host = metrics["n_frontier"]
+    metrics["n_dropped_politeness"] = n_allowed - n_after_host
+    metrics["n_dropped_batch_cap"] = n_after_host - metrics["n_frontier"]
     return frontier, metrics

@@ -75,8 +75,9 @@ def write_documents(
         ).alias("metadata"),
         *( [F.col(partition_by)] if partition_by else [] ),
     )
-    if partition_by and shards_per_partition:
-        out = out.repartition(shards_per_partition, F.col(partition_by), F.col("id"))
+    if shards_per_partition:
+        keys = [F.col(partition_by)] if partition_by else []
+        out = out.repartition(shards_per_partition, *keys, F.col("id"))
     w = out.write.mode("overwrite").option("compression", "gzip")
     if partition_by:
         w = w.partitionBy(partition_by)

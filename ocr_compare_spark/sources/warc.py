@@ -204,6 +204,13 @@ def build_warc(
             + b"\r\n\r\n"
         )
     for url, ts, body, ctype in records:
+        # WARC-Date keeps sub-second precision when present (WARC/1.1
+        # fractional form; parse_warc_date's fromisoformat reads it
+        # back) — truncating would break the write->read round-trip
+        # for microsecond timestamps
+        wdate = ts.strftime("%Y-%m-%dT%H:%M:%S") + (
+            f".{ts.microsecond:06d}" if ts.microsecond else ""
+        ) + "Z"
         http = (
             b"HTTP/1.1 200 OK\r\nContent-Type: "
             + ctype.encode()
@@ -217,7 +224,7 @@ def build_warc(
                 "WARC/1.0\r\n"
                 "WARC-Type: response\r\n"
                 f"WARC-Target-URI: {url}\r\n"
-                f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+                f"WARC-Date: {wdate}\r\n"
                 f"WARC-Record-ID: <urn:uuid:{_record_id(url, ts)}>\r\n"
                 "Content-Type: application/http; msgtype=response\r\n"
                 f"Content-Length: {len(http)}\r\n\r\n"
@@ -257,11 +264,18 @@ def write_warc(
       peak memory is one partition of payload bytes, the writer-side
       mirror of the reader's one-file-per-task note; size partitions
       accordingly;
-    - files are named by the md5 of the first record's (url, ts) —
-      content-derived, collision-safe at partition granularity, no
-      randomness — and written to a temp name then os.replace'd, so
-      a retried/speculated task overwrites ATOMICALLY with identical
-      bytes instead of corrupting a half-written archive;
+    - files are named ``part-<partition_id>-<md5 of the first
+      record's (url, ts)>`` — the partition id makes names unique
+      even when duplicated (url, ts) rows lead two partitions, the
+      content digest keeps them deterministic, no randomness — and
+      written to a temp name then os.replace'd, so a retried/
+      speculated task overwrites ATOMICALLY with identical bytes
+      instead of corrupting a half-written archive;
+    - existing ``part-*`` archives in ``out_dir`` are removed first
+      (overwrite semantics, like a DataFrame writer): reruns with
+      changed input would otherwise leave STALE archives behind that
+      a later ``warc_pages(out_dir/part-*)`` would read alongside
+      the fresh ones;
     - content type per record: ``application/pdf`` for %PDF magic,
       ``text/html`` otherwise (the mime-routing rule the extractors
       use).
@@ -280,13 +294,21 @@ def write_warc(
     )
     if num_files:
         df = df.repartition(num_files, "url").sortWithinPartitions("url", "warc_ts")
+    df = df.withColumn("_pid", F.spark_partition_id())
     os.makedirs(out_dir, exist_ok=True)
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(out_dir, "part-*")):
+        os.remove(stale)
     suffix = ".warc.gz" if gzip_members else ".warc"
     gz = gzip_members
 
     def gen(batches):
         recs: list[tuple] = []
+        pid = 0
         for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["_pid"].iloc[0])
             for url, ts, body in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
                 body = bytes(body) if body is not None else b""
                 ctype = "application/pdf" if body[:4] == b"%PDF" else "text/html"
@@ -294,7 +316,7 @@ def write_warc(
         if not recs:
             return
         blob = build_warc(recs, gzip_members=gz, with_warcinfo=True)
-        name = f"part-{_record_id(recs[0][0], recs[0][1])}{suffix}"
+        name = f"part-{pid:05d}-{_record_id(recs[0][0], recs[0][1])}{suffix}"
         tmp = os.path.join(out_dir, f".tmp-{name}")
         with open(tmp, "wb") as f:
             f.write(blob)

@@ -40,6 +40,7 @@ def crawl_frontier(
     pagerank_iters: int = 2,
     url_col: str = "url",
     html_col: str = "html",
+    extra_seeds: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Build the next crawl batch from this batch's pages.
 
@@ -53,6 +54,14 @@ def crawl_frontier(
     - ``per_host_cap``: politeness — at most N urls per host per
       batch, highest-rank first (deterministic prefix, not a sample).
     - ``max_urls``: global batch size, highest-rank first.
+    - ``extra_seeds``: one-column DataFrame of discovery-channel urls
+      outside the link graph (e.g. ``operators.sitemap.sitemap_seeds``
+      output). Seeds already present as link-graph candidates keep
+      their PageRank; pure seeds enter at rank6 = 150000 — exactly a
+      zero-inlink node's rank under graph.pagerank's integer
+      microunit rule, so they sort below any linked-to page but above
+      nothing artificially. Seen/crawled seeds drop like any
+      candidate, and the robots gate + caps apply uniformly.
 
     Returns ``(frontier, metrics)``: frontier columns are
     (url, host, rank6[, crawl_delay]), metrics counts per stage.
@@ -74,13 +83,36 @@ def crawl_frontier(
             seen_urls.select(canonical_url(F.col(seen_col)).alias("url"))
         ).distinct()
 
-    candidates = (
-        ranks.select(F.col("node").alias("url"), "rank6")
-        .join(crawled, "url", "left_anti")
-        .withColumn("host", host_of(F.col("url")))
-        .localCheckpoint(eager=True)
+    candidates = ranks.select(F.col("node").alias("url"), "rank6").join(
+        crawled, "url", "left_anti"
     )
-    metrics = {"n_discovered": candidates.count()}
+    if extra_seeds is not None:
+        seed_col = extra_seeds.columns[0]
+        seeds = (
+            extra_seeds.select(canonical_url(F.col(seed_col)).alias("url"))
+            .distinct()
+            .join(crawled, "url", "left_anti")
+            # link-graph candidates win: a seeded url that also has
+            # inlinks keeps its PageRank row, not the seed floor
+            .join(candidates.select("url"), "url", "left_anti")
+            .withColumn("rank6", F.lit(150000).cast("long"))
+            .withColumn("_seed", F.lit(1))
+        )
+        candidates = candidates.withColumn("_seed", F.lit(0)).unionByName(seeds)
+    candidates = candidates.withColumn(
+        "host", host_of(F.col("url"))
+    ).localCheckpoint(eager=True)
+    if extra_seeds is not None:
+        counts = candidates.agg(
+            F.count("*").alias("n"), F.sum("_seed").alias("s")
+        ).collect()[0]
+        metrics = {
+            "n_discovered": counts["n"],
+            "n_seeds": int(counts["s"] or 0),
+        }
+        candidates = candidates.drop("_seed")
+    else:
+        metrics = {"n_discovered": candidates.count()}
 
     if robots is not None:
         from ocr_compare_spark.operators.robots import robots_gate

@@ -130,3 +130,29 @@ def test_crawl_loop_frontier_plus_incremental(spark, tmp_path):
     # re-fetching an already-cached batch does zero engine work
     _, m3 = crawl_delta(spark, batch2, cache)
     assert m3["fresh_docs"] == 0
+
+
+def test_frontier_extra_seeds(spark):
+    """Sitemap-style seeds enter at the zero-inlink rank floor, keep
+    their PageRank when also linked, drop when already crawled, and
+    pass through the robots gate like any candidate."""
+    seeds = spark.createDataFrame(
+        [("http://a.com/from-sitemap",),      # pure seed
+         ("http://a.com/popular",),           # also linked -> keeps rank
+         ("http://a.com/p1",),                # already crawled -> dropped
+         ("http://a.com/blocked/seed",)],     # robots-blocked
+        ["loc"],
+    )
+    robots = spark.createDataFrame(ROBOTS, ["host", "robots_txt"])
+    fr, m = crawl_frontier(_pages(spark), robots=robots, extra_seeds=seeds)
+    rank = {r.url: r.rank6 for r in fr.collect()}
+    assert "http://a.com/from-sitemap" in rank
+    assert rank["http://a.com/from-sitemap"] == 150000
+    assert rank["http://a.com/popular"] > 150000  # linked seed keeps PageRank
+    assert "http://a.com/p1" not in rank
+    assert "http://a.com/blocked/seed" not in rank
+    # metrics: 5 link-discovered + 2 net-new seeds; 2 robots-blocked
+    assert m["n_seeds"] == 2
+    assert m["n_discovered"] == 7
+    assert m["n_blocked_robots"] == 2
+    assert m["n_frontier"] == 5

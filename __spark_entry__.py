@@ -1863,7 +1863,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events_window + sessionize folded into ONE gated row set
     (normalized (q, k1, n, v)) — the driver gate caps at 50 rows and
-    the two freed slots gate snapshot_dedup / token_budget; both
+    the two freed slots gate snapshot_suite / token_budget; both
     sub-queries stay importable and individually oracle-checkable."""
     win = q_events_window(spark, sf_dir)
     ses = q_sessionize(spark, sf_dir)
@@ -1977,25 +1977,39 @@ def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e).unionByName(g)
 
 
-def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-crawl keep-latest-per-url (dedup.latest_snapshot): the
-    first pass over a Common-Crawl-style pages table where each url
-    recurs once per crawl with a new warc_ts (BASELINE input_hint's
-    (url, warc_ts) key). The snapshot stack is expanded
-    deterministically from documents — doc_id%3+1 crawls, one day
-    apart, text suffixed per crawl — so the oracle reproduces it
-    exactly; the operator itself is the single map-side-combine
-    groupBy (max over (ts, row) struct), NOT a window, so the shuffle
-    carries ~|distinct urls| rows however many crawls stack up."""
+def q_snapshot_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot suite, TWO arms over the same deterministic
+    multi-crawl expansion (doc_id%3+1 snapshots, one day apart;
+    null-padded union — see q_events_suite for why):
+
+    - 'latest': multi-crawl keep-latest-per-url (dedup.latest_snapshot)
+      — the single map-side-combine groupBy (max over (ts, row)
+      struct), NOT a window, so the shuffle carries ~|distinct urls|
+      rows however many crawls stack up. Text suffixed per crawl; the
+      oracle replays the expansion exactly.
+    - 'recrawl': change-rate scheduling (operators/recrawl.py — Cho &
+      Garcia-Molina bias-corrected Poisson estimator + refetch
+      probability). Digests change on crawl c iff bit c of
+      (doc_id div 3) is set — closed form, so every (n_fetches,
+      n_changes) cell from (1,0) to (3,2) occurs and the DuckDB twin
+      recomputes lam_day6/p_changed6 through the SAME operand-order
+      ln/exp chain under floor-round6 (lm_ppl precedent). now =
+      EPOCH+10d, so age_days is exact integer-valued."""
     from ocr_compare_spark.operators.dedup import latest_snapshot
+    from ocr_compare_spark.operators.recrawl import recrawl_priority
 
     d = _tbl(spark, sf_dir, "documents")
-    snaps = d.select(
-        F.concat(F.lit("https://crawl.synth.local/doc/"), F.col("doc_id").cast("string")).alias("url"),
+    url = F.concat(
+        F.lit("https://crawl.synth.local/doc/"), F.col("doc_id").cast("string")
+    ).alias("url")
+    expanded = d.select(
+        url,
         "lang",
         "text",
+        "doc_id",
         F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))).alias("crawl_no"),
-    ).select(
+    )
+    snaps = expanded.select(
         "url",
         "lang",
         F.timestamp_seconds(F.lit(synth.EPOCH_2025) + F.col("crawl_no") * 86400).alias("warc_ts"),
@@ -2003,9 +2017,46 @@ def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("crawl_no").cast("long").alias("crawl_no"),
     )
     won = latest_snapshot(snaps, "url", "warc_ts")
-    return won.select(
-        "url", "lang", "crawl_no", "n_snapshots", F.md5("text").alias("text_md5")
+    a = won.select(
+        F.lit("latest").alias("kind"),
+        "url", "lang", "crawl_no", "n_snapshots",
+        F.md5("text").alias("text_md5"),
+        F.lit(None).cast("long").alias("n_fetches"),
+        F.lit(None).cast("long").alias("n_changes"),
+        F.lit(None).cast("double").alias("lam_day6"),
+        F.lit(None).cast("double").alias("p_changed6"),
+        F.lit(None).cast("double").alias("age_days"),
     )
+
+    # version(c) = popcount of set bits of (doc_id div 3) among bits
+    # 1..c — the digest changes on crawl c iff bit c is set
+    bit1 = F.expr("(doc_id div 6) % 2")
+    bit2 = F.expr("(doc_id div 12) % 2")
+    version = (
+        F.when(F.col("crawl_no") >= 1, bit1).otherwise(F.lit(0))
+        + F.when(F.col("crawl_no") >= 2, bit2).otherwise(F.lit(0))
+    )
+    dsnaps = expanded.select(
+        "url",
+        F.timestamp_seconds(F.lit(synth.EPOCH_2025) + F.col("crawl_no") * 86400).alias("warc_ts"),
+        F.concat(
+            F.lit("d"), F.col("doc_id").cast("string"), F.lit("-"),
+            version.cast("string"),
+        ).alias("digest"),
+    )
+    pr = recrawl_priority(dsnaps, synth.EPOCH_2025 + 10 * 86400)
+    b = pr.select(
+        F.lit("recrawl").alias("kind"),
+        "url",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("crawl_no"),
+        F.lit(None).cast("long").alias("n_snapshots"),
+        F.lit(None).cast("string").alias("text_md5"),
+        F.col("n_fetches").cast("long").alias("n_fetches"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+        "lam_day6", "p_changed6", "age_days",
+    )
+    return a.unionByName(b)
 
 
 TOKEN_BUDGET_PER_LANG = 1500  # nontrivial strict subset in every lang at sf0.001/sf0.01
@@ -2217,7 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats_salted": q_host_stats_salted,
         # events_window + sessionize gate as ONE suite row set
         "events_suite": q_events_suite,
-        "snapshot_dedup": q_snapshot_dedup,
+        "snapshot_suite": q_snapshot_suite,
         "token_budget": q_token_budget,
         "tpch_q1": q_tpch_q1,
         # the five relational demos are gated as ONE suite row set —
@@ -3403,9 +3454,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS DOUBLE)
             FROM g GROUP BY user_id
         """,
-        "snapshot_dedup": f"""
+        "snapshot_suite": f"""
             -- deterministic multi-crawl expansion (doc_id%3+1
-            -- snapshots, one day apart) -> keep latest per url
+            -- snapshots, one day apart): 'latest' keeps the newest
+            -- per url; 'recrawl' recomputes the Cho/Garcia-Molina
+            -- estimator closed-form (digest changes on crawl c iff
+            -- bit c of doc_id//3 is set; now = EPOCH+10d) through
+            -- the SAME operand-order ln/exp chain under floor-round6
             WITH snaps AS (
               SELECT 'https://crawl.synth.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
                      lang,
@@ -3418,9 +3473,43 @@ def oracle_sql() -> dict[str, str]:
                      count(*) OVER (PARTITION BY url) AS n_snapshots,
                      row_number() OVER (PARTITION BY url ORDER BY crawl_no DESC) AS rn
               FROM snaps
+            ), rc AS (
+              SELECT doc_id,
+                     CAST(doc_id % 3 AS BIGINT) AS nint,
+                     CASE WHEN doc_id % 3 = 0 THEN 0
+                          WHEN doc_id % 3 = 1 THEN (doc_id // 6) % 2
+                          ELSE (doc_id // 6) % 2 + (doc_id // 12) % 2
+                     END AS x
+              FROM documents
+            ), rr AS (
+              SELECT doc_id, nint, x,
+                     CASE WHEN nint > 0 THEN
+                       floor((-ln((nint - x + 0.5) / (nint + 0.5))
+                              / (CAST(nint * 86400 AS DOUBLE) / nint / 86400.0))
+                             * 1e6 + 0.5) / 1e6
+                     END AS lam6,
+                     CAST((10 - nint) * 86400 AS DOUBLE) / 86400.0 AS age_days
+              FROM rc
             )
-            SELECT url, lang, crawl_no, n_snapshots, md5(text) AS text_md5
+            SELECT 'latest' AS kind, url, lang, crawl_no, n_snapshots,
+                   md5(text) AS text_md5,
+                   CAST(NULL AS BIGINT) AS n_fetches,
+                   CAST(NULL AS BIGINT) AS n_changes,
+                   CAST(NULL AS DOUBLE) AS lam_day6,
+                   CAST(NULL AS DOUBLE) AS p_changed6,
+                   CAST(NULL AS DOUBLE) AS age_days
             FROM ranked WHERE rn = 1
+            UNION ALL
+            SELECT 'recrawl',
+                   'https://crawl.synth.local/doc/' || CAST(doc_id AS VARCHAR),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+                   nint + 1, x, lam6,
+                   CASE WHEN lam6 IS NOT NULL THEN
+                     floor((1.0 - exp(-lam6 * age_days)) * 1e6 + 0.5) / 1e6
+                   ELSE 0.5 END,
+                   age_days
+            FROM rr
         """,
         "token_budget": f"""
             WITH t AS (

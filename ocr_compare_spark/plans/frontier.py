@@ -13,7 +13,9 @@ frontier pipeline a production crawler runs between batches:
 
 Scale shape: one html scan (graph-only link extraction, single regex
 pass), the PageRank rounds over the checkpointed edge table, ONE
-left_anti against the seen set (url-hash equi join), a broadcast
+left_anti against the seen set (url-hash equi join; at billions of
+seen urls pass ``seen_bloom`` instead — a shuffle-free broadcast
+Bloom test), a broadcast
 robots-rule join, and the distributed prefix-sum cap machinery for
 both politeness and the global batch limit — no windows over the
 full candidate stream, no driver-side url lists. Determinism: every
@@ -41,6 +43,9 @@ def crawl_frontier(
     url_col: str = "url",
     html_col: str = "html",
     extra_seeds: DataFrame | None = None,
+    seen_bloom=None,
+    seen_bloom_bits: int | None = None,
+    seen_bloom_k: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Build the next crawl batch from this batch's pages.
 
@@ -62,6 +67,17 @@ def crawl_frontier(
       microunit rule, so they sort below any linked-to page but above
       nothing artificially. Seen/crawled seeds drop like any
       candidate, and the robots gate + caps apply uniformly.
+    - ``seen_bloom``: the SCALE path for the historical seen set — a
+      numpy Bloom bitmap (operators/bloom.py: build_bloom over the
+      canonical urls of every prior crawl, union_bloom across
+      batches). At real crawl scale the seen set is billions of urls;
+      an exact ``seen_urls`` anti-join shuffles both sides, while the
+      broadcast bitmap test is shuffle-free and O(filter size) per
+      executor. False positives DROP a never-crawled candidate —
+      acceptable frontier semantics (the url is re-discovered next
+      cycle; rate bounded by the m/k sizing) — and never admit a
+      crawled url. ``seen_urls`` still composes on top for the exact
+      recent tail (e.g. this crawl cycle's in-flight urls).
 
     Returns ``(frontier, metrics)``: frontier columns are
     (url, host, rank6[, crawl_delay]), metrics counts per stage.
@@ -114,12 +130,28 @@ def crawl_frontier(
     else:
         metrics = {"n_discovered": candidates.count()}
 
+    n_current = metrics["n_discovered"]
+    if seen_bloom is not None:
+        from ocr_compare_spark.operators import bloom as _bloom
+
+        kw = {}
+        if seen_bloom_bits is not None:
+            kw["m_bits"] = seen_bloom_bits
+        if seen_bloom_k is not None:
+            kw["k"] = seen_bloom_k
+        candidates = _bloom.bloom_filter_new(
+            candidates, "url", seen_bloom, **kw
+        ).localCheckpoint(eager=True)
+        n_after_bloom = candidates.count()
+        metrics["n_dropped_seen_bloom"] = n_current - n_after_bloom
+        n_current = n_after_bloom
+
     if robots is not None:
         from ocr_compare_spark.operators.robots import robots_gate
 
         gated = robots_gate(candidates, robots, agent).localCheckpoint(eager=True)
         allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
-        metrics["n_blocked_robots"] = metrics["n_discovered"] - allowed.count()
+        metrics["n_blocked_robots"] = n_current - allowed.count()
     else:
         allowed = candidates.withColumn(
             "crawl_delay", F.lit(None).cast("double")
@@ -132,7 +164,7 @@ def crawl_frontier(
     prio = (F.lit(int(maxr)) - F.col("rank6")) / F.lit(float(maxr) + 1.0)
     ordered = allowed.withColumn("_prio", prio)
 
-    n_allowed = metrics["n_discovered"] - metrics["n_blocked_robots"]
+    n_allowed = n_current - metrics["n_blocked_robots"]
     n_after_host = n_allowed
     if per_host_cap is not None:
         ordered = sampling.cap_per_key(

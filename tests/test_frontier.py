@@ -156,3 +156,29 @@ def test_frontier_extra_seeds(spark):
     assert m["n_discovered"] == 7
     assert m["n_blocked_robots"] == 2
     assert m["n_frontier"] == 5
+
+
+def test_frontier_seen_bloom_scale_path(spark):
+    """The Bloom seen-set drops previously-crawled urls without a
+    join; the exact seen_urls tail composes on top; a properly-sized
+    filter has no false positives on this tiny set."""
+    import numpy as np
+    from ocr_compare_spark.operators.bloom import build_bloom
+
+    # prior crawls saw /popular and /y (canonical forms)
+    prior = spark.createDataFrame(
+        [("http://a.com/popular",), ("http://b.com/y",)], ["url"]
+    )
+    bloom = build_bloom(prior, "url", m_bits=1 << 14, k=7)
+    robots = spark.createDataFrame(ROBOTS, ["host", "robots_txt"])
+    seen = spark.createDataFrame([("http://a.com/rare",)], ["url"])
+    fr, m = crawl_frontier(
+        _pages(spark), seen_urls=seen, robots=robots,
+        seen_bloom=bloom, seen_bloom_bits=1 << 14, seen_bloom_k=7,
+    )
+    got = {r.url for r in fr.collect()}
+    assert got == {"http://b.com/x"}
+    assert m["n_discovered"] == 4            # rare dropped by exact seen
+    assert m["n_dropped_seen_bloom"] == 2    # popular + y
+    assert m["n_blocked_robots"] == 1        # /blocked/page
+    assert m["n_frontier"] == 1

@@ -297,6 +297,37 @@ def main() -> int:
             "noop"
         ).mode("overwrite").save()
 
+    def q_recrawl():
+        from ocr_compare_spark.operators.recrawl import recrawl_priority
+
+        # ~40k urls x ~2.5 snapshots: the slim (url, ts, digest)
+        # groupBy + native estimator chain
+        base = docs.select("doc_id").repartition(cores)
+        snaps = base.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("r")
+        ).select(
+            F.concat(
+                F.lit("https://h"), (F.col("doc_id") % 97).cast("string"),
+                F.lit(".example/"), F.col("doc_id").cast("string"),
+                F.lit("-"), F.col("r").cast("string"),
+            ).alias("url"),
+            F.explode(
+                F.sequence(F.lit(0), ((F.col("doc_id") + F.col("r")) % 4).cast("int"))
+            ).alias("c"),
+            ((F.col("doc_id") + F.col("r")) % 3).alias("chg"),
+        ).select(
+            "url",
+            F.timestamp_seconds(
+                F.lit(synth.EPOCH_2025) + F.col("c") * 86400
+            ).alias("warc_ts"),
+            F.concat(
+                F.lit("d"), ((F.col("c") * F.col("chg")) % 5).cast("string")
+            ).alias("digest"),
+        )
+        recrawl_priority(snaps, synth.EPOCH_2025 + 10 * 86400).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     queries = {
         "extract_multi_engine": q_extract,
         "compare_align": q_compare,
@@ -319,6 +350,7 @@ def main() -> int:
         "pagerank": q_pagerank,
         "bloom_dedup": q_bloom,
         "tfidf": q_tfidf,
+        "recrawl": q_recrawl,
         "tpch_q1": q_tpch_q1,
     }
 

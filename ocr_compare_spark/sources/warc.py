@@ -168,6 +168,72 @@ def frame_warc_files(files: DataFrame) -> DataFrame:
     return files.mapInPandas(gen, PAGES_SCHEMA)
 
 
+def warc_revisits(spark: SparkSession, path: str) -> DataFrame:
+    """Read the DEDUP MAP of an archive written with revisit records:
+    one row per ``WARC-Type: revisit``, ``(url, warc_ts, digest,
+    ref_url, ref_ts)`` — this capture's payload is byte-identical to
+    the (ref_url, ref_ts) response record. Compose with
+    :func:`warc_pages` via :func:`resolve_revisits` to rebuild the
+    full crawl, or feed (url, digest) straight to the incremental
+    plan (plans/incremental.py) — a revisit IS a content-hash cache
+    hit, no payload needed."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "digest", "ref_url", "ref_ts")}
+            for content in pdf["content"]:
+                for headers, _payload in iter_warc_records(bytes(content)):
+                    if headers.get("warc-type") != "revisit":
+                        continue
+                    url = headers.get("warc-target-uri")
+                    if not url:
+                        continue
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(parse_warc_date(headers.get("warc-date")))
+                    rows["digest"].append(headers.get("warc-payload-digest"))
+                    rows["ref_url"].append(headers.get("warc-refers-to-target-uri"))
+                    rows["ref_ts"].append(
+                        parse_warc_date(headers.get("warc-refers-to-date"))
+                    )
+            pdf_out = pd.DataFrame(rows, columns=list(rows))
+            # empty batches otherwise materialize float64 columns,
+            # which Arrow refuses to cast to timestamp
+            pdf_out["warc_ts"] = pd.to_datetime(pdf_out["warc_ts"])
+            pdf_out["ref_ts"] = pd.to_datetime(pdf_out["ref_ts"])
+            yield pdf_out
+
+    return files.mapInPandas(
+        gen,
+        "url string, warc_ts timestamp, digest string,"
+        " ref_url string, ref_ts timestamp",
+    )
+
+
+def resolve_revisits(pages: DataFrame, revisits: DataFrame) -> DataFrame:
+    """Rebuild the FULL crawl from a dedup'd archive: the response
+    rows (unique payloads) plus every revisit row re-hydrated by an
+    equi-join on its (ref_url, ref_ts) capture. One join keyed on the
+    reference pair; payload bytes ship once per distinct payload plus
+    once per revisit output row (unavoidable — that's the expansion
+    being asked for)."""
+    ref = revisits.select(
+        F.col("url").alias("_u"),
+        F.col("warc_ts").alias("_t"),
+        "ref_url",
+        "ref_ts",
+    )
+    hydrated = ref.join(
+        pages.select(
+            F.col("url").alias("ref_url"),
+            F.col("warc_ts").alias("ref_ts"),
+            "html",
+        ),
+        ["ref_url", "ref_ts"],
+    ).select(F.col("_u").alias("url"), F.col("_t").alias("warc_ts"), "html")
+    return pages.unionByName(hydrated)
+
+
 # ------------------------------------------------------------- builder
 
 
@@ -176,16 +242,56 @@ def _record_id(url: str, ts: datetime) -> str:
     return hashlib.md5(f"{url}|{ts.isoformat()}".encode()).hexdigest()
 
 
+#: WARC 1.1 §6.7.2 revisit profile: this capture's payload is
+#: byte-identical to a prior capture, located by the Refers-To pair.
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+
+def payload_digest(body: bytes) -> str:
+    """Common Crawl's payload digest convention: SHA-1, base32."""
+    import base64
+
+    return "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode()
+
+
+def _warc_date(ts: datetime) -> str:
+    # WARC-Date keeps sub-second precision when present (WARC/1.1
+    # fractional form; parse_warc_date's fromisoformat reads it
+    # back) — truncating would break the write->read round-trip
+    # for microsecond timestamps
+    return ts.strftime("%Y-%m-%dT%H:%M:%S") + (
+        f".{ts.microsecond:06d}" if ts.microsecond else ""
+    ) + "Z"
+
+
 def build_warc(
     records,
     gzip_members: bool = False,
     with_warcinfo: bool = True,
+    dedup_within: bool = False,
+    known_digests: dict | None = None,
 ) -> bytes:
     """Serialize (url, ts, body_bytes, content_type) tuples as a WARC
     byte stream — the deterministic twin of ``iter_warc_records`` for
     tests and local fixtures. ``gzip_members`` compresses each record
-    as its own gzip member (the Common Crawl layout)."""
+    as its own gzip member (the Common Crawl layout).
+
+    Digest dedup (the web archive's storage dedup — WARC 1.1 §6.7
+    ``revisit``, identical-payload-digest profile): with
+    ``dedup_within``, a payload whose SHA-1 matches an earlier record
+    in THIS stream is written as a revisit record — full WARC + HTTP
+    headers, NO payload bytes — referring to the first capture via
+    WARC-Refers-To-Target-URI/-Date. ``known_digests`` seeds the
+    first-seen map from prior crawls (``{digest: (url, ts)}``, e.g.
+    off the CDX tier) so unchanged pages re-crawled today cost zero
+    archive bytes; the map is updated in place, so chaining calls
+    accumulates. When either is active, response records also carry
+    WARC-Payload-Digest (the dedup key must be in-band for readers);
+    the default path stays byte-identical to the historical format.
+    """
     chunks: list[bytes] = []
+    dedup = dedup_within or known_digests is not None
+    seen = known_digests if known_digests is not None else ({} if dedup_within else None)
 
     def emit(rec: bytes) -> None:
         chunks.append(gzip.compress(rec, mtime=0) if gzip_members else rec)
@@ -204,21 +310,42 @@ def build_warc(
             + b"\r\n\r\n"
         )
     for url, ts, body, ctype in records:
-        # WARC-Date keeps sub-second precision when present (WARC/1.1
-        # fractional form; parse_warc_date's fromisoformat reads it
-        # back) — truncating would break the write->read round-trip
-        # for microsecond timestamps
-        wdate = ts.strftime("%Y-%m-%dT%H:%M:%S") + (
-            f".{ts.microsecond:06d}" if ts.microsecond else ""
-        ) + "Z"
-        http = (
+        wdate = _warc_date(ts)
+        http_head = (
             b"HTTP/1.1 200 OK\r\nContent-Type: "
             + ctype.encode()
             + b"\r\nContent-Length: "
             + str(len(body)).encode()
             + b"\r\n\r\n"
-            + body
         )
+        if dedup:
+            dg = payload_digest(body)
+            ref = seen.get(dg)
+            if ref is not None:
+                ref_url, ref_ts = ref
+                emit(
+                    (
+                        "WARC/1.0\r\n"
+                        "WARC-Type: revisit\r\n"
+                        f"WARC-Target-URI: {url}\r\n"
+                        f"WARC-Date: {wdate}\r\n"
+                        f"WARC-Record-ID: <urn:uuid:{_record_id(url, ts)}>\r\n"
+                        f"WARC-Profile: {REVISIT_PROFILE}\r\n"
+                        f"WARC-Payload-Digest: {dg}\r\n"
+                        f"WARC-Refers-To-Target-URI: {ref_url}\r\n"
+                        f"WARC-Refers-To-Date: {_warc_date(ref_ts)}\r\n"
+                        "Content-Type: application/http; msgtype=response\r\n"
+                        f"Content-Length: {len(http_head)}\r\n\r\n"
+                    ).encode()
+                    + http_head
+                    + b"\r\n\r\n"
+                )
+                continue
+            seen[dg] = (url, ts)
+            digest_hdr = f"WARC-Payload-Digest: {dg}\r\n"
+        else:
+            digest_hdr = ""
+        http = http_head + body
         emit(
             (
                 "WARC/1.0\r\n"
@@ -226,6 +353,7 @@ def build_warc(
                 f"WARC-Target-URI: {url}\r\n"
                 f"WARC-Date: {wdate}\r\n"
                 f"WARC-Record-ID: <urn:uuid:{_record_id(url, ts)}>\r\n"
+                + digest_hdr +
                 "Content-Type: application/http; msgtype=response\r\n"
                 f"Content-Length: {len(http)}\r\n\r\n"
             ).encode()
@@ -246,6 +374,7 @@ def write_warc(
     body_col: str = "html",
     num_files: int | None = None,
     gzip_members: bool = True,
+    dedup: bool = False,
 ) -> DataFrame:
     """Distributed WARC sink: pages -> ``out_dir/part-<key>.warc[.gz]``,
     one archive per task, serialized with the same :func:`build_warc`
@@ -278,7 +407,15 @@ def write_warc(
       the fresh ones;
     - content type per record: ``application/pdf`` for %PDF magic,
       ``text/html`` otherwise (the mime-routing rule the extractors
-      use).
+      use);
+    - ``dedup=True``: identical-payload storage dedup (WARC revisit
+      records, :func:`build_warc`). Rows are repartitioned by
+      payload SHA-1 instead of url so identical payloads co-locate
+      and per-task dedup is GLOBAL: exactly one response record per
+      distinct payload (its (url, ts)-first capture), every other
+      capture a headers-only revisit pointing at it. Read the pages
+      back with :func:`warc_pages` (revisits skipped) and the dedup
+      map with :func:`warc_revisits`.
 
     Returns the collected manifest as a small DataFrame
     (path, n_records, n_bytes) — an action has already run (the
@@ -292,7 +429,18 @@ def write_warc(
         F.col(ts_col).alias("warc_ts"),
         F.col(body_col).alias("html"),
     )
-    if num_files:
+    if dedup:
+        # co-locate identical payloads so per-task revisit dedup IS
+        # global dedup (the deterministic (url, ts)-first capture of
+        # each distinct payload keeps the bytes; every other capture
+        # becomes a headers-only revisit record). One payload shuffle
+        # — the price of the storage dedup, paid where the real
+        # archive pays it (at index build).
+        n = num_files or spark.sparkContext.defaultParallelism
+        df = df.repartition(n, F.sha1(F.col("html"))).sortWithinPartitions(
+            "url", "warc_ts"
+        )
+    elif num_files:
         df = df.repartition(num_files, "url").sortWithinPartitions("url", "warc_ts")
     df = df.withColumn("_pid", F.spark_partition_id())
     os.makedirs(out_dir, exist_ok=True)
@@ -302,6 +450,7 @@ def write_warc(
         os.remove(stale)
     suffix = ".warc.gz" if gzip_members else ".warc"
     gz = gzip_members
+    dd = dedup
 
     def gen(batches):
         recs: list[tuple] = []
@@ -315,7 +464,9 @@ def write_warc(
                 recs.append((url, ts.to_pydatetime(), body, ctype))
         if not recs:
             return
-        blob = build_warc(recs, gzip_members=gz, with_warcinfo=True)
+        blob = build_warc(
+            recs, gzip_members=gz, with_warcinfo=True, dedup_within=dd
+        )
         name = f"part-{pid:05d}-{_record_id(recs[0][0], recs[0][1])}{suffix}"
         tmp = os.path.join(out_dir, f".tmp-{name}")
         with open(tmp, "wb") as f:

@@ -175,3 +175,38 @@ def inbound_anchors(links: DataFrame, max_texts: int = 100) -> DataFrame:
         F.countDistinct("src").alias("n_src"),
         texts.alias("anchor_texts"),
     )
+
+
+def domain_graph(
+    links: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Page-level edges collapsed to the REGISTERED-DOMAIN graph —
+    the Common Crawl domain-graph release shape: ``(src_domain,
+    dst_domain, n_links)`` with page-level multiplicity preserved in
+    the count. Intra-domain edges drop (site navigation, not
+    endorsement — the standard host/domain-graph convention), as do
+    edges whose host yields no domain (bare IPs keep the IP literal
+    via registered_domain's passthrough; nulls drop).
+
+    Domain authority = ``graph.pagerank(domain_graph(edges))`` —
+    pagerank's outdeg counts edge ROWS, so feed the collapsed
+    (distinct-pair) rows for the unweighted rank or re-expand by
+    n_links for the link-weighted variant. Scale shape: one map-side-
+    combined groupBy over two row-local native expressions; the
+    domain graph is orders of magnitude smaller than the page graph,
+    so everything downstream (rank rounds, joins back to hosts) runs
+    on the collapsed table."""
+    from ocr_compare_spark.functions.url import host_of, registered_domain
+
+    sd = registered_domain(host_of(F.col(src)))
+    dd = registered_domain(host_of(F.col(dst)))
+    return (
+        links.select(sd.alias("src_domain"), dd.alias("dst_domain"))
+        .filter(
+            F.col("src_domain").isNotNull()
+            & F.col("dst_domain").isNotNull()
+            & (F.col("src_domain") != F.col("dst_domain"))
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").alias("n_links"))
+    )

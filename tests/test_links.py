@@ -112,3 +112,42 @@ def test_extract_links_graph_only_fast_path(spark):
     full_rows = sorted((r.src, r.dst) for r in extract_links(df).collect())
     fast_rows = sorted((r.src, r.dst) for r in fast.collect())
     assert fast_rows == full_rows and set(fast_rows) == full
+
+
+def test_domain_graph_collapse(spark):
+    from ocr_compare_spark.operators.links import domain_graph
+    from ocr_compare_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [
+            # subdomains collapse to the registered domain
+            ("https://blog.alpha.com/a", "https://www.beta.org/x"),
+            ("https://shop.alpha.com/b", "https://beta.org/y"),
+            ("https://alpha.com/c", "https://beta.org/y"),
+            # intra-domain (navigation) drops, even across subdomains
+            ("https://alpha.com/c", "https://docs.alpha.com/d"),
+            # PSL multi-label suffix: user.github.io IS the domain
+            ("https://user.github.io/p", "https://alpha.com/c"),
+            ("https://sub.user.github.io/q", "https://sub.user.github.io/r"),
+        ],
+        ["src", "dst"],
+    )
+    got = {
+        (r.src_domain, r.dst_domain): r.n_links
+        for r in domain_graph(edges).collect()
+    }
+    assert got == {
+        ("alpha.com", "beta.org"): 3,
+        ("user.github.io", "alpha.com"): 1,
+    }
+    # composes with pagerank on the collapsed rows
+    ranks = {
+        r.node: r.rank6
+        for r in pagerank(
+            domain_graph(edges).select(
+                F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
+            )
+        ).collect()
+    }
+    assert set(ranks) == {"alpha.com", "beta.org", "user.github.io"}
+    assert ranks["beta.org"] > ranks["alpha.com"] > ranks["user.github.io"]

@@ -1013,3 +1013,98 @@ def semdedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def minhash_tables(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Persistable MinHash record per doc: ``(id, bands array<long>,
+    sh array<long>)`` — the band hashes that generate LSH candidates
+    plus the distinct shingle hashes that verify them. This is the
+    SIGNATURE STORE row for cross-crawl near-dup (Dolma/RedPajama
+    style cross-dump dedup): write it as parquet per curated batch,
+    and each new crawl joins against the accumulated store without
+    ever re-reading prior crawls' TEXT. ~(num_hashes/8 + |shingles|)
+    * 8 bytes per doc vs the full page — the store is orders of
+    magnitude smaller than the corpus it shields.
+
+    Same construction as lsh_candidates' internal tables (shingle
+    strings hashed exactly once, lanes re-hash the 8-byte long,
+    codegen'd min aggregation) — parity is pytest-pinned so the two
+    cannot drift."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    if num_partitions:
+        base = base.repartition(num_partitions, "id")
+    exploded = base.select(
+        "id", F.explode(word_shingles("text", shingle_n)).alias("shingle")
+    ).select("id", F.xxhash64("shingle").alias("h0"))
+    agg = exploded.groupBy("id").agg(
+        *[F.min(F.xxhash64("h0", F.lit(s))).alias(f"h{s}") for s in range(num_hashes)],
+        F.collect_set("h0").alias("sh"),
+    )
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        lanes = [F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+        band_cols.append(F.xxhash64(*lanes))
+    return agg.select("id", F.array(*band_cols).alias("bands"), "sh")
+
+
+def cross_batch_near_dups(
+    new_sigs: DataFrame,
+    store_sigs: DataFrame,
+    verify_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dups of the NEW batch against the accumulated signature
+    store (both sides :func:`minhash_tables` rows): ``(new_id,
+    store_id, jaccard)``. Band-bucket equi-join generates candidates
+    (the only shuffle keys are (band_id, band_hash) — identical scale
+    shape to lsh_candidates), exact hashed-shingle Jaccard verifies.
+
+    The incremental loop: detect -> drop/cluster the hits -> append
+    the SURVIVORS' signature rows to the store -> next batch. Pass
+    the same batch as both sides for within-batch pairs (new_id <
+    store_id dedups the symmetric join)."""
+
+    def _banded(sigs, idn):
+        return sigs.select(
+            F.col("id").alias(idn),
+            F.posexplode("bands").alias("band_id", "band_hash"),
+        )
+
+    same = new_sigs is store_sigs
+    pairs = (
+        _banded(new_sigs, "new_id")
+        .join(_banded(store_sigs, "store_id"), ["band_id", "band_hash"])
+        .filter(
+            F.col("new_id") < F.col("store_id")
+            if same
+            else F.col("new_id") != F.col("store_id")
+        )
+        .select("new_id", "store_id")
+        .distinct()
+    )
+    return (
+        pairs.join(
+            new_sigs.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a")),
+            "new_id",
+        )
+        .join(
+            store_sigs.select(
+                F.col("id").alias("store_id"), F.col("sh").alias("sh_b")
+            ),
+            "store_id",
+        )
+        .select(
+            "new_id",
+            "store_id",
+            F.round(jaccard_arrays(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+    )

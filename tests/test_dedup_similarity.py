@@ -813,3 +813,62 @@ def test_semdedup_data_path_matches_literal(spark, sf_dir):
     cents = similarity.lloyd_kmeans(rng.standard_normal((64, 256)), 32, 2)
     out = dedup.semdedup(big, cents, threshold=0.99, method="data").collect()
     assert len(out) == 64 and all(r.kept for r in out)  # random vecs: no dups
+
+
+def test_cross_batch_near_dups_store_loop(spark, corpus, tmp_path):
+    """The incremental cross-crawl loop: signature store written as
+    parquet shields later batches from re-reading prior text; parity
+    with lsh_candidates on a distinct-text corpus."""
+    base = corpus.filter(F.col("doc_id") < 100)  # 60 distinct docs
+
+    # --- parity: self cross-batch == lsh_candidates (distinct texts,
+    # so exact-dup canonicalization is the identity there)
+    sigs = dedup.minhash_tables(base, "doc_id", "text").cache()
+    self_pairs = dedup.cross_batch_near_dups(sigs, sigs, verify_threshold=0.5)
+    a = sorted((r.new_id, r.store_id, r.jaccard) for r in self_pairs.collect())
+    b = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.lsh_candidates(
+            base, "doc_id", "text", verify_threshold=0.5
+        ).collect()
+    )
+    assert a == b
+
+    # --- crawl 1 -> store; crawl 2 has one near-dup of doc 1 and one
+    # fresh doc; crawl 3 near-dups the crawl-2 SURVIVOR
+    store_dir = str(tmp_path / "sigstore")
+    sigs.write.mode("overwrite").parquet(store_dir)
+
+    t1 = base.filter(F.col("doc_id") == 1).first().text.split()
+    t1[5] = "EDITED"
+    batch2 = spark.createDataFrame(
+        [(2001, " ".join(t1)), (2002, "entirely fresh words " * 30)],
+        ["doc_id", "text"],
+    )
+    sig2 = dedup.minhash_tables(batch2, "doc_id", "text").cache()
+    store = spark.read.parquet(store_dir)
+    hits = dedup.cross_batch_near_dups(sig2, store, verify_threshold=0.5)
+    got = {(r.new_id, r.store_id) for r in hits.collect()}
+    assert (2001, 1) in got
+    assert not any(n == 2002 for n, _ in got)
+
+    # survivors (non-hit new docs) append to the store
+    survivors = sig2.join(
+        hits.select("new_id").distinct().withColumnRenamed("new_id", "id"),
+        "id",
+        "left_anti",
+    )
+    survivors.write.mode("append").parquet(store_dir)
+
+    batch3 = spark.createDataFrame(
+        [(3001, "entirely fresh words " * 30)], ["doc_id", "text"]
+    )
+    sig3 = dedup.minhash_tables(batch3, "doc_id", "text")
+    hits3 = dedup.cross_batch_near_dups(
+        sig3, spark.read.parquet(store_dir), verify_threshold=0.5
+    )
+    got3 = {(r.new_id, r.store_id, r.jaccard) for r in hits3.collect()}
+    # 3001 duplicates the crawl-2 survivor 2002 (jaccard 1.0), which
+    # IS in the store precisely because it survived crawl 2
+    assert (3001, 2002, 1.0) in got3
+    assert all(s == 2002 for _, s, _ in got3)

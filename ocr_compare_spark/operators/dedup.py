@@ -1079,17 +1079,15 @@ def cross_batch_near_dups(
         )
 
     same = new_sigs is store_sigs
-    pairs = (
-        _banded(new_sigs, "new_id")
-        .join(_banded(store_sigs, "store_id"), ["band_id", "band_hash"])
-        .filter(
-            F.col("new_id") < F.col("store_id")
-            if same
-            else F.col("new_id") != F.col("store_id")
-        )
-        .select("new_id", "store_id")
-        .distinct()
+    pairs = _banded(new_sigs, "new_id").join(
+        _banded(store_sigs, "store_id"), ["band_id", "band_hash"]
     )
+    if same:
+        pairs = pairs.filter(F.col("new_id") < F.col("store_id"))
+    # distinct sides keep EQUAL-key pairs: the same url re-crawled is
+    # precisely the unchanged-page dup the store exists to catch (the
+    # store must therefore never already contain the current batch)
+    pairs = pairs.select("new_id", "store_id").distinct()
     return (
         pairs.join(
             new_sigs.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a")),

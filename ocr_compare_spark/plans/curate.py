@@ -107,6 +107,7 @@ def curate(
     robots_txt: str | None = None,
     robots_agent: str = "ccbot",
     dolma_out: str | None = None,
+    sig_store: str | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -380,6 +381,49 @@ def curate(
     # this boundary instead of re-running the LSH DAG.
     curated = dedup_boundary = curated.persist()
     n_after_dedup = curated.count()
+    n_boundary = n_after_dedup
+
+    n_cross_crawl = None
+    sig_rows = None
+    if sig_store is not None:
+        # Cross-CRAWL near-dup (the Dolma/RedPajama cross-dump pass):
+        # this batch's MinHash signature rows vs the accumulated
+        # parquet store of every PRIOR batch's kept docs — prior text
+        # is never re-read, the store ships band hashes + shingle
+        # hashes only. Hits drop here; this batch's FINAL kept docs
+        # append their rows after the output is settled (so sampled-
+        # out docs don't shield future crawls).
+        import os as _os
+
+        from ocr_compare_spark.operators.dedup import (
+            cross_batch_near_dups,
+            minhash_tables,
+        )
+
+        skeyed = curated.withColumn("doc_key", F.xxhash64("url"))
+        sig_rows = minhash_tables(
+            skeyed, "doc_key", "doc_text", num_partitions=num_partitions
+        ).persist()
+        helper_persists.append(sig_rows)
+        has_store = _os.path.isdir(sig_store) and any(
+            e.name != "_SUCCESS" for e in _os.scandir(sig_store)
+        )
+        n_cross_crawl = 0
+        if has_store:
+            hits = cross_batch_near_dups(
+                sig_rows, spark.read.parquet(sig_store),
+                verify_threshold=jaccard_threshold,
+            )
+            dup_keys = hits.select(F.col("new_id").alias("doc_key")).distinct()
+            curated = (
+                skeyed.join(dup_keys, "doc_key", "left_anti")
+                .drop("doc_key")
+                .persist()
+            )
+            helper_persists.append(curated)
+            dedup_boundary = curated
+            n_boundary = curated.count()
+            n_cross_crawl = n_after_dedup - n_boundary
 
     n_bpe_merges_learned = None
     if bpe_merges is not None:
@@ -399,7 +443,7 @@ def curate(
             .withColumnRenamed("bpe_token_count", "token_count")
         )
 
-    n_mix_base = n_after_dedup
+    n_mix_base = n_boundary
     n_dsir_dropped = None
     if dsir_target is not None:
         # DSIR data selection (Xie et al. 2023): resample the
@@ -423,7 +467,7 @@ def curate(
         curated = curated.join(sel, "url", "left_semi").persist()
         helper_persists.append(curated)
         n_mix_base = curated.count()
-        n_dsir_dropped = n_after_dedup - n_mix_base
+        n_dsir_dropped = n_boundary - n_mix_base
 
     # Mix-construction stages (operators/sampling.py): both are
     # deterministic functions of the url key, so a rerun — or the
@@ -536,6 +580,17 @@ def curate(
             partition_by="lang", shards_per_partition=8,
         )
 
+    if sig_store is not None:
+        # append the FINAL kept docs' signature rows (not the dedup
+        # boundary's: sampled-out docs are not in the corpus and must
+        # not shield future crawls)
+        final_keys = (out if output_dir else curated).select(
+            F.xxhash64("url").alias("id")
+        ).distinct()
+        sig_rows.join(final_keys, "id", "left_semi").write.mode(
+            "append"
+        ).parquet(sig_store)
+
     kept.unpersist()
     dedup_boundary.unpersist()
     for h in helper_persists:
@@ -554,6 +609,7 @@ def curate(
         # n_current here = post-quality/ppl/decontam (para-dedup and
         # scrub preserve doc count), so this is ONLY the LSH drop
         "dropped_near_dup": n_current - n_after_dedup,
+        "dropped_cross_crawl": n_cross_crawl,
         "dropped_dsir": n_dsir_dropped,
         "dropped_sampling": n_mix_base - n_out,
         "paras_dropped": paras_dropped,
@@ -597,6 +653,7 @@ def curate(
             "dsir_k": dsir_k if dsir_target else None,
             "robots_txt": robots_txt,
             "robots_agent": robots_agent if robots_txt else None,
+            "sig_store": sig_store,
         },
         "bpe_merges_learned": n_bpe_merges_learned,
     }
@@ -677,6 +734,11 @@ def main() -> int:
                          "pages the host disallows for --robots-agent "
                          "(RFC 9309) before any other stage")
     ap.add_argument("--robots-agent", default="ccbot")
+    ap.add_argument("--sig-store", default=None,
+                    help="cross-crawl MinHash signature store dir: "
+                         "drop docs near-duplicating PRIOR crawls' "
+                         "kept docs, then append this run's kept "
+                         "docs' signatures")
     ap.add_argument("--dolma-out", default=None,
                     help="also export the curated corpus as a Dolma-"
                          "shaped gzip JSONL documents tree (id=url, "
@@ -748,6 +810,7 @@ def main() -> int:
         robots_txt=args.robots_txt,
         robots_agent=args.robots_agent,
         dolma_out=args.dolma_out,
+        sig_store=args.sig_store,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

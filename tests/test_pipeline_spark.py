@@ -838,3 +838,27 @@ def test_curate_robots_stage(spark, sf_dir, tmp_path):
     assert m["params"]["robots_agent"] == "ccbot"
     # quality stage starts from the robots survivors
     assert m["docs_after_quality"] + m["dropped_quality"] == 500 - 175
+
+
+def test_curate_sig_store_cross_crawl(spark, sf_dir, tmp_path):
+    """--sig-store: run 1 seeds the signature store from its kept
+    docs; run 2 over the SAME corpus finds every doc already in the
+    store and drops them all; the store accumulates only kept docs."""
+    from ocr_compare_spark.plans.curate import curate
+
+    store = str(tmp_path / "sigstore")
+    m1 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+                jaccard_threshold=0.8, sig_store=store)
+    assert m1["dropped_cross_crawl"] == 0 and m1["docs_out"] > 0
+    sigs = spark.read.parquet(store)
+    assert sigs.count() == m1["docs_out"]
+    assert set(sigs.columns) == {"id", "bands", "sh"}
+
+    m2 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+                jaccard_threshold=0.8, sig_store=store)
+    # identical corpus: everything that would have been kept is a
+    # cross-crawl dup of run 1's store
+    assert m2["docs_out"] == 0
+    assert m2["dropped_cross_crawl"] == m1["docs_out"]
+    # nothing kept -> nothing appended
+    assert spark.read.parquet(store).count() == m1["docs_out"]

@@ -2060,17 +2060,26 @@ def q_snapshot_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOKEN_BUDGET_PER_LANG = 1500  # nontrivial strict subset in every lang at sf0.001/sf0.01
+PACK_SEQ_LEN = 256  # doc token counts are ~100-700, so straddles abound
 
 
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget training-mix sampling (sampling.token_budget_sample):
-    per language, keep the maximal prefix in deterministic hash-
-    priority order whose cumulative BPE-ish token count fits the
-    budget — the Dolma/RedPajama-style "N tokens per language" mix
-    step. Priority = hash_frac(doc_id) (layout-independent uniform),
-    so this row also gates the deterministic hash sampler; the
-    bucketed distributed-prefix-sum scale path is pytest-pinned
-    identical (tests/test_sampling.py)."""
+    """Token-mix suite, TWO arms (null-padded union; r5 final):
+
+    - 'budget': token-budget training-mix sampling
+      (sampling.token_budget_sample) — per language, keep the maximal
+      prefix in deterministic hash-priority order whose cumulative
+      BPE-ish token count fits the budget (the Dolma/RedPajama-style
+      "N tokens per language" mix step). Priority = hash_frac(doc_id)
+      (layout-independent uniform), so this arm also gates the
+      deterministic hash sampler; the bucketed distributed-prefix-sum
+      scale path is pytest-pinned identical (tests/test_sampling.py).
+    - 'pack': GPT-style concat-and-chunk sequence packing
+      (sampling.pack_sequences) over the full per-language stream in
+      the same priority order — one row per (doc, sequence) segment
+      with seq_no / seq_start / tok_start / tok_end. The DuckDB twin
+      replays the cumsum + unnest(generate_series) geometry exactly
+      (all-integer arithmetic, no rounding surface)."""
     from ocr_compare_spark.operators import sampling
 
     d = _tbl(spark, sf_dir, "documents")
@@ -2080,10 +2089,23 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.stats_columns("text")["token_count"].alias("token_count"),
         sampling.hash_frac("doc_id").alias("prio"),
     )
-    out = sampling.token_budget_sample(
+    nl = F.lit(None).cast("long")
+    bud = sampling.token_budget_sample(
         docs, "lang", "token_count", TOKEN_BUDGET_PER_LANG, "prio", "doc_id"
+    ).select(
+        F.lit("budget").alias("kind"),
+        "lang", "doc_id", "token_count", "cum_tokens",
+        nl.alias("seq_no"), nl.alias("seq_start"),
+        nl.alias("tok_start"), nl.alias("tok_end"),
     )
-    return out.select("lang", "doc_id", "token_count", "cum_tokens")
+    pack = sampling.pack_sequences(
+        docs, "lang", "token_count", PACK_SEQ_LEN, "prio", "doc_id"
+    ).select(
+        F.lit("pack").alias("kind"),
+        "lang", "doc_id", "token_count", "cum_tokens",
+        "seq_no", "seq_start", "tok_start", "tok_end",
+    )
+    return bud.unionByName(pack)
 
 
 #: Temperature for the language-mix gate row: mC4's published value.
@@ -3521,9 +3543,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT lang, doc_id, token_count,
                      CAST(sum(token_count) OVER (PARTITION BY lang ORDER BY prio, doc_id) AS BIGINT) AS cum_tokens
               FROM t
+            ), g AS (
+              SELECT lang, doc_id, token_count, cum_tokens,
+                     cum_tokens - token_count AS s, cum_tokens AS e,
+                     unnest(generate_series(
+                       (cum_tokens - token_count) // {PACK_SEQ_LEN},
+                       (cum_tokens - 1) // {PACK_SEQ_LEN})) AS seq_no
+              FROM c WHERE token_count > 0
             )
-            SELECT lang, doc_id, token_count, cum_tokens
+            SELECT 'budget' AS kind, lang, doc_id, token_count, cum_tokens,
+                   CAST(NULL AS BIGINT) AS seq_no, CAST(NULL AS BIGINT) AS seq_start,
+                   CAST(NULL AS BIGINT) AS tok_start, CAST(NULL AS BIGINT) AS tok_end
             FROM c WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
+            UNION ALL
+            SELECT 'pack', lang, doc_id, token_count, cum_tokens, seq_no,
+                   greatest(s, seq_no * {PACK_SEQ_LEN}) - seq_no * {PACK_SEQ_LEN} AS seq_start,
+                   greatest(s, seq_no * {PACK_SEQ_LEN}) - s AS tok_start,
+                   least(e, (seq_no + 1) * {PACK_SEQ_LEN}) - s AS tok_end
+            FROM g
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -293,6 +293,83 @@ def assign_token_shards(
     return base.withColumn(shard_col, shard.cast("int"))
 
 
+def pack_sequences(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    seq_len: int,
+    priority_col: str,
+    id_col: str,
+    seq_col: str = "seq_no",
+    cum_col: str = "cum_tokens",
+    method: str = "bucketed",
+    n_buckets: int = 1024,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing — the step that
+    turns a document mix into fixed-length training sequences.
+
+    Conceptually each stratum's documents are concatenated in
+    (priority, id) order into one token stream which is cut every
+    ``seq_len`` tokens; a document whose span straddles a cut
+    contributes one SEGMENT per sequence it touches. Output: one row
+    per (document, sequence) segment with
+
+    - ``seq_col``   — 0-based sequence index within the stratum,
+    - ``seq_start`` — the segment's starting offset INSIDE the
+      sequence (0 for continuation segments),
+    - ``tok_start``/``tok_end`` — the [start, end) token slice of the
+      DOCUMENT feeding that sequence (a training loader slices the
+      doc's token array with exactly these; consecutive segments of
+      one sequence tile [0, seq_len) with no gaps — the attention
+      reset mask is "seq_start == 0 marks a continuation, else a new
+      document starts here"),
+    - ``cum_col``   — the document's global cumulative token count
+      (the same prefix sum assign_token_shards exposes).
+
+    Zero-token documents occupy no stream positions and are dropped.
+
+    Scale shape: ONE prefix-sum shuffle (method="bucketed" rides the
+    distributed cumsum of token_budget_sample_bucketed — window
+    parallelism #strata x #buckets; method="exact" is the one-window
+    reference shape, pytest-pinned identical) followed by a narrow
+    native explode(sequence(first_seq, last_seq)): a document with T
+    tokens emits at most floor(T/seq_len) + 1 rows, so output size is
+    O(total tokens / seq_len + rows) independent of cluster size.
+    Like the shard assigner, packing is a pure function of (stratum,
+    priority, id, tokens): reruns, cluster sizes and partition
+    layouts yield byte-identical sequence membership — what lets a
+    resumable 100-TB packing job re-emit any sequence range after a
+    failure."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if method == "exact":
+        w = Window.partitionBy(strata_col).orderBy(*_order_cols(priority_col, id_col))
+        base = df.withColumn(cum_col, F.sum(F.col(token_col)).over(w).cast("long"))
+    elif method == "bucketed":
+        base = token_budget_sample_bucketed(
+            df, strata_col, token_col, _NO_BUDGET, priority_col, id_col,
+            cum_col=cum_col, n_buckets=n_buckets, checkpoint=checkpoint,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    L = F.lit(int(seq_len)).cast("long")
+    end = F.col(cum_col)
+    start = end - F.col(token_col)
+    seqs = F.sequence(
+        F.floor(start / L).cast("long"), F.floor((end - F.lit(1)) / L).cast("long")
+    )
+    out = base.filter(F.col(token_col) > 0).withColumn(seq_col, F.explode(seqs))
+    seq_base = F.col(seq_col) * L  # global stream offset of the sequence start
+    seg_start = F.greatest(start, seq_base)
+    seg_end = F.least(end, seq_base + L)
+    return (
+        out.withColumn("seq_start", (seg_start - seq_base).cast("long"))
+        .withColumn("tok_start", (seg_start - start).cast("long"))
+        .withColumn("tok_end", (seg_end - start).cast("long"))
+    )
+
+
 def write_token_shards(
     df: DataFrame,
     path: str,

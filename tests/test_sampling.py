@@ -361,3 +361,96 @@ def test_unimax_sample_matches_manual_prefix(spark, sf_dir):
         d, "lang", "token_count", "doc_id", total, epochs, bucketed=False
     ).collect()
     assert {(r.lang, r.doc_id): r.cum_tokens for r in out2} == expect
+
+
+def test_pack_sequences_hand_corpus(spark):
+    """Exact segment geometry on a hand corpus: docs of 100/200/50
+    tokens in priority order, seq_len=128 -> the 200-token doc
+    straddles two cuts (three segments), the 50-token doc lands
+    mid-sequence-2 with seq_start 44."""
+    rows = [("en", "a", 100, 0.1), ("en", "b", 200, 0.2), ("en", "c", 50, 0.3)]
+    d = spark.createDataFrame(rows, "lang string, doc_id string, token_count int, prio double")
+    out = sampling.pack_sequences(
+        d, "lang", "token_count", 128, "prio", "doc_id", method="exact"
+    )
+    got = sorted(
+        (r.doc_id, r.seq_no, r.seq_start, r.tok_start, r.tok_end)
+        for r in out.collect()
+    )
+    assert got == [
+        ("a", 0, 0, 0, 100),
+        ("b", 0, 100, 0, 28),
+        ("b", 1, 0, 28, 156),
+        ("b", 2, 0, 156, 200),
+        ("c", 2, 44, 0, 50),
+    ]
+
+
+def test_pack_sequences_tiling_and_methods(spark, sf_dir):
+    """Corpus-level invariants: per (lang, seq_no) the segments tile
+    [0, seq_len) exactly (every sequence but the stratum-last is
+    full, no gaps, no overlaps), per doc the tok slices tile
+    [0, token_count), zero-token docs drop, bucketed == exact, and
+    the packing is partition-layout invariant."""
+    L = 256
+    d = _docs(spark, sf_dir)
+    exact = sampling.pack_sequences(
+        d, "lang", "token_count", L, "prio", "doc_id", method="exact"
+    )
+    rows = exact.collect()
+    assert rows and all(r.token_count > 0 for r in rows)
+
+    # per-sequence tiling: sort segments by seq_start; each begins
+    # where the previous ended; all but the last sequence sum to L
+    from collections import defaultdict
+
+    per_seq = defaultdict(list)
+    last_seq = defaultdict(int)
+    for r in rows:
+        per_seq[(r.lang, r.seq_no)].append(r)
+        last_seq[r.lang] = max(last_seq[r.lang], r.seq_no)
+    for (lang, seq_no), segs in per_seq.items():
+        segs.sort(key=lambda r: r.seq_start)
+        pos = 0
+        for s in segs:
+            assert s.seq_start == pos, (lang, seq_no)
+            pos += s.tok_end - s.tok_start
+        if seq_no < last_seq[lang]:
+            assert pos == L, (lang, seq_no)
+        else:
+            assert 0 < pos <= L
+
+    # per-doc tiling: the doc's segments cover [0, token_count)
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append(r)
+    for doc, segs in per_doc.items():
+        segs.sort(key=lambda r: r.tok_start)
+        assert segs[0].tok_start == 0
+        for a, b in zip(segs, segs[1:]):
+            assert a.tok_end == b.tok_start and b.seq_no == a.seq_no + 1
+        assert segs[-1].tok_end == segs[0].token_count
+
+    key = lambda r: (r.lang, r.doc_id, r.seq_no, r.seq_start, r.tok_start, r.tok_end, r.cum_tokens)
+    want = sorted(key(r) for r in rows)
+    bucketed = sampling.pack_sequences(
+        d, "lang", "token_count", L, "prio", "doc_id",
+        method="bucketed", n_buckets=32, checkpoint=False,
+    )
+    assert sorted(key(r) for r in bucketed.collect()) == want
+    relaid = sampling.pack_sequences(
+        d.repartition(13), "lang", "token_count", L, "prio", "doc_id", method="exact"
+    )
+    assert sorted(key(r) for r in relaid.collect()) == want
+
+
+def test_pack_sequences_drops_zero_token_docs(spark):
+    rows = [("en", "a", 0, 0.1), ("en", "b", 10, 0.2)]
+    d = spark.createDataFrame(rows, "lang string, doc_id string, token_count int, prio double")
+    out = sampling.pack_sequences(
+        d, "lang", "token_count", 8, "prio", "doc_id", method="exact"
+    ).collect()
+    assert {r.doc_id for r in out} == {"b"}
+    assert sorted((r.seq_no, r.seq_start, r.tok_start, r.tok_end) for r in out) == [
+        (0, 0, 0, 8), (1, 0, 8, 10)
+    ]

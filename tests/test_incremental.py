@@ -191,3 +191,74 @@ def test_cdx_digests_feed_recrawl_scheduler(spark, tmp_path):
         > got["https://h1.com/p"].p_changed6
         > got["https://h0.com/p"].p_changed6 == 0.0
     )
+
+
+def test_crawl_delta_feeds_incremental_index(spark, sf_dir, tmp_path):
+    """Composition proof (the index leg of the incremental story):
+    recrawl batch -> crawl_delta (content-hash cached extraction;
+    unchanged payloads never re-run the engines) -> merge_index
+    (compaction upsert; only the batch re-tokenizes) == an index
+    built from scratch on the post-crawl corpus, row for row, and
+    BM25 over the merged index == BM25 over that corpus."""
+    from ocr_compare_spark.operators import index as index_ops
+
+    cache_dir = str(tmp_path / "cache")
+    pages = synth.pages_from_documents(spark, sf_dir)
+    r1, _ = crawl_delta(spark, pages, cache_dir)
+    dom1 = r1.filter(F.col("engine") == "dom").select(
+        F.col("url").alias("doc_id"), F.col("doc_text").alias("text")
+    ).localCheckpoint()
+    post1 = index_ops.postings(dom1, "doc_id", "text")
+    dl1 = index_ops.doc_lengths(dom1, "doc_id", "text")
+
+    # crawl 2 refetches the doc_id%7==3 subset; within it, %14==3
+    # pages changed bytes, the rest are byte-identical (cache hits)
+    refetch = _doc_id() % 7 == 3
+    changed = refetch & (_doc_id() % 14 == 3)
+    crawl2 = (
+        pages.filter(refetch)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+        .withColumn(
+            "html",
+            F.when(
+                changed,
+                F.concat(
+                    F.encode(F.lit("<p>fresh scoop paragraph</p>"), "UTF-8"),
+                    F.col("html"),
+                ),
+            ).otherwise(F.col("html")),
+        )
+    )
+    n_changed = crawl2.filter(changed).count()
+    assert n_changed > 0
+    r2, m2 = crawl_delta(spark, crawl2, cache_dir)
+    assert m2["fresh_docs"] == n_changed  # unchanged refetches: no engine work
+    dom2 = r2.filter(F.col("engine") == "dom").select(
+        F.col("url").alias("doc_id"), F.col("doc_text").alias("text")
+    ).localCheckpoint()
+
+    mpost, mdl = index_ops.merge_index(post1, dl1, dom2)
+
+    # from-scratch reference: batch urls serve crawl-2 text, the rest
+    # keep crawl-1 text
+    final = dom1.join(dom2.select("doc_id"), "doc_id", "left_anti").unionByName(dom2)
+    spost = index_ops.postings(final, "doc_id", "text")
+    sdl = index_ops.doc_lengths(final, "doc_id", "text")
+    key_p = lambda r: (r["term"], r["id"], r["tf"])
+    assert sorted(map(key_p, mpost.collect())) == sorted(map(key_p, spost.collect()))
+    key_d = lambda r: (r["id"], r["dl"])
+    assert sorted(map(key_d, mdl.collect())) == sorted(map(key_d, sdl.collect()))
+
+    queries = spark.createDataFrame(
+        [(0, "fresh scoop paragraph"), (1, "the first page")],
+        ["query_id", "query_text"],
+    )
+    got = index_ops.bm25_topk_indexed(mpost, mdl, queries, k=5)
+    want = index_ops.bm25_topk(final, queries, id_col="doc_id", text_col="text", k=5)
+    key_r = lambda r: (r["query_id"], r["rank"], r["id"], r["score6"])
+    got_rows = sorted(map(key_r, got.collect()))
+    assert got_rows == sorted(map(key_r, want.collect()))
+    # the planted paragraph is findable and only in changed docs
+    hits = {r[2] for r in got_rows if r[0] == 0 and r[3] > 0}
+    changed_urls = {r.url for r in crawl2.filter(changed).select("url").collect()}
+    assert hits and hits <= changed_urls

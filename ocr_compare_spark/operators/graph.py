@@ -106,17 +106,25 @@ def pagerank(
     )
 
     ranks = nodes.select("node", F.lit(RANK_ONE6).cast("long").alias("rank6"))
+    # zero-contribution seed: unioning one (node, 0) row per node into
+    # the contribution stream before the aggregate replaces the
+    # per-round nodes LEFT JOIN (nodes with no inbound edges sum to 0
+    # either way — exact int64 result identical, A/B-measured) — one
+    # shuffle per round instead of two, and the union only adds
+    # node-sized rows to the edge-sized aggregate
+    zero_seed = nodes.select("node", F.lit(0).cast("long").alias("c"))
     prev_ranks = ranks
     for _ in range(iters):
         contrib = keyed.join(
             ranks.select(F.col("node").alias("_src"), "rank6"), "_src"
         ).select("node", F.expr("rank6 div outdeg").alias("c"))
-        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(summed, "node", "left").select(
+        summed = contrib.unionByName(zero_seed).groupBy("node").agg(
+            F.sum("c").alias("s")
+        )
+        ranks = summed.select(
             "node",
             (
-                F.lit(teleport6)
-                + F.expr(f"({d_num} * coalesce(s, 0L)) div {d_den}")
+                F.lit(teleport6) + F.expr(f"({d_num} * s) div {d_den}")
             ).cast("long").alias("rank6"),
         )
         # cut lineage per round — persist is NOT enough (plan-string

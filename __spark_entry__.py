@@ -794,49 +794,66 @@ def q_dedup_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.adjacent_ngram_jaccard(_docs(spark, sf_dir), "doc_id", "text", "lang", n=3)
 
 
+#: simhash_pairs gate distance: hamming <= 3 over the 64-bit
+#: fingerprints (4x16-bit MJS blocks) — 23 pairs at sf0.001, 12 at
+#: sf0.01 (measured), non-trivial at both gate sfs.
+SIMHASH_PAIRS_MAXDIST = 3
+
+
 def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_exact + dedup_adjacent + simhash gated as ONE wide union
-    row set (null-padded per kind) — the exact/adjacent fold freed a
-    50-cap registry slot for the DSIR row; folding simhash in (r5
-    final) freed the slot that gates BM25 retrieval. All three remain
-    importable/pytest-gated individually."""
-    e = q_dedup_exact(spark, sf_dir).select(
-        F.lit("exact").alias("kind"),
-        "text_hash",
-        "keep_id",
-        "n_docs",
-        F.lit(None).cast("string").alias("part"),
-        F.lit(None).cast("long").alias("id"),
-        F.lit(None).cast("long").alias("next_id"),
-        F.lit(None).cast("double").alias("jaccard"),
-        F.lit(None).cast("long").alias("sim_hi"),
-        F.lit(None).cast("long").alias("sim_lo"),
+    """dedup_exact + dedup_adjacent + simhash (+ simhash_pairs, the
+    Manku-Jain-Sarma pigeonhole block join — session 8) gated as ONE
+    wide union row set (null-padded per kind) — the exact/adjacent
+    fold freed a 50-cap registry slot for the DSIR row; folding
+    simhash in (r5 final) freed the slot that gates BM25 retrieval.
+    All arms remain importable/pytest-gated individually.
+
+    The simhash_pairs DuckDB twin is the all-pairs hamming ball —
+    mathematically IDENTICAL to the block join by the pigeonhole
+    guarantee (pytest pins operator == brute force for several k);
+    the SQL twin checks the fingerprint+distance math while the
+    pytest pins the candidate-generation exactness."""
+    nulls = {
+        "text_hash": "string", "keep_id": "long", "n_docs": "long",
+        "part": "string", "id": "long", "next_id": "long",
+        "jaccard": "double", "sim_hi": "long", "sim_lo": "long",
+        "hamming": "long",
+    }
+
+    def pad(df: DataFrame, kind: str, have: dict[str, F.Column]) -> DataFrame:
+        cols = [F.lit(kind).alias("kind")]
+        for name, typ in nulls.items():
+            cols.append(
+                have[name].alias(name) if name in have
+                else F.lit(None).cast(typ).alias(name)
+            )
+        return df.select(*cols)
+
+    e = pad(
+        q_dedup_exact(spark, sf_dir), "exact",
+        {"text_hash": F.col("text_hash"), "keep_id": F.col("keep_id"),
+         "n_docs": F.col("n_docs")},
     )
-    a = q_dedup_adjacent(spark, sf_dir).select(
-        F.lit("adjacent").alias("kind"),
-        F.lit(None).cast("string").alias("text_hash"),
-        F.lit(None).cast("long").alias("keep_id"),
-        F.lit(None).cast("long").alias("n_docs"),
-        "part",
-        "id",
-        "next_id",
-        "jaccard",
-        F.lit(None).cast("long").alias("sim_hi"),
-        F.lit(None).cast("long").alias("sim_lo"),
+    a = pad(
+        q_dedup_adjacent(spark, sf_dir), "adjacent",
+        {"part": F.col("part"), "id": F.col("id"),
+         "next_id": F.col("next_id"), "jaccard": F.col("jaccard")},
     )
-    s = q_simhash(spark, sf_dir).select(
-        F.lit("simhash").alias("kind"),
-        F.lit(None).cast("string").alias("text_hash"),
-        F.lit(None).cast("long").alias("keep_id"),
-        F.lit(None).cast("long").alias("n_docs"),
-        F.lit(None).cast("string").alias("part"),
-        F.col("id"),
-        F.lit(None).cast("long").alias("next_id"),
-        F.lit(None).cast("double").alias("jaccard"),
-        F.col("sim_hi").cast("long"),
-        F.col("sim_lo").cast("long"),
+    s = pad(
+        q_simhash(spark, sf_dir), "simhash",
+        {"id": F.col("id"), "sim_hi": F.col("sim_hi").cast("long"),
+         "sim_lo": F.col("sim_lo").cast("long")},
     )
-    return e.unionByName(a).unionByName(s)
+    p = pad(
+        dedup.simhash_near_dups(
+            _docs(spark, sf_dir), "doc_id", "text",
+            max_distance=SIMHASH_PAIRS_MAXDIST,
+        ),
+        "simhash_pairs",
+        {"id": F.col("id_a"), "next_id": F.col("id_b"),
+         "hamming": F.col("hamming")},
+    )
+    return e.unionByName(a).unionByName(s).unionByName(p)
 
 
 #: DSIR gate constants: the paper's hashed dimensionality order (8k
@@ -3075,15 +3092,25 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id, count(*) AS n_docs,
                    CAST(NULL AS VARCHAR) AS part, CAST(NULL AS BIGINT) AS id,
                    CAST(NULL AS BIGINT) AS next_id, CAST(NULL AS DOUBLE) AS jaccard,
-                   CAST(NULL AS BIGINT) AS sim_hi, CAST(NULL AS BIGINT) AS sim_lo
+                   CAST(NULL AS BIGINT) AS sim_hi, CAST(NULL AS BIGINT) AS sim_lo,
+                   CAST(NULL AS BIGINT) AS hamming
             FROM documents GROUP BY md5(text)
             UNION ALL
             SELECT 'simhash', NULL, NULL, NULL, NULL, id, NULL, NULL,
-                   CAST(sim_hi AS BIGINT), CAST(sim_lo AS BIGINT)
+                   CAST(sim_hi AS BIGINT), CAST(sim_lo AS BIGINT), NULL
             FROM ({_simhash_oracle()})
             UNION ALL
+            SELECT 'simhash_pairs', NULL, NULL, NULL, NULL, l.id, r.id, NULL,
+                   NULL, NULL,
+                   bit_count(xor(l.sim_hi, r.sim_hi))
+                     + bit_count(xor(l.sim_lo, r.sim_lo))
+            FROM ({_simhash_oracle()}) l JOIN ({_simhash_oracle()}) r
+              ON l.id < r.id
+            WHERE bit_count(xor(l.sim_hi, r.sim_hi))
+                    + bit_count(xor(l.sim_lo, r.sim_lo)) <= {SIMHASH_PAIRS_MAXDIST}
+            UNION ALL
             SELECT 'adjacent', NULL, NULL, NULL, part, id, next_id, jaccard,
-                   NULL, NULL
+                   NULL, NULL, NULL
             FROM (
             WITH tok AS (
               SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents

@@ -97,6 +97,64 @@ def test_simhash_hamming_column_matches_python(corpus):
     assert pairs[0].ham == expect
 
 
+def test_simhash_near_dups_equals_hamming_ball(corpus):
+    """The MJS pigeonhole block join is EXACT, not probabilistic:
+    for every k the output must equal the brute-force Hamming ball
+    over the fingerprints. k=4 exercises a block straddling the
+    hi/lo half boundary (widths 13/13/13/13/12, block 2 spans bits
+    26-38); k=8 is wide enough to catch the planted near-dup."""
+    sh = {r.id: (r.sim_hi, r.sim_lo) for r in dedup.simhash(corpus, "doc_id", "text").collect()}
+
+    def ham(a, b):
+        return bin((a[0] ^ b[0]) | ((a[1] ^ b[1]) << 32)).count("1")
+
+    ids = sorted(sh)
+    for k in (3, 4, 8):
+        want = {
+            (a, b, ham(sh[a], sh[b]))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if ham(sh[a], sh[b]) <= k
+        }
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_near_dups(corpus, "doc_id", "text", max_distance=k).collect()
+        }
+        assert got == want, f"k={k}"
+    # the planted exact pair is at distance 0, the near-dup within 8
+    got8 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dups(corpus, "doc_id", "text", max_distance=8).collect()
+    }
+    assert got8[(0, 1000)] == 0
+    assert (1, 1001) in got8
+
+
+def test_sim_block_reassembles_fingerprint(corpus):
+    """Concatenating the k+1 blocks (any k) reconstructs the full
+    64-bit fingerprint — no bit is dropped or double-counted."""
+    row = dedup.simhash(corpus, "doc_id", "text").filter(F.col("id") == 1).first()
+    full = row.sim_lo | (row.sim_hi << 32)
+    for k in (0, 3, 4, 6, 8):
+        nb = k + 1
+        base, rem = divmod(64, nb)
+        widths = [base + (1 if j < rem else 0) for j in range(nb)]
+        starts = [sum(widths[:j]) for j in range(nb)]
+        sel = [dedup._sim_block(starts[j], widths[j]).alias(f"b{j}") for j in range(nb)]
+        blk = (
+            dedup.simhash(corpus, "doc_id", "text")
+            .filter(F.col("id") == 1)
+            .select(*sel)
+            .first()
+        )
+        recon = 0
+        for j in range(nb):
+            # a full-width block (k=0) comes back as a SIGNED long;
+            # compare bit patterns
+            recon |= (blk[f"b{j}"] & ((1 << widths[j]) - 1)) << starts[j]
+        assert recon == full, f"k={k}"
+
+
 def test_adjacent_ngram_jaccard(corpus):
     out = dedup.adjacent_ngram_jaccard(corpus, "doc_id", "text", "lang")
     rows = {(r.id, r.next_id): r.jaccard for r in out.collect()}

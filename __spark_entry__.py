@@ -1204,18 +1204,110 @@ def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded.unionByName(trained).unionByName(data)
 
 
+#: PQ gate config: 4 subspaces x 8 codes over the dim-64 embeddings
+#: (sub_dim 16; 8^4 = 4096 distinct reconstructions over 500 vectors)
+#: — small enough for the literal-fold oracle, non-degenerate.
+PQ_N_SUB = 4
+PQ_N_CODES = 8
+
+
+def q_embed_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011; similarity.
+    pq_topk): corpus encoded to 4 code ids via per-subspace argmin-L2
+    against seeded codebook literals, queries score by ADC lookup
+    (sum of subspace dots for the row's codes). The seeded codebooks
+    make _embed_pq_oracle reproduce encode, ADC score and ranking
+    bit-for-bit (every fold left-to-right on both sides). The data
+    path (broadcast codebooks + ordered-loop numpy encode +
+    python-float LUT scan) is bit-identical to the literal path BY
+    CONSTRUCTION (same float-op order, not just ulp-close) and is
+    gated as its own variant."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    kw = dict(k=3, n_sub=PQ_N_SUB, n_codes=PQ_N_CODES, dim=64)
+    lit_ = similarity.pq_topk(emb, q, method="literal", **kw).select(
+        F.lit("literal").alias("variant"), "query_id", "rank", "neighbor_id"
+    )
+    data = similarity.pq_topk(emb, q, method="data", **kw).select(
+        F.lit("data").alias("variant"), "query_id", "rank", "neighbor_id"
+    )
+    return lit_.unionByName(data)
+
+
+def _embed_pq_oracle(
+    n_sub: int = PQ_N_SUB, n_codes: int = PQ_N_CODES, dim: int = 64, k: int = 3
+) -> str:
+    """SQL twin of q_embed_topk_pq: seeded codebook literals; encode
+    = per-subspace argmin over squared-L2 chains written in the SAME
+    left-to-right order as similarity._pq_sub_dist's fold (ties to
+    the lowest code, matching array_min(struct(d, c))); ADC score =
+    the same per-subspace dot chains summed in subspace order. Every
+    float expression matches the Spark fold sequence, so codes,
+    scores and ranking reproduce bit-for-bit."""
+    sd = dim // n_sub
+    cb = similarity.seeded_pq_codebooks(n_sub, n_codes, sd)
+
+    def chain(terms) -> str:
+        return " + ".join(terms)
+
+    d_cols = []
+    for j in range(n_sub):
+        for c in range(n_codes):
+            terms = chain(
+                f"(v[{j * sd + i + 1}] - {float(cb[j][c][i])!r})"
+                f" * (v[{j * sd + i + 1}] - {float(cb[j][c][i])!r})"
+                for i in range(sd)
+            )
+            d_cols.append(f"({terms}) AS d{j}_{c}")
+    code_cols = []
+    for j in range(n_sub):
+        whens = " ".join(
+            f"WHEN {' AND '.join(f'd{j}_{c} <= d{j}_{m}' for m in range(n_codes) if m != c)}"
+            f" THEN {c}"
+            for c in range(n_codes)
+        )
+        code_cols.append(f"CASE {whens} END AS c{j}")
+    score = chain(
+        f"(CASE e.c{j} "
+        + " ".join(
+            f"WHEN {c} THEN ({chain(f'q.v[{j * sd + i + 1}] * {float(cb[j][c][i])!r}' for i in range(sd))})"
+            for c in range(n_codes)
+        )
+        + " END)"
+        for j in range(n_sub)
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dists AS (SELECT vec_id, v, {", ".join(d_cols)} FROM v),
+        enc AS (SELECT vec_id AS neighbor_id, {", ".join(code_cols)} FROM dists),
+        q AS (SELECT vec_id, v FROM v WHERE vec_id < 8),
+        scored AS (
+          SELECT q.vec_id AS query_id, e.neighbor_id, {score} AS sim
+          FROM enc e JOIN q ON q.vec_id <> e.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embed_topk_lsh + embed_topk_ivf (+ brute-force, folded in r5
-    final — its freed slot gates PageRank) gated as ONE union row set
-    (they already share the (variant, query_id, rank, neighbor_id)
-    schema; a family column tells them apart). All six ANN variants
-    (bf, lsh literal/data, ivf seeded/trained/data) stay gated."""
+    final — its freed slot gates PageRank; + pq, session 8) gated as
+    ONE union row set (they already share the (variant, query_id,
+    rank, neighbor_id) schema; a family column tells them apart).
+    All eight ANN variants (bf, lsh literal/data, ivf seeded/trained/
+    data, pq literal/data) stay gated."""
     bf = q_embed_topk(spark, sf_dir).select(
         F.lit("bf").alias("family"), F.lit("literal").alias("variant"), "*"
     )
     lsh = q_embed_topk_lsh(spark, sf_dir).select(F.lit("lsh").alias("family"), "*")
     ivf = q_embed_topk_ivf(spark, sf_dir).select(F.lit("ivf").alias("family"), "*")
-    return bf.unionByName(lsh).unionByName(ivf)
+    pq = q_embed_topk_pq(spark, sf_dir).select(F.lit("pq").alias("family"), "*")
+    return bf.unionByName(lsh).unionByName(ivf).unionByName(pq)
 
 
 #: SemDeDup gate config: seeded 16-cell quantizer over the dim-64
@@ -3228,6 +3320,10 @@ def oracle_sql() -> dict[str, str]:
             -- the data paths (broadcast-GEMM assignment) must equal
             -- their literal twins row for row
             SELECT 'ivf', 'data', * FROM ({_embed_ivf_oracle()})
+            UNION ALL
+            SELECT 'pq', 'literal', * FROM ({_embed_pq_oracle()})
+            UNION ALL
+            SELECT 'pq', 'data', * FROM ({_embed_pq_oracle()})
         """,
         "bm25": _bm25_oracle(),
         "pagerank": _pagerank_oracle(),

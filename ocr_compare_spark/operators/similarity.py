@@ -437,3 +437,266 @@ def lsh_topk(
         "query_id", "neighbor_id", cosine_native(F.col("q_vec"), F.col("c_vec")).alias("sim")
     )
     return _rank_topk(scored, k)
+
+
+# ----------------------------------------------------- product quantization
+
+
+def seeded_pq_codebooks(
+    n_sub: int = 4, n_codes: int = 16, sub_dim: int = 16, seed: int = 11
+) -> np.ndarray:
+    """Deterministic (n_sub, n_codes, sub_dim) PQ codebooks from a
+    seeded RNG, scaled by 1/sqrt(n_sub*sub_dim) so code components
+    sit at the scale of unit-norm embedding components — the
+    data-independent variant, chosen as the DEFAULT so the DuckDB
+    oracle can embed the codebooks as literals (the seeded_centroids
+    trick). For real recall train with train_pq_codebooks."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_sub, n_codes, sub_dim)) / np.sqrt(n_sub * sub_dim)
+
+
+def _lloyd_kmeans_l2(mat: np.ndarray, n_codes: int, iters: int = 5) -> np.ndarray:
+    """Euclidean Lloyd loop for PQ sub-quantizers (init = first
+    n_codes rows, argmin-L2 assignment, plain mean update — NO
+    renormalization, codes live in the data space). Deterministic,
+    shared by train_pq_codebooks and any oracle generator."""
+    mat = np.asarray(mat, dtype=np.float64)
+    if len(mat) < n_codes:
+        raise ValueError(
+            f"_lloyd_kmeans_l2: sample has {len(mat)} rows < n_codes={n_codes}"
+        )
+    cents = mat[:n_codes].copy()
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(n_codes):
+            sel = mat[assign == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+    return cents
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> np.ndarray:
+    """Train PQ codebooks: per-subspace Euclidean k-means on a
+    bounded, id-ordered sample (the train_centroids shape — a
+    driver-side numpy fit on <= ``sample`` vectors; encode and scan
+    stay fully distributed)."""
+    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    mat = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    if dim is None:
+        dim = mat.shape[1]
+    assert dim % n_sub == 0, f"dim {dim} not divisible by n_sub {n_sub}"
+    sd = dim // n_sub
+    return np.stack(
+        [_lloyd_kmeans_l2(mat[:, j * sd : (j + 1) * sd], n_codes, iters) for j in range(n_sub)]
+    )
+
+
+def _pq_sub_dist(vec_col: str, j: int, sub_dim: int, code: np.ndarray) -> F.Column:
+    """Squared L2 between subvector j of ``vec_col`` and one code, as
+    the left-to-right zip_with/aggregate fold the oracle mirrors:
+    0.0 + (v[p]-c)*(v[p]-c) + ..."""
+    coeffs = F.array(*[F.lit(float(x)) for x in code])
+    sub = F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim)
+    return F.aggregate(
+        F.zip_with(sub, coeffs, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_sub_dot(vec_col: str, j: int, sub_dim: int, code: np.ndarray) -> F.Column:
+    """dot(subvector j, code) as the same ordered fold."""
+    coeffs = F.array(*[F.lit(float(x)) for x in code])
+    sub = F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim)
+    return F.aggregate(
+        F.zip_with(sub, coeffs, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codes_literal(
+    df: DataFrame, cb: np.ndarray, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """Literal-path PQ encode: per subspace, argmin over per-code
+    squared-L2 folds via array_min(struct(dist, code)) — ties to the
+    lowest code id, matching np.argmin. Emits (out_id, c0..c{m-1})."""
+    n_sub, n_codes, sub_dim = cb.shape
+    cols = [F.col(id_col).alias(out_id)]
+    for j in range(n_sub):
+        cells = F.array(
+            *[
+                F.struct(
+                    _pq_sub_dist(vec_col, j, sub_dim, cb[j][c]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(n_codes)
+            ]
+        )
+        cols.append(F.array_min(cells).c.alias(f"c{j}"))
+    return df.select(*cols)
+
+
+def _pq_codes_data(
+    df: DataFrame, cb: np.ndarray, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """Data-path PQ encode: codebooks ride a Spark broadcast; per
+    Arrow batch the squared-L2 distance accumulates with an EXPLICIT
+    left-to-right loop over sub_dim (16-64 vectorized (B, n_codes)
+    ops — still numpy-fast) so every float add happens in the same
+    order as the literal fold and the two paths are bit-identical by
+    construction, not just ulp-close. Plan size O(1) in
+    (n_sub x n_codes x sub_dim) — the real-embedding path."""
+    spark = df.sparkSession
+    n_sub, n_codes, sub_dim = cb.shape
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(cb, dtype=np.float64))
+    schema = f"{out_id} long, " + ", ".join(f"c{j} int" for j in range(n_sub))
+
+    def encode(batches):
+        cbv = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            out = {out_id: pdf[id_col].to_numpy(dtype=np.int64)}
+            for j in range(n_sub):
+                sub = mat[:, j * sub_dim : (j + 1) * sub_dim]
+                t = sub[:, None, 0] - cbv[j][None, :, 0]
+                d = 0.0 + t * t  # seed matches the fold's lit(0.0)
+                for i in range(1, sub_dim):
+                    t = sub[:, None, i] - cbv[j][None, :, i]
+                    d = d + t * t
+                out[f"c{j}"] = np.argmin(d, axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    codebooks: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    method: str = "literal",
+) -> DataFrame:
+    """Approximate top-k via product quantization (Jégou et al. 2011)
+    — the compressed-scan ANN tier: corpus vectors are encoded once
+    to n_sub small code ids (uint8-sized; at 100 TB the codes table
+    is ~dim*4/n_sub times smaller than the raw embeddings and is
+    what the scan reads), queries score candidates with asymmetric
+    distance computation (ADC): per query a tiny n_sub x n_codes
+    lookup table of subspace dots, score = sum of LUT entries for
+    the row's codes. Composable with IVF cells (encode within cells)
+    exactly like a FAISS IVF-PQ index.
+
+    The score is the asymmetric inner product dot(q, reconstruction)
+    — ranking approximates exact dot/cosine for unit-norm corpora.
+
+    method="literal": encode + ADC as per-coefficient literal folds
+    (DuckDB-oracle bit-exact; plan O(n_sub x n_codes x sub_dim) —
+    small configs only). The query fan-out is a broadcast hash join
+    on a derived constant key (id*0) — an equi join, never a
+    cartesian.
+    method="data": codebooks broadcast + ordered-loop numpy encode,
+    queries collected (guarded) into python-float LUTs — every float
+    op in the same order as the literal folds, so the two paths are
+    bit-identical by construction.
+
+    ``dim`` hint skips the sizing first() on derived inputs."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    assert dim % n_sub == 0, f"dim {dim} not divisible by n_sub {n_sub}"
+    sub_dim = dim // n_sub
+    cb = seeded_pq_codebooks(n_sub, n_codes, sub_dim) if codebooks is None else codebooks
+    assert cb.shape == (n_sub, n_codes, sub_dim), f"codebook shape {cb.shape} mismatch"
+
+    if method == "literal":
+        codes = _pq_codes_literal(corpus, cb, id_col, vec_col, "neighbor_id").withColumn(
+            "j0", (F.col("neighbor_id") * 0).cast("int")
+        )
+        qv = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_v"),
+        ).withColumn("j0", (F.col("query_id") * 0).cast("int"))
+        joined = codes.join(F.broadcast(qv), "j0")
+        score = None
+        for j in range(n_sub):
+            case_j = None
+            for c in range(n_codes):
+                dot = _pq_sub_dot("q_v", j, sub_dim, cb[j][c])
+                case_j = (
+                    F.when(F.col(f"c{j}") == c, dot)
+                    if case_j is None
+                    else case_j.when(F.col(f"c{j}") == c, dot)
+                )
+            score = case_j if score is None else score + case_j
+        scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
+            "query_id", "neighbor_id", score.alias("sim")
+        )
+        return _rank_topk(scored, k)
+
+    if method != "data":
+        raise ValueError(f"pq_topk: unknown method {method!r} (literal|data)")
+
+    rows = queries.select(id_col, vec_col).limit(MAX_DRIVER_QUERIES + 1).collect()
+    if len(rows) > MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"pq_topk: query set exceeds {MAX_DRIVER_QUERIES} rows; "
+            "bucket queries through IVF cells first (IVF-PQ) instead of one flat scan"
+        )
+    # python-float LUTs in the literal fold's exact order:
+    # 0.0 + q[p]*c0 + q[p+1]*c1 + ...
+    luts = []
+    for r in rows:
+        q = [float(x) for x in r[vec_col]]
+        lut = np.empty((n_sub, n_codes), dtype=np.float64)
+        for j in range(n_sub):
+            for c in range(n_codes):
+                acc = 0.0
+                for i in range(sub_dim):
+                    acc = acc + q[j * sub_dim + i] * float(cb[j][c][i])
+                lut[j][c] = acc
+        luts.append((int(r[id_col]), lut))
+    spark = corpus.sparkSession
+    bc_luts = spark.sparkContext.broadcast(luts)
+    codes = _pq_codes_data(corpus, cb, id_col, vec_col, "neighbor_id")
+    out_schema = "query_id long, neighbor_id long, sim double"
+
+    def scan(batches):
+        lv = bc_luts.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_c = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            code_cols = [pdf[f"c{j}"].to_numpy(dtype=np.int64) for j in range(n_sub)]
+            frames = []
+            for qid, lut in lv:
+                s = lut[0][code_cols[0]]
+                for j in range(1, n_sub):
+                    s = s + lut[j][code_cols[j]]
+                kk = min(k + 1, len(ids_c))  # +1 survives self-match removal
+                idx = np.argpartition(-s, kk - 1)[:kk]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids_c[idx], "sim": s[idx]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = codes.mapInPandas(scan, out_schema)
+    return _rank_topk(partial.filter(F.col("neighbor_id") != F.col("query_id")), k)

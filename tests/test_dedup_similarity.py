@@ -930,3 +930,100 @@ def test_cross_batch_near_dups_store_loop(spark, corpus, tmp_path):
     # IS in the store precisely because it survived crawl 2
     assert (3001, 2002, 1.0) in got3
     assert all(s == 2002 for _, s, _ in got3)
+
+
+# ------------------------------------------------ product quantization
+
+
+def _pq_numpy_reference(mat, q_ids, cb, k=3):
+    """Plain-numpy mirror of pq_topk semantics: encode = per-subspace
+    argmin squared-L2 (ties lowest code), ADC = dot(q_sub, code),
+    rank by (score desc, neighbor_id asc), self excluded."""
+    n_sub, n_codes, sd = cb.shape
+    m = mat.astype(np.float64)
+    codes = np.stack(
+        [
+            np.argmin(
+                ((m[:, j * sd : (j + 1) * sd][:, None, :] - cb[j][None, :, :]) ** 2).sum(-1),
+                axis=1,
+            )
+            for j in range(n_sub)
+        ],
+        axis=1,
+    )
+    out = {}
+    for qid in q_ids:
+        lut = np.stack([cb[j] @ m[qid, j * sd : (j + 1) * sd] for j in range(n_sub)])
+        scores = sum(lut[j][codes[:, j]] for j in range(n_sub))
+        order = sorted(
+            (i for i in range(len(m)) if i != qid), key=lambda i: (-scores[i], i)
+        )[:k]
+        out[qid] = order
+    return out
+
+
+def test_pq_topk_matches_numpy_reference(vectors):
+    df, mat = vectors
+    q = df.filter(F.col("vec_id") < 6)
+    cb = similarity.train_pq_codebooks(df, n_sub=4, n_codes=8, id_col="vec_id")
+    got = similarity.pq_topk(df, q, k=3, n_sub=4, n_codes=8, codebooks=cb, dim=16)
+    rows = {}
+    for r in got.collect():
+        rows.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    want = _pq_numpy_reference(mat, range(6), cb)
+    for qid in range(6):
+        assert [n for _, n in sorted(rows[qid])] == want[qid], f"q={qid}"
+
+
+def test_pq_topk_data_matches_literal(vectors):
+    df, mat = vectors
+    q = df.filter(F.col("vec_id") < 6)
+    kw = dict(k=3, n_sub=4, n_codes=8, dim=16)
+    lit_ = {tuple(r) for r in similarity.pq_topk(df, q, method="literal", **kw).collect()}
+    dat = {tuple(r) for r in similarity.pq_topk(df, q, method="data", **kw).collect()}
+    # bit-identical incl the rounded ADC score (ordered folds on both paths)
+    assert dat == lit_ and len(dat) == 18
+
+
+def test_pq_topk_data_matches_literal_dim768(vectors768):
+    df, mat = vectors768
+    q = df.filter(F.col("vec_id") < 4)
+    kw = dict(k=3, n_sub=8, n_codes=8, dim=768)
+    lit_ = {tuple(r) for r in similarity.pq_topk(df, q, method="literal", **kw).collect()}
+    dat = {tuple(r) for r in similarity.pq_topk(df, q, method="data", **kw).collect()}
+    assert dat == lit_ and len(dat) == 12
+
+
+def test_pq_topk_data_path_256_codes(vectors768):
+    """The FAISS-shaped config the literal path cannot express
+    (8 x 256 x 96 would be ~200k plan literals): the data path must
+    run it and agree with the numpy mirror exactly."""
+    df, mat = vectors768
+    q = df.filter(F.col("vec_id") < 3)
+    cb = similarity.train_pq_codebooks(df, n_sub=8, n_codes=32, id_col="vec_id")
+    out = similarity.pq_topk(
+        df, q, k=3, n_sub=8, n_codes=32, codebooks=cb, dim=768, method="data"
+    ).collect()
+    rows = {}
+    for r in out:
+        rows.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    want = _pq_numpy_reference(mat, range(3), cb)
+    for qid in range(3):
+        assert [n for _, n in sorted(rows[qid])] == want[qid]
+    # planted neighbor (2, 30): identical codes -> max-score reconstruction
+    assert rows[2][0][1] == 30 or 30 in [n for _, n in rows[2]]
+
+
+def test_train_pq_codebooks_deterministic(vectors):
+    df, _ = vectors
+    c1 = similarity.train_pq_codebooks(df, n_sub=4, n_codes=8, id_col="vec_id")
+    c2 = similarity.train_pq_codebooks(df.repartition(7), n_sub=4, n_codes=8, id_col="vec_id")
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (4, 8, 4)
+
+
+def test_pq_query_guard_raises(vectors, monkeypatch):
+    df, _ = vectors
+    monkeypatch.setattr(similarity, "MAX_DRIVER_QUERIES", 3)
+    with pytest.raises(ValueError, match="query set exceeds"):
+        similarity.pq_topk(df, df.filter(F.col("vec_id") < 10), dim=16, method="data")

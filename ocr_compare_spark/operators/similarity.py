@@ -700,3 +700,177 @@ def pq_topk(
 
     partial = codes.mapInPandas(scan, out_schema)
     return _rank_topk(partial.filter(F.col("neighbor_id") != F.col("query_id")), k)
+
+
+# ------------------------------------------------------------------ IVF-PQ
+
+
+def train_ivfpq(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the FAISS-style IVF-PQ index parameters on one bounded,
+    id-ordered sample: coarse centroids via the shared spherical
+    Lloyd loop, then per-subspace Euclidean codebooks on the RESIDUALS
+    (x - centroid[cell(x)]) — residual encoding is what makes PQ
+    codes sharp inside a cell. Returns (centroids, codebooks)."""
+    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    mat = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    dim = mat.shape[1]
+    assert dim % n_sub == 0, f"dim {dim} not divisible by n_sub {n_sub}"
+    cents = lloyd_kmeans(mat, n_centroids, iters)
+    assign = np.argmax(mat @ cents.T, axis=1)
+    resid = mat - cents[assign]
+    sd = dim // n_sub
+    cb = np.stack(
+        [_lloyd_kmeans_l2(resid[:, j * sd : (j + 1) * sd], n_codes, iters) for j in range(n_sub)]
+    )
+    return cents, cb
+
+
+def _ivfpq_encode_data(
+    df: DataFrame,
+    cents: np.ndarray,
+    cb: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One fused mapInPandas pass: argmax-dot cell assignment (the
+    ivf_topk convention — ties to the lowest cell id) + per-subspace
+    argmin-L2 residual encode. Emits (neighbor_id, cid, c0..c{m-1})
+    — the compressed index rows; at warehouse scale this table is
+    written bucketed/clustered by cid so the probe scan prunes."""
+    spark = df.sparkSession
+    n_sub, n_codes, sub_dim = cb.shape
+    bc = spark.sparkContext.broadcast(
+        (np.ascontiguousarray(cents, dtype=np.float64), np.ascontiguousarray(cb, dtype=np.float64))
+    )
+    schema = f"{id_col} long, cid int, " + ", ".join(f"c{j} int" for j in range(n_sub))
+
+    def encode(batches):
+        cv, cbv = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cid = np.argmax(mat @ cv.T, axis=1)
+            resid = mat - cv[cid]
+            out = {id_col: pdf[id_col].to_numpy(dtype=np.int64), "cid": cid.astype(np.int32)}
+            for j in range(n_sub):
+                sub = resid[:, j * sub_dim : (j + 1) * sub_dim]
+                d = ((sub[:, None, :] - cbv[j][None, :, :]) ** 2).sum(axis=2)
+                out[f"c{j}"] = np.argmin(d, axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composition the other tiers
+    build toward and the standard billion-scale index shape (FAISS
+    IVFx,PQy): the coarse quantizer routes, the PQ codes score.
+
+    score(q, x) = dot(q, centroid[cell(x)])           (per probed cell)
+               + sum_j LUT_q[j][code_j(x)]            (residual ADC)
+
+    which is exactly dot(q, centroid + reconstruction(residual)).
+
+    Plan shape: ONE mapInPandas over the compressed codes table —
+    each batch scores only rows whose cell is probed by some query
+    (at warehouse scale the codes table is clustered by cid, so
+    non-probed cells are pruned at the scan) — then one window over
+    the per-batch partial top-k. The corpus is never shuffled and
+    never decompressed; queries are driver-collected (guarded) into
+    python-float LUTs.
+
+    Data path only: the composition is pytest-pinned against a plain
+    numpy mirror; its components (cell routing, PQ encode/ADC) carry
+    the bit-exact oracles in ann_suite."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    assert dim % n_sub == 0, f"dim {dim} not divisible by n_sub {n_sub}"
+    sub_dim = dim // n_sub
+    cents = seeded_centroids(dim=dim) if centroids is None else centroids
+    cb = seeded_pq_codebooks(n_sub, n_codes, sub_dim) if codebooks is None else codebooks
+    assert cb.shape == (n_sub, n_codes, sub_dim), f"codebook shape {cb.shape} mismatch"
+
+    rows = queries.select(id_col, vec_col).limit(MAX_DRIVER_QUERIES + 1).collect()
+    if len(rows) > MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"ivfpq_topk: query set exceeds {MAX_DRIVER_QUERIES} rows; "
+            "route the query set through the cell join instead of a broadcast scan"
+        )
+    n_cents = len(cents)
+    probe_n = min(nprobe, n_cents)
+    # per query: probed cells (stable argsort — ties to the lowest
+    # cell id, the ivf convention), the per-cell dot, and the
+    # residual-ADC LUT
+    probes: list[tuple[int, dict[int, float], np.ndarray]] = []
+    for r in rows:
+        q = np.asarray(list(r[vec_col]), dtype=np.float64)
+        cell_dots = cents @ q
+        order = np.argsort(-cell_dots, kind="stable")[:probe_n]
+        lut = np.empty((n_sub, n_codes), dtype=np.float64)
+        for j in range(n_sub):
+            lut[j] = cb[j] @ q[j * sub_dim : (j + 1) * sub_dim]
+        probes.append(
+            (int(r[id_col]), {int(c): float(cell_dots[c]) for c in order}, lut)
+        )
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(probes)
+    codes = _ivfpq_encode_data(corpus, cents, cb, id_col, vec_col)
+    out_schema = "query_id long, neighbor_id long, sim double"
+    m = n_sub
+
+    def scan(batches):
+        pv = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_c = pdf[id_col].to_numpy(dtype=np.int64)
+            cid = pdf["cid"].to_numpy(dtype=np.int64)
+            code_cols = [pdf[f"c{j}"].to_numpy(dtype=np.int64) for j in range(m)]
+            frames = []
+            for qid, cells, lut in pv:
+                mask = np.isin(cid, np.fromiter(cells, dtype=np.int64))
+                if not mask.any():
+                    continue
+                adc = lut[0][code_cols[0][mask]]
+                for j in range(1, m):
+                    adc = adc + lut[j][code_cols[j][mask]]
+                cdot = np.array([cells[int(c)] for c in cid[mask]], dtype=np.float64)
+                s = cdot + adc
+                kk = min(k + 1, int(mask.sum()))
+                idx = np.argpartition(-s, kk - 1)[:kk]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids_c[mask][idx], "sim": s[idx]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []}).astype(
+                    {"query_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+                )
+
+    partial = codes.mapInPandas(scan, out_schema)
+    return _rank_topk(partial.filter(F.col("neighbor_id") != F.col("query_id")), k)

@@ -1027,3 +1027,86 @@ def test_pq_query_guard_raises(vectors, monkeypatch):
     monkeypatch.setattr(similarity, "MAX_DRIVER_QUERIES", 3)
     with pytest.raises(ValueError, match="query set exceeds"):
         similarity.pq_topk(df, df.filter(F.col("vec_id") < 10), dim=16, method="data")
+
+
+def _ivfpq_numpy_reference(mat, q_ids, cents, cb, k=3, nprobe=4):
+    """Plain-numpy mirror of ivfpq_topk: argmax-dot cells (ties
+    lowest), residual argmin-L2 encode, probed-cell mask, score =
+    cell_dot + residual ADC, rank by (score desc, id asc), self
+    excluded."""
+    n_sub, n_codes, sd = cb.shape
+    m = mat.astype(np.float64)
+    cid = np.argmax(m @ cents.T, axis=1)
+    resid = m - cents[cid]
+    codes = np.stack(
+        [
+            np.argmin(
+                ((resid[:, j * sd : (j + 1) * sd][:, None, :] - cb[j][None, :, :]) ** 2).sum(-1),
+                axis=1,
+            )
+            for j in range(n_sub)
+        ],
+        axis=1,
+    )
+    out = {}
+    for qid in q_ids:
+        q = m[qid]
+        cell_dots = cents @ q
+        probed = set(int(c) for c in np.argsort(-cell_dots, kind="stable")[:nprobe])
+        lut = np.stack([cb[j] @ q[j * sd : (j + 1) * sd] for j in range(n_sub)])
+        cand = [
+            i
+            for i in range(len(m))
+            if i != qid and int(cid[i]) in probed
+        ]
+        scores = {
+            i: float(cell_dots[cid[i]] + sum(lut[j][codes[i, j]] for j in range(n_sub)))
+            for i in cand
+        }
+        out[qid] = sorted(cand, key=lambda i: (-scores[i], i))[:k]
+    return out
+
+
+def test_ivfpq_matches_numpy_mirror(vectors):
+    df, mat = vectors
+    q = df.filter(F.col("vec_id") < 6)
+    cents, cb = similarity.train_ivfpq(df, n_centroids=8, n_sub=4, n_codes=8, id_col="vec_id")
+    got = similarity.ivfpq_topk(
+        df, q, k=3, nprobe=3, centroids=cents, codebooks=cb, n_sub=4, n_codes=8, dim=16
+    )
+    rows = {}
+    for r in got.collect():
+        rows.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    want = _ivfpq_numpy_reference(mat, range(6), cents, cb, k=3, nprobe=3)
+    for qid in range(6):
+        assert [n for _, n in sorted(rows.get(qid, []))] == want[qid], f"q={qid}"
+
+
+def test_ivfpq_planted_neighbor_768(vectors768):
+    """FAISS shape at dim 768: trained coarse+residual quantizers;
+    the planted near-identical pair (2, 30) shares its cell and its
+    residual codes, so it must surface in the probe scan's top-k."""
+    df, mat = vectors768
+    q = df.filter(F.col("vec_id") < 3)
+    cents, cb = similarity.train_ivfpq(df, n_centroids=8, n_sub=8, n_codes=16, id_col="vec_id")
+    got = similarity.ivfpq_topk(
+        df, q, k=3, nprobe=4, centroids=cents, codebooks=cb, n_sub=8, n_codes=16, dim=768
+    )
+    rows = {}
+    for r in got.collect():
+        rows.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    want = _ivfpq_numpy_reference(mat, range(3), cents, cb, k=3, nprobe=4)
+    for qid in range(3):
+        assert [n for _, n in sorted(rows.get(qid, []))] == want[qid]
+    assert 30 in [n for _, n in rows[2]]
+
+
+def test_ivfpq_partition_invariant_and_guard(vectors, monkeypatch):
+    df, _ = vectors
+    q = df.filter(F.col("vec_id") < 4)
+    a = sorted(tuple(r) for r in similarity.ivfpq_topk(df.repartition(2), q, dim=16).collect())
+    b = sorted(tuple(r) for r in similarity.ivfpq_topk(df.repartition(9), q, dim=16).collect())
+    assert a == b and len(a) > 0
+    monkeypatch.setattr(similarity, "MAX_DRIVER_QUERIES", 2)
+    with pytest.raises(ValueError, match="query set exceeds"):
+        similarity.ivfpq_topk(df, q, dim=16)

@@ -176,6 +176,16 @@ def main() -> int:
                 dim=768, method="data",
             )
         ),
+        # the full FAISS composition (IVF1024,PQ8x256): routed
+        # compressed scan — one mapInPandas over the codes table
+        "ann_ivfpq_768x1024x8x256": plan_of(
+            similarity.ivfpq_topk(
+                emb768, q768, k=3, nprobe=16,
+                centroids=similarity.seeded_centroids(1024, 768),
+                codebooks=similarity.seeded_pq_codebooks(8, 256, 96),
+                n_sub=8, n_codes=256, dim=768,
+            )
+        ),
     }
     ANN_PLAN_CAP = 60_000  # chars; literal path at this shape is megabytes
     for name, p in ann_plans.items():

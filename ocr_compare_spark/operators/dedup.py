@@ -398,7 +398,9 @@ def lsh_candidates(
 # --------------------------------------------------------------- SimHash
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, num_partitions: int | None = None
+) -> DataFrame:
     """64-bit SimHash, fully Catalyst-native (r1 perf-weak fix: the
     previous Arrow UDF ran an interpreted per-token Python md5 loop —
     the hot cost at 100 TB).
@@ -410,7 +412,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     votes (map-side partial aggregation, one shuffle on id) -> pack
     sign bits natively. Output ``(id, sim_hi, sim_lo)``; hamming
     distance = ``hamming64(a_hi, a_lo, b_hi, b_lo)``.
+
+    ``num_partitions`` spreads the input BEFORE the token explode —
+    the byte-light compute-heavy stage serializes on the source's
+    parquet splits otherwise (the dsir/decontam repartition trap).
     """
+    if num_partitions:
+        df = df.repartition(num_partitions, id_col)
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
@@ -465,6 +473,7 @@ def simhash_near_dups(
     id_col: str,
     text_col: str,
     max_distance: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via the Manku–Jain–Sarma
     pigeonhole block join (WWW'07 "Detecting Near-Duplicates for Web
@@ -490,6 +499,14 @@ def simhash_near_dups(
     byte-identical texts share fingerprints and would otherwise make
     every block bucket quadratic in the copy count.
 
+    The slim (id, hi, lo) fingerprint table is localCheckpoint'd
+    before the self-join: the two join sides are differently-aliased
+    plans, so ReuseExchange does NOT fire (measured: the token
+    explode + 64-vote aggregation ran TWICE) — the checkpoint makes
+    the dominant fingerprint stage run exactly once, at the cost of
+    materializing 3 longs per doc (the PageRank edge-checkpoint
+    pattern).
+
     Output: (id_a, id_b, hamming) with id_a < id_b.
     """
     nb = max_distance + 1
@@ -497,7 +514,7 @@ def simhash_near_dups(
     base, rem = divmod(64, nb)
     widths = [base + (1 if j < rem else 0) for j in range(nb)]
     starts = [sum(widths[:j]) for j in range(nb)]
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, num_partitions=num_partitions).localCheckpoint()
     blocked = sh.select(
         "id",
         "sim_hi",

@@ -805,8 +805,10 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Manku-Jain-Sarma pigeonhole block join — session 8) gated as ONE
     wide union row set (null-padded per kind) — the exact/adjacent
     fold freed a 50-cap registry slot for the DSIR row; folding
-    simhash in (r5 final) freed the slot that gates BM25 retrieval.
-    All arms remain importable/pytest-gated individually.
+    simhash in (r5 final) freed the slot that gates BM25 retrieval;
+    folding minhash_pairs in (session 8) freed the slot that gates
+    sketch_suite. All arms remain importable/pytest-gated
+    individually.
 
     The simhash_pairs DuckDB twin is the all-pairs hamming ball —
     mathematically IDENTICAL to the block join by the pigeonhole
@@ -853,7 +855,166 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"id": F.col("id_a"), "next_id": F.col("id_b"),
          "hamming": F.col("hamming")},
     )
-    return e.unionByName(a).unionByName(s).unionByName(p)
+    mh = pad(
+        q_dedup_minhash(spark, sf_dir), "minhash_pairs",
+        {"id": F.col("id_a"), "next_id": F.col("id_b"),
+         "jaccard": F.col("jaccard")},
+    )
+    return e.unionByName(a).unionByName(s).unionByName(p).unionByName(mh)
+
+
+#: Sketch gate constants. HLL runs at BOTH precisions so BOTH
+#: estimator branches gate: p=8 (m=256, per-lang 3-gram distincts
+#: ~3-9k >> 2.5m -> raw branch) and p=12 (m=4096, distincts <= 2.5m
+#: with zero registers -> the m*ln(m/V) small-range correction).
+#: CMS is deliberately UNDERSIZED (4x64 counters over 31 tokens) so
+#: real row collisions occur and the one-sided overestimates are
+#: reproduced bit-for-bit by the twin (the bloom_dedup precedent);
+#: threshold 920 splits the near-uniform token counts non-trivially
+#: at both gate sfs (18/31 above at sf0.001, 9/31 at sf0.01).
+SKETCH_HLL_PS = (8, 12)
+SKETCH_CMS_D = 4
+SKETCH_CMS_W = 64
+SKETCH_HH_THRESHOLD = 920
+
+
+def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-size sketches (operators/sketches.py): HyperLogLog
+    distinct 3-gram-shingle counts per lang at two precisions, and
+    Count-Min token-frequency estimates + heavy-hitter flags —
+    the 100-TB analytics family where exact groupBys would shuffle
+    the whole key stream but the sketch shuffles O(m) rows per group.
+
+    Everything in the twin is either int64-exact (registers,
+    counters, CMS estimates) or follows the shared determinism
+    contract (dyadic 2^-M terms summed in register-index order both
+    sides, one precomputed alpha*m^2 literal, ln via the lm.py
+    floor-round6 convention)."""
+    from ocr_compare_spark.operators import sketches as sk
+
+    d = _docs(spark, sf_dir).select(
+        "lang", F.lower(F.col("text")).alias("text")
+    )
+    sh = d.select("lang", F.explode(dedup.word_shingles("text", 3)).alias("s"))
+    exact = sh.groupBy("lang").agg(F.countDistinct("s").alias("exact_distinct"))
+
+    def hll_arm(p: int) -> DataFrame:
+        est = sk.hll_count_distinct(sh, "s", ("lang",), p)
+        return est.join(exact, "lang").select(
+            F.lit(f"hll{p}").alias("kind"),
+            F.col("lang").alias("grp"),
+            F.col("n_present").cast("long").alias("n_present"),
+            F.col("v_zero").cast("long").alias("v_zero"),
+            "est6",
+            "exact_distinct",
+            F.lit(None).cast("long").alias("est_cnt"),
+            F.lit(None).cast("long").alias("exact_cnt"),
+            F.lit(None).cast("long").alias("is_hh"),
+        )
+
+    toks = d.select(F.explode(F.split("text", r"\s+")).alias("tok"))
+    counters = sk.cms_build(toks, "tok", SKETCH_CMS_D, SKETCH_CMS_W)
+    exact_t = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    est_t = sk.cms_estimate(
+        exact_t.select("tok"), counters, "tok", SKETCH_CMS_D, SKETCH_CMS_W
+    )
+    cms = est_t.join(exact_t, "tok").select(
+        F.lit("cms").alias("kind"),
+        F.col("tok").alias("grp"),
+        F.lit(None).cast("long").alias("n_present"),
+        F.lit(None).cast("long").alias("v_zero"),
+        F.lit(None).cast("long").alias("est6"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+        "est_cnt",
+        "exact_cnt",
+        (F.col("est_cnt") >= SKETCH_HH_THRESHOLD).cast("long").alias("is_hh"),
+    )
+    out = hll_arm(SKETCH_HLL_PS[0])
+    for p in SKETCH_HLL_PS[1:]:
+        out = out.unionByName(hll_arm(p))
+    return out.unionByName(cms)
+
+
+def _sketch_oracle() -> str:
+    """DuckDB twin of q_sketch_suite. bit-length via the integer
+    binary-string trick (format('{:b}') == Spark bin()); the HLL fold
+    is list_sum over an idx-ORDERED list of exact dyadic terms ==
+    Spark's aggregate() fold (the confidences ordered-list_sum
+    precedent); alpha*m^2 ships as the same repr literal."""
+    from ocr_compare_spark.operators.sketches import hll_alpha_m2
+
+    arms = []
+    for p in SKETCH_HLL_PS:
+        m = 1 << p
+        a_m2 = hll_alpha_m2(p)
+        arms.append(f"""
+            SELECT 'hll{p}' AS kind, grp,
+                   n_present, {m} - n_present AS v_zero,
+                   CAST(floor(est * 1e6 + 0.5) AS BIGINT) AS est6,
+                   exact_distinct,
+                   CAST(NULL AS BIGINT) AS est_cnt,
+                   CAST(NULL AS BIGINT) AS exact_cnt,
+                   CAST(NULL AS BIGINT) AS is_hh
+            FROM (
+              SELECT grp, n_present, exact_distinct,
+                     CASE WHEN {a_m2!r} / (s_terms + ({m} - n_present))
+                               <= {2.5 * m!r}
+                           AND n_present < {m}
+                          THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_present))
+                          ELSE {a_m2!r} / (s_terms + ({m} - n_present))
+                     END AS est
+              FROM (
+                SELECT grp, count(*) AS n_present,
+                       list_sum(list(1.0 / (1::BIGINT << m_j) ORDER BY idx))
+                         AS s_terms
+                FROM (
+                  SELECT grp,
+                         ('0x' || substr(md5(s), 1, 8))::BIGINT % {m} AS idx,
+                         max(CASE WHEN ('0x' || substr(md5(s), 9, 8))::BIGINT = 0
+                                  THEN 33
+                                  ELSE 33 - length(format('{{:b}}',
+                                       ('0x' || substr(md5(s), 9, 8))::BIGINT))
+                             END) AS m_j
+                  FROM sh GROUP BY grp, idx
+                ) GROUP BY grp
+              ) r JOIN (
+                SELECT grp, count(DISTINCT s) AS exact_distinct FROM sh GROUP BY grp
+              ) x USING (grp)
+            )""")
+    hll_sql = "\nUNION ALL\n".join(arms)
+    return f"""
+        WITH tok AS (
+          SELECT lang AS grp, string_split_regex(lower(text), '\\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT grp, array_to_string(t[i:i+2], ' ') AS s
+          FROM tok, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+        ), ctok AS (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents
+        ), cpos AS (
+          SELECT tok, i AS row,
+                 (('0x' || substr(md5(tok), 1, 8))::BIGINT
+                  + i * (('0x' || substr(md5(tok), 9, 8))::BIGINT * 2 + 1))
+                   % {SKETCH_CMS_W} AS pos
+          FROM ctok, unnest(range(0, {SKETCH_CMS_D})) AS r(i)
+        ), counters AS (
+          SELECT row, pos, count(*) AS cnt FROM cpos GROUP BY row, pos
+        ), exact_t AS (
+          SELECT tok, count(*) AS exact_cnt FROM ctok GROUP BY tok
+        ), kp AS (
+          SELECT DISTINCT tok, row, pos FROM cpos
+        ), est_t AS (
+          SELECT kp.tok, min(coalesce(c.cnt, 0)) AS est_cnt
+          FROM kp LEFT JOIN counters c USING (row, pos) GROUP BY kp.tok
+        )
+        {hll_sql}
+        UNION ALL
+        SELECT 'cms', e.tok, NULL, NULL, NULL, NULL,
+               e.est_cnt, x.exact_cnt,
+               CAST(e.est_cnt >= {SKETCH_HH_THRESHOLD} AS BIGINT)
+        FROM est_t e JOIN exact_t x ON e.tok = x.tok
+    """
 
 
 #: DSIR gate constants: the paper's hashed dimensionality order (8k
@@ -2367,7 +2528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the freed slot gates the DSIR importance resampler
         "dedup_suite": q_dedup_suite,
         "dsir": q_dsir,
-        "dedup_minhash": q_dedup_minhash,
+        # dedup_minhash folded into dedup_suite (session 8); the
+        # freed slot gates the bounded-size sketch family
+        "sketch_suite": q_sketch_suite,
         "dedup_embed": q_dedup_embed,
         # simhash folded into dedup_suite (r5 final); the freed slot
         # gates BM25 ranked retrieval over the inverted index
@@ -3227,6 +3390,25 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 1.0 END, 6) AS jaccard
             FROM nxt WHERE next_id IS NOT NULL
             )
+            UNION ALL
+            SELECT 'minhash_pairs', NULL, NULL, NULL, NULL, id_a, id_b,
+                   jaccard, NULL, NULL, NULL
+            FROM (
+            WITH tok AS (SELECT doc_id AS id, string_split_regex(text, '\\s+') AS t FROM documents),
+            ex AS (SELECT id, t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i FROM tok),
+            sh AS (SELECT id, list_distinct(list(array_to_string(t[i:i+2], ' '))) AS shingles FROM ex GROUP BY id),
+            sz AS (SELECT id, len(shingles) AS n FROM sh),
+            inv AS (SELECT id, unnest(shingles) AS s FROM sh),
+            shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+              FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM shared JOIN sz sa ON sa.id = shared.id_a JOIN sz sb ON sb.id = shared.id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+            )
         """,
         "dsir": f"""
             WITH ws AS (
@@ -3267,22 +3449,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY key6 DESC, doc_id
             LIMIT {DSIR_K}
         """,
-        "dedup_minhash": """
-            WITH tok AS (SELECT doc_id AS id, string_split_regex(text, '\\s+') AS t FROM documents),
-            ex AS (SELECT id, t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i FROM tok),
-            sh AS (SELECT id, list_distinct(list(array_to_string(t[i:i+2], ' '))) AS shingles FROM ex GROUP BY id),
-            sz AS (SELECT id, len(shingles) AS n FROM sh),
-            inv AS (SELECT id, unnest(shingles) AS s FROM sh),
-            shared AS (
-              SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-              FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
-              GROUP BY a.id, b.id
-            )
-            SELECT id_a, id_b,
-                   round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
-            FROM shared JOIN sz sa ON sa.id = shared.id_a JOIN sz sb ON sb.id = shared.id_b
-            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
-        """,
+        # dedup_minhash's exact inverted-index twin now rides the
+        # dedup_suite 'minhash_pairs' arm (session-8 fold)
+        "sketch_suite": _sketch_oracle(),
         "dedup_embed": """
             -- bit-identical to embed_near_dups: float sign is exact,
             -- and dot/norm are left-to-right ordered sums of the same

@@ -335,6 +335,27 @@ def main() -> int:
             docs, "doc_id", "text", max_distance=3, num_partitions=cores
         ).write.format("noop").mode("overwrite").save()
 
+    def q_sketches():
+        # bounded-size sketches end to end: HLL distinct 3-gram
+        # shingles per lang (m=4096 registers; ONE slim-row shuffle)
+        # + CMS token counters -> heavy hitters (counter table is
+        # 4x2048 rows no matter the corpus size)
+        from ocr_compare_spark.operators import sketches
+
+        # repartition BEFORE the explode: the split+md5 passes are
+        # byte-light compute-heavy and the docs parquet is 1 split
+        # (A/B: 7.2+4.7 s -> 1.0+1.0 s); shuffling the 5k source rows
+        # is far cheaper than shuffling the exploded shingle stream
+        d = docs.repartition(cores)
+        sh = d.select("lang", F.explode(dedup.word_shingles("text", 3)).alias("s"))
+        sketches.hll_count_distinct(sh, "s", ("lang",), p=12).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        sketches.cms_heavy_hitters(
+            toks, "tok", depth=4, width=2048, threshold=1000
+        ).write.format("noop").mode("overwrite").save()
+
     # IVF-PQ: train once untimed (amortized at scale, like the cc
     # pair materialization); the timed row is encode + routed
     # compressed scan + final top-k window
@@ -373,6 +394,7 @@ def main() -> int:
         "recrawl": q_recrawl,
         "simhash_pairs": q_simhash_pairs,
         "ann_ivfpq": q_ann_ivfpq,
+        "sketches": q_sketches,
         "tpch_q1": q_tpch_q1,
     }
 

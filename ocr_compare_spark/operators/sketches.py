@@ -1,0 +1,344 @@
+"""Bounded-size sketches for 100-TB-scale analytics: HyperLogLog
+distinct counting and Count-Min frequency estimation / heavy hitters.
+
+Why these exist in a webtext engine: at crawl scale the questions
+"how many distinct urls/tokens per host/shard?" and "which keys are
+frequent?" cannot afford a full-key-space shuffle — an exact
+count(distinct) or groupBy over 100 TB of tokens shuffles the entire
+key stream, while a sketch shuffles O(sketch_size) per group (the
+registers / counters are the only thing that crosses the wire, and
+partial sketches merge associatively, i.e. map-side combine works).
+Spark's own approx_count_distinct is the same idea; this module
+re-derives it from first principles so the arithmetic is
+deterministic and ANSI-SQL-twinnable (the gate requirement the
+built-in can't meet — its HLL++ bias tables aren't reproducible in
+DuckDB).
+
+Determinism contract (the bloom.py / lm.py playbook):
+
+- **hashing**: md5 hex slices, int64-exact everywhere. HLL: register
+  index = first-8-hex % m, rho = leading-zeros-of-32-bit(next 8 hex)
+  + 1 computed via BINARY-STRING LENGTH (``bin()`` / DuckDB
+  ``format('{:b}', ...)``) — integer string ops, no float log2 at
+  bit boundaries. CMS: Kirsch-Mitzenmacher double hashing, row i
+  position = (h1 + i*h2) mod width (same scheme as bloom.py).
+- **HLL estimate**: every 2^-M[j] term is an exact dyadic double
+  (1.0 / (1 << M[j]), never pow()), summed in REGISTER-INDEX ORDER
+  on both engines (Spark aggregate() fold over the idx-sorted array
+  == DuckDB list_sum over an idx-ordered list — the confidences-
+  oracle precedent), zero registers folded in as an exact integer
+  tail. alpha_m * m^2 ships as ONE precomputed literal so there is
+  no cross-engine association ambiguity; the small-range correction
+  m*ln(m/V) uses the shared ln contract (lm.py/recrawl.py); the
+  final estimate is floor-round6'd to int64.
+- **CMS**: pure int64 end to end — bit-exact by construction.
+
+Reference analog: the reference has no sketches (its corpora fit one
+node); SURVEY §2.4's aggregation family is the seam. Algorithms are
+the published ones: Flajolet/Fusy/Gandouet/Meunier 2007 (HyperLogLog)
+and Cormode/Muthukrishnan 2005 (Count-Min).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+# ------------------------------------------------------------- HLL
+
+
+def hll_alpha_m2(p: int) -> float:
+    """alpha_m * m^2 as one literal (FFGM07 §4; the standard small-m
+    constants). Computed once in Python so Spark and the SQL twin
+    share the exact double."""
+    m = 1 << p
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m
+
+
+def _h32(key: Column, skip: int) -> Column:
+    """int64 in [0, 2^32) from md5 hex digits [skip+1, skip+8]."""
+    return F.conv(F.substring(F.md5(key.cast("string")), skip + 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_register_cols(key: str | Column, p: int) -> tuple[Column, Column]:
+    """(idx, rho) columns for one key. idx = low p bits of the first
+    32 hash bits; rho = 33 - bit_length(w) over the next 32 bits
+    (w == 0 -> 33, the all-zero tail)."""
+    c = F.col(key) if isinstance(key, str) else key
+    idx = _h32(c, 0) % (1 << p)
+    w = _h32(c, 8)
+    rho = F.when(w == 0, F.lit(33)).otherwise(F.lit(33) - F.length(F.bin(w)))
+    return idx, rho
+
+
+def _py_idx_rho(key: str, p: int) -> tuple[int, int]:
+    """Driver/test mirror of hll_register_cols."""
+    d = hashlib.md5(str(key).encode()).hexdigest()
+    idx = int(d[:8], 16) % (1 << p)
+    w = int(d[8:16], 16)
+    rho = 33 if w == 0 else 33 - w.bit_length()
+    return idx, rho
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    p: int = 12,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group register table (group_cols..., idx, m_j): ONE
+    groupBy with map-side-combined max — the only shuffle, and it
+    moves at most m slim rows per group regardless of input size.
+
+    ``num_partitions`` spreads the input BEFORE the md5 pass — the
+    byte-light compute-heavy stage serializes on the source's parquet
+    splits otherwise (the dsir/decontam/simhash repartition trap;
+    measured 5x on a 1-split source)."""
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    idx, rho = hll_register_cols(key_col, p)
+    staged = df.select(*group_cols, idx.alias("idx"), rho.alias("rho"))
+    return staged.groupBy(*group_cols, "idx").agg(F.max("rho").alias("m_j"))
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Sketch of a union = per-register max over the sketches — the
+    associativity that makes HLL shard-parallel (build per crawl
+    batch, merge at read time; no rescan)."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    keys = [c for c in out.columns if c != "m_j"]
+    return out.groupBy(*keys).agg(F.max("m_j").alias("m_j"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: Sequence[str] = (), p: int = 12
+) -> DataFrame:
+    """Registers -> (group_cols..., n_present, v_zero, est6).
+    est6 = floor(estimate * 1e6 + 0.5): raw = alpha_m2 / S with
+    S = sum_{idx asc} 2^-m_j + v_zero (exact dyadic terms, shared
+    fold order), small-range correction m * ln(m / v_zero) when
+    raw <= 2.5m and v_zero > 0 (FFGM07 Fig. 3)."""
+    m = 1 << p
+    a_m2 = hll_alpha_m2(p)
+    # 2^-m_j as an exact dyadic double BEFORE the collect: rho
+    # reaches 33, so the shifted 1 MUST be a long (an int literal
+    # wraps at 1<<31 and the term silently corrupts); the python
+    # shiftleft() API only takes literal shift counts, hence expr()
+    terms = registers.withColumn(
+        "_term",
+        F.expr("1.0 / cast(shiftleft(cast(1 as bigint), m_j) as double)"),
+    )
+    agg = terms.groupBy(*group_cols).agg(
+        F.count("*").alias("n_present"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("idx", "_term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_term"],
+        ).alias("_sum_terms"),
+    )
+    v = (F.lit(m) - F.col("n_present")).alias("v_zero")
+    s = F.col("_sum_terms") + (F.lit(m) - F.col("n_present")).cast("double")
+    raw = F.lit(a_m2) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_present") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_present")).cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "n_present",
+        v,
+        F.floor(est * 1e6 + F.lit(0.5)).cast("long").alias("est6"),
+    )
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    p: int = 12,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """End-to-end distinct-count estimate per group."""
+    return hll_estimate(
+        hll_registers(df, key_col, group_cols, p, num_partitions), group_cols, p
+    )
+
+
+def py_hll_estimate(keys, p: int) -> float:
+    """Pure-python mirror of the full estimator (pytest ground truth
+    for the Spark and SQL twins — same fold order, same constants)."""
+    m = 1 << p
+    regs: dict[int, int] = {}
+    for k in keys:
+        idx, rho = _py_idx_rho(k, p)
+        regs[idx] = max(regs.get(idx, 0), rho)
+    s = 0.0
+    for idx in sorted(regs):
+        s += 1.0 / (1 << regs[idx])
+    v = m - len(regs)
+    s += float(v)
+    raw = hll_alpha_m2(p) / s
+    if raw <= 2.5 * m and v > 0:
+        return float(m) * math.log(float(m) / v)
+    return raw
+
+
+# ------------------------------------------------------- Count-Min
+
+
+def cms_position_cols(key: str | Column, depth: int, width: int) -> Column:
+    """array<struct<row,pos>> of the depth counter positions for a
+    key — Kirsch-Mitzenmacher (h1 + i*h2) mod width, i in 0..d-1
+    (bloom.py's scheme; h1, h2 < 2^33 so every product is int64-
+    exact)."""
+    c = F.col(key) if isinstance(key, str) else key
+    md5 = F.md5(c.cast("string"))
+    h1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long") * 2 + 1
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda i: F.struct(i.alias("row"), ((h1 + i * h2) % width).alias("pos")),
+    )
+
+
+def _py_cms_positions(key: str, depth: int, width: int) -> list[int]:
+    d = hashlib.md5(str(key).encode()).hexdigest()
+    h1 = int(d[:8], 16)
+    h2 = int(d[8:16], 16) * 2 + 1
+    return [(h1 + i * h2) % width for i in range(depth)]
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Counter table (row, pos, cnt): explode the depth positions per
+    input row, ONE groupBy sum (map-side combine). Output is at most
+    depth*width rows no matter the input size — the whole point.
+    ``num_partitions`` = the hll_registers repartition hint (same
+    narrow-source md5 trap)."""
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    wcol = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    staged = df.select(
+        F.explode(cms_position_cols(key_col, depth, width)).alias("rp"),
+        wcol.alias("_w"),
+    )
+    return (
+        staged.select(F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"), "_w")
+        .groupBy("row", "pos")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(*counter_tables: DataFrame) -> DataFrame:
+    """CMS(A ⊎ B) = counter-wise sum — merge shard sketches without
+    touching the shards again."""
+    out = counter_tables[0]
+    for t in counter_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("row", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    keys: DataFrame,
+    counters: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    out_col: str = "est_cnt",
+) -> DataFrame:
+    """Relational path (and the oracle formulation): explode each
+    key's depth positions, broadcast-join the (tiny, bounded)
+    counter table, min over rows. Never-hit positions count as 0.
+    Estimates are >= the true count (CM's one-sided error); pure
+    int64, so the DuckDB twin is bit-exact by construction."""
+    probes = keys.select(
+        key_col, F.explode(cms_position_cols(key_col, depth, width)).alias("rp")
+    ).select(key_col, F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
+    joined = probes.join(F.broadcast(counters), ["row", "pos"], "left").select(
+        key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("_c")
+    )
+    return joined.groupBy(key_col).agg(F.min("_c").alias(out_col))
+
+
+def cms_counters_to_numpy(counters: DataFrame, depth: int, width: int) -> np.ndarray:
+    """Collect the (bounded) counter table into a (depth, width)
+    int64 matrix — the broadcast artifact for the data path. Driver
+    traffic is depth*width rows by construction."""
+    mat = np.zeros((depth, width), dtype=np.int64)
+    for r in counters.collect():
+        mat[r["row"], r["pos"]] = r["cnt"]
+    return mat
+
+
+def cms_estimate_broadcast(
+    keys: DataFrame,
+    matrix: np.ndarray,
+    key_col: str,
+    out_col: str = "est_cnt",
+) -> DataFrame:
+    """Data path: the counter matrix rides a broadcast; membership is
+    one vectorized gather per Arrow batch (plan O(1) in depth*width —
+    the bloom.py might_contain shape). Pytest pins it equal to
+    cms_estimate."""
+    spark = keys.sparkSession
+    depth, width = matrix.shape
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(matrix))
+
+    @pandas_udf("long")
+    def _est(col: pd.Series) -> pd.Series:
+        mat = bc.value
+        out = np.empty(len(col), dtype=np.int64)
+        for j, k in enumerate(col):
+            pos = _py_cms_positions(k, depth, width)
+            out[j] = min(mat[i, pos[i]] for i in range(depth))
+        return pd.Series(out)
+
+    return keys.withColumn(out_col, _est(F.col(key_col).cast("string")))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    threshold: int = 100,
+    counters: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Keys whose CM estimate >= threshold, with the estimate. The
+    candidate set is the stream's distinct keys (batch setting —
+    no heap needed); the REPORTED count still comes from the sketch,
+    so merged multi-shard counters give cross-shard totals without a
+    global key shuffle. One-sided: no true heavy hitter is missed
+    (est >= true); collision overestimates can admit extras, bounded
+    by the depth/width sizing."""
+    if counters is None:
+        counters = cms_build(df, key_col, depth, width, num_partitions=num_partitions)
+    cand = df.select(key_col).distinct()
+    est = cms_estimate(cand, counters, key_col, depth, width)
+    return est.filter(F.col("est_cnt") >= threshold)

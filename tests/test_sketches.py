@@ -1,0 +1,179 @@
+"""Sketches (operators/sketches.py): HyperLogLog distinct counting
+and Count-Min frequency estimation.
+
+Pins: hash/register mirrors (Spark == python), estimator == the
+pure-python mirror bit-for-bit (shared fold order), merge ==
+build-on-union EXACTLY (registers max / counters add), accuracy
+within the published error bounds on a planted corpus, CMS one-sided
+error, data-path == relational-path parity, and partition invariance
+(a sketch must not depend on layout)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ocr_compare_spark.operators import sketches as sk
+
+P = 8  # m = 256 registers
+D, W = 4, 512
+
+
+def _keys(spark, n, prefix, parts=4):
+    return spark.createDataFrame(
+        [(i, f"{prefix}{i}") for i in range(n)], "id long, key string"
+    ).repartition(parts)
+
+
+# ---------------------------------------------------------- mirrors
+
+
+def test_hll_register_cols_match_python_mirror(spark):
+    df = _keys(spark, 100, "k")
+    idx, rho = sk.hll_register_cols("key", P)
+    got = {
+        r.key: (r.idx, r.rho)
+        for r in df.select("key", idx.alias("idx"), rho.alias("rho")).collect()
+    }
+    for key, pair in got.items():
+        assert pair == sk._py_idx_rho(key, P)
+        assert 0 <= pair[0] < (1 << P) and 1 <= pair[1] <= 33
+
+
+def test_cms_positions_match_python_mirror(spark):
+    df = _keys(spark, 50, "c")
+    got = {
+        r.key: [(x.row, x.pos) for x in r.rp]
+        for r in df.select(
+            "key", sk.cms_position_cols("key", D, W).alias("rp")
+        ).collect()
+    }
+    for key, rp in got.items():
+        assert [p for _, p in rp] == sk._py_cms_positions(key, D, W)
+        assert [i for i, _ in rp] == list(range(D))
+
+
+# ------------------------------------------------------------- HLL
+
+
+def test_hll_estimate_equals_python_mirror_bitwise(spark):
+    # the full estimator (fold order, alpha literal, correction
+    # branch) reproduces the python mirror's double exactly
+    for n in (10, 50, 300, 2000):  # spans the correction branch both ways
+        keys = [f"u{n}_{i}" for i in range(n)]
+        df = spark.createDataFrame([(k,) for k in keys], "key string").repartition(5)
+        row = sk.hll_count_distinct(df, "key", (), P).first()
+        expect = sk.py_hll_estimate(keys, P)
+        assert row.est6 == math.floor(expect * 1e6 + 0.5)
+        assert row.n_present + row.v_zero == (1 << P)
+
+
+def test_hll_accuracy_within_bound(spark):
+    # standard error ~ 1.04/sqrt(m) = 6.5% at m=256; assert 4 sigma
+    n = 5000
+    df = _keys(spark, n, "acc")
+    est = sk.hll_count_distinct(df, "key", (), P).first().est6 / 1e6
+    assert abs(est - n) / n < 4 * 1.04 / math.sqrt(1 << P)
+
+
+def test_hll_grouped_and_duplicates_ignored(spark):
+    # duplicates must not move the estimate: registers are max'd
+    base = _keys(spark, 400, "g").withColumn("grp", F.col("id") % 2)
+    dup = base.unionByName(base).unionByName(base)
+    a = {r.grp: r.est6 for r in sk.hll_count_distinct(base, "key", ("grp",), P).collect()}
+    b = {r.grp: r.est6 for r in sk.hll_count_distinct(dup, "key", ("grp",), P).collect()}
+    assert a == b and set(a) == {0, 1}
+
+
+def test_hll_merge_equals_union_build(spark):
+    a = _keys(spark, 300, "m")          # m0..m299
+    b = _keys(spark, 500, "m")          # overlaps a entirely, adds 200
+    ra = sk.hll_registers(a, "key", (), P)
+    rb = sk.hll_registers(b, "key", (), P)
+    merged = sk.hll_estimate(sk.hll_merge(ra, rb), (), P).first()
+    union = sk.hll_count_distinct(a.unionByName(b), "key", (), P).first()
+    assert merged.est6 == union.est6  # exact: max of maxes
+
+
+def test_hll_partition_invariant(spark):
+    df = _keys(spark, 1000, "pi")
+    a = sk.hll_count_distinct(df.repartition(2), "key", (), P).first().est6
+    b = sk.hll_count_distinct(df.repartition(17), "key", (), P).first().est6
+    assert a == b
+
+
+# ------------------------------------------------------- Count-Min
+
+
+def _freq_df(spark):
+    # planted zipf-ish frequencies: key fN repeats N^2 times
+    rows = [(f"f{n}",) for n in range(1, 21) for _ in range(n * n)]
+    return spark.createDataFrame(rows, "key string").repartition(6)
+
+
+def test_cms_one_sided_and_accurate_when_wide(spark):
+    df = _freq_df(spark)
+    counters = sk.cms_build(df, "key", D, W)
+    est = {
+        r.key: r.est_cnt
+        for r in sk.cms_estimate(df.select("key").distinct(), counters, "key", D, W).collect()
+    }
+    for n in range(1, 21):
+        true = n * n
+        assert est[f"f{n}"] >= true            # never undercounts
+        # 20 keys in 4x512 counters: collisions are essentially
+        # impossible to hit in all 4 rows at once
+        assert est[f"f{n}"] == true
+
+
+def test_cms_weighted_build(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 1)], "key string, w long"
+    )
+    counters = sk.cms_build(df, "key", D, W, weight_col="w")
+    est = {
+        r.key: r.est_cnt
+        for r in sk.cms_estimate(
+            df.select("key").distinct(), counters, "key", D, W
+        ).collect()
+    }
+    assert est == {"a": 12, "b": 1}
+
+
+def test_cms_merge_equals_union_build(spark):
+    a = _keys(spark, 200, "x")
+    b = _keys(spark, 150, "x")  # full overlap with a's first 150
+    ca = sk.cms_build(a, "key", D, W)
+    cb = sk.cms_build(b, "key", D, W)
+    merged = sk.cms_merge(ca, cb)
+    union = sk.cms_build(a.unionByName(b), "key", D, W)
+    got = {(r.row, r.pos): r.cnt for r in merged.collect()}
+    want = {(r.row, r.pos): r.cnt for r in union.collect()}
+    assert got == want  # counter-wise identical
+
+
+def test_cms_broadcast_path_equals_relational(spark):
+    df = _freq_df(spark)
+    counters = sk.cms_build(df, "key", D, W)
+    mat = sk.cms_counters_to_numpy(counters, D, W)
+    assert mat.shape == (D, W) and mat.sum() == D * sum(n * n for n in range(1, 21))
+    cand = df.select("key").distinct()
+    rel = {r.key: r.est_cnt for r in sk.cms_estimate(cand, counters, "key", D, W).collect()}
+    dat = {r.key: r.est_cnt for r in sk.cms_estimate_broadcast(cand, mat, "key").collect()}
+    assert rel == dat
+
+
+def test_cms_heavy_hitters(spark):
+    df = _freq_df(spark)
+    hh = {r.key for r in sk.cms_heavy_hitters(df, "key", D, W, threshold=100).collect()}
+    # true counts n^2 >= 100 <=> n >= 10; one-sided error can only ADD
+    assert {f"f{n}" for n in range(10, 21)} <= hh
+    assert hh <= {f"f{n}" for n in range(1, 21)}
+
+
+def test_cms_partition_invariant(spark):
+    df = _freq_df(spark)
+    a = {(r.row, r.pos): r.cnt for r in sk.cms_build(df.repartition(2), "key", D, W).collect()}
+    b = {(r.row, r.pos): r.cnt for r in sk.cms_build(df.repartition(11), "key", D, W).collect()}
+    assert a == b

@@ -1204,28 +1204,82 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, iters=PAGERANK_ITERS)
 
 
-def _pagerank_oracle(iters: int = PAGERANK_ITERS, d_num: int = 85, d_den: int = 100) -> str:
-    """SQL twin of q_pagerank: VALUES-built anchor paths per html doc
-    (the synth contract), generic outdeg/node CTEs, then one CTE per
-    unrolled round — all arithmetic is int64 floor division, so any
-    evaluation order matches Spark exactly."""
-    teleport6 = 1_000_000 - (1_000_000 * d_num) // d_den
+#: HITS gate rounds (each = one hub->auth + one auth->hub half-round).
+HITS_ITERS = 2
+
+
+def q_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank + HITS gated as ONE union row set over the SAME real
+    extract_links edge table (session-8 refold; q_pagerank remains
+    importable). HITS runs in the same integer-microunit contract
+    with L-inf per-half-round normalization computed in DECIMAL(38,0)
+    — Spark decimal DIV == DuckDB HUGEINT //, so the twin just
+    unrolls the rounds. On this corpus the graph is bipartite (page
+    urls -> per-host nav paths), so hubs and authorities separate
+    exactly — a structural property PageRank can't see, which is why
+    both gate."""
+    from ocr_compare_spark.operators import graph, links
+
+    edges = links.extract_links(
+        _pages(spark, sf_dir), with_anchor_text=False
+    ).localCheckpoint()
+    pr = graph.pagerank(edges, iters=PAGERANK_ITERS).select(
+        F.lit("pagerank").alias("kind"),
+        "node",
+        "rank6",
+        F.lit(None).cast("long").alias("auth6"),
+        F.lit(None).cast("long").alias("hub6"),
+    )
+    ht = graph.hits(edges, iters=HITS_ITERS).select(
+        F.lit("hits").alias("kind"),
+        "node",
+        F.lit(None).cast("long").alias("rank6"),
+        "auth6",
+        "hub6",
+    )
+    return pr.unionByName(ht)
+
+
+def _hits_oracle_arm(iters: int = HITS_ITERS) -> str:
+    """Unrolled HITS rounds over the same edges0/nodes CTEs the
+    pagerank oracle builds (hugeint multiply before the floor-div —
+    the Spark side's DECIMAL(38,0) twin)."""
     rounds = []
-    prev = "r0"
+    prev_h = "h0"
     for i in range(1, iters + 1):
-        rounds.append(f"""r{i} AS (
+        rounds.append(f"""sa{i} AS (
+          SELECT e.dst AS node, sum(h.hub6) AS s
+          FROM edges0 e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst
+        ), a{i} AS (
           SELECT nd.node,
-                 CAST({teleport6} + ({d_num} * coalesce(s.s, 0)) // {d_den} AS BIGINT) AS rank6
-          FROM nodes nd LEFT JOIN (
-            SELECT e.dst AS node, sum(r.rank6 // e.outdeg) AS s
-            FROM edges e JOIN {prev} r ON r.node = e.src
-            GROUP BY e.dst
-          ) s ON nd.node = s.node
+                 CAST((coalesce(s.s, 0)::HUGEINT * 1000000)
+                      // (SELECT max(s) FROM sa{i}) AS BIGINT) AS auth6
+          FROM nodes nd LEFT JOIN sa{i} s ON nd.node = s.node
+        ), sh{i} AS (
+          SELECT e.src AS node, sum(a.auth6) AS s
+          FROM edges0 e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+        ), h{i} AS (
+          SELECT nd.node,
+                 CAST((coalesce(s.s, 0)::HUGEINT * 1000000)
+                      // (SELECT max(s) FROM sh{i}) AS BIGINT) AS hub6
+          FROM nodes nd LEFT JOIN sh{i} s ON nd.node = s.node
         )""")
-        prev = f"r{i}"
+        prev_h = f"h{i}"
     rounds_sql = ",\n        ".join(rounds)
     return f"""
-        WITH html AS (
+        h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub6 FROM nodes),
+        {rounds_sql},
+        hits_out AS (
+          SELECT a.node, a.auth6, h.hub6
+          FROM a{iters} a JOIN h{iters} h USING (node)
+        )"""
+
+
+def _graph_edges_ctes() -> str:
+    """Shared WITH-prefix for the graph oracles: VALUES-built anchor
+    paths per html doc (the synth contract), generic outdeg/node
+    CTEs."""
+    return f"""html AS (
           SELECT {synth.SQL_URL} AS src,
                  concat('https://',
                         CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
@@ -1240,10 +1294,51 @@ def _pagerank_oracle(iters: int = PAGERANK_ITERS, d_num: int = 85, d_den: int = 
         ),
         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges0 GROUP BY src),
         edges AS (SELECT e.src, e.dst, d.outdeg FROM edges0 e JOIN deg d USING (src)),
-        nodes AS (SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0),
-        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank6 FROM nodes),
-        {rounds_sql}
-        SELECT node, rank6 FROM {prev}
+        nodes AS (SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0)"""
+
+
+def _pagerank_round_ctes(iters: int = PAGERANK_ITERS, d_num: int = 85, d_den: int = 100) -> str:
+    """One CTE per unrolled round — all arithmetic is int64 floor
+    division, so any evaluation order matches Spark exactly. Final
+    ranks land in CTE r{iters}."""
+    teleport6 = 1_000_000 - (1_000_000 * d_num) // d_den
+    rounds = ["r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank6 FROM nodes)"]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""r{i} AS (
+          SELECT nd.node,
+                 CAST({teleport6} + ({d_num} * coalesce(s.s, 0)) // {d_den} AS BIGINT) AS rank6
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank6 // e.outdeg) AS s
+            FROM edges e JOIN {prev} r ON r.node = e.src
+            GROUP BY e.dst
+          ) s ON nd.node = s.node
+        )""")
+        prev = f"r{i}"
+    return ",\n        ".join(rounds)
+
+
+def _pagerank_oracle(iters: int = PAGERANK_ITERS, d_num: int = 85, d_den: int = 100) -> str:
+    """SQL twin of q_pagerank."""
+    return f"""
+        WITH {_graph_edges_ctes()},
+        {_pagerank_round_ctes(iters, d_num, d_den)}
+        SELECT node, rank6 FROM r{iters}
+    """
+
+
+def _graph_suite_oracle() -> str:
+    """SQL twin of q_graph_suite: pagerank + hits arms over the same
+    edge CTEs, null-padded union."""
+    return f"""
+        WITH {_graph_edges_ctes()},
+        {_pagerank_round_ctes()},
+        {_hits_oracle_arm()}
+        SELECT 'pagerank' AS kind, node, rank6,
+               CAST(NULL AS BIGINT) AS auth6, CAST(NULL AS BIGINT) AS hub6
+        FROM r{PAGERANK_ITERS}
+        UNION ALL
+        SELECT 'hits', node, NULL, auth6, hub6 FROM hits_out
     """
 
 
@@ -2536,8 +2631,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gates BM25 ranked retrieval over the inverted index
         "bm25": q_bm25,
         # embed_topk folded into ann_suite (r5 final); the freed slot
-        # gates PageRank over the real extract_links graph
-        "pagerank": q_pagerank,
+        # gates PageRank over the real extract_links graph — widened
+        # to a pagerank + HITS union suite in session 8
+        "graph_suite": q_graph_suite,
         # embed_topk_lsh + embed_topk_ivf (+ bf) gate as ONE suite row
         # set; the original fold's freed slot gates SemDeDup
         "ann_suite": q_ann_suite,
@@ -3495,7 +3591,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pq', 'data', * FROM ({_embed_pq_oracle()})
         """,
         "bm25": _bm25_oracle(),
-        "pagerank": _pagerank_oracle(),
+        "graph_suite": _graph_suite_oracle(),
         "semdedup": _semdedup_oracle(),
         "decontam": """
             WITH tok AS (

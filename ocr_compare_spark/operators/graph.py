@@ -1,4 +1,4 @@
-"""Link-graph analytics: PageRank over crawl edges.
+"""Link-graph analytics: PageRank and HITS over crawl edges.
 
 Web-scale pipelines rank pages for crawl-frontier priority and for
 quality priors (a page many pages link to is worth re-crawling and
@@ -144,3 +144,89 @@ def pagerank(
             ranks = new_ranks
         prev_ranks = ranks
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) in exact
+    integer microunits: (node, auth6, hub6).
+
+    Round structure is the textbook mutual recursion —
+
+        auth_raw(v) = sum over edges (u -> v) of hub6(u)
+        hub_raw(u)  = sum over edges (u -> v) of auth6(v)
+
+    — with ONE documented substitution: each half-round normalizes by
+    the MAXIMUM (L-inf) instead of the L2 norm, so the winner scores
+    1_000_000 exactly and every score is
+
+        score6 = (raw * 1_000_000) div max(raw)
+
+    computed in DECIMAL(38,0) (raw alone can reach 9e18 for a 9M-
+    in-link hub at web scale; the multiply must not wrap int64 —
+    Spark decimal DIV == DuckDB HUGEINT // == python //, A/B-pinned).
+    L-inf is a standard HITS variant (in real arithmetic the per-
+    round ranking ORDER is identical to L2's — normalization is a
+    positive scalar — so the two differ only by scale and by the
+    1e-6 quantization) and it keeps the whole loop int64-exact, so
+    the DuckDB twin just unrolls the rounds — same reasoning as
+    pagerank's microunit contract above.
+
+    Conventions: multi-edges count (each contributes once per round);
+    nodes with no in-edges hold auth6 = 0, no out-edges hub6 = 0
+    (their mass simply never accrues — the open-frontier convention);
+    scores are NOT damped (HITS has no teleport).
+
+    Scale shape: per round, two edge-sized shuffles (the hub->auth
+    and auth->hub aggregations — HITS' unavoidable pair) plus two
+    node-sized broadcast max joins; node tables are
+    localCheckpoint'ed per round (the iterative-loop lineage rule).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    edges = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("_src").alias("node"))
+        .unionByName(edges.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    zero_seed = nodes.select("node", F.lit(0).cast("long").alias("c"))
+
+    def _normalize(raw: DataFrame) -> DataFrame:
+        # L-inf scale to microunits in decimal — max via a 1-row
+        # broadcast cross join (stays one lazy DAG; max >= 1e6 > 0
+        # whenever edges is non-empty because the opposite side
+        # starts at 1_000_000)
+        mx = raw.agg(F.max("s").alias("_mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(
+                "CAST((CAST(s AS DECIMAL(38,0)) * 1000000) DIV _mx AS BIGINT)"
+            ).alias("score6"),
+        )
+
+    def _half_round(scores: DataFrame, from_col: str, to_col: str) -> DataFrame:
+        contrib = edges.join(
+            scores.select(F.col("node").alias(from_col), "score6"), from_col
+        ).select(F.col(to_col).alias("node"), F.col("score6").alias("c"))
+        raw = contrib.unionByName(zero_seed).groupBy("node").agg(
+            F.sum("c").alias("s")
+        )
+        return _normalize(raw).localCheckpoint(eager=True)
+
+    hubs = nodes.select("node", F.lit(RANK_ONE6).cast("long").alias("score6"))
+    auths = None
+    for _ in range(iters):
+        auths = _half_round(hubs, "_src", "_dst")
+        hubs = _half_round(auths, "_dst", "_src")
+    return (
+        auths.select("node", F.col("score6").alias("auth6"))
+        .join(hubs.select("node", F.col("score6").alias("hub6")), "node")
+    )

@@ -93,3 +93,58 @@ def test_pagerank_early_stop_tolerance(spark):
     # round's ranks (the tol path never produces off-contract values)
     got = _run(spark, EDGES, 50, tol6=100)
     assert got in [_mirror(EDGES, k) for k in range(1, 51)]
+
+
+# --------------------------------------------------------------- HITS
+
+
+def _hits_mirror(edges, iters):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {n: 1_000_000 for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iters):
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[v] += hub[u]
+        mx = max(raw.values())
+        auth = {n: (raw[n] * 1_000_000) // mx for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[u] += auth[v]
+        mx = max(raw.values())
+        hub = {n: (raw[n] * 1_000_000) // mx for n in nodes}
+    return {n: (auth[n], hub[n]) for n in nodes}
+
+
+def _run_hits(spark, edges, iters):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = graph.hits(df, iters=iters)
+    return {r["node"]: (r["auth6"], r["hub6"]) for r in out.collect()}
+
+
+def test_hits_matches_integer_mirror(spark):
+    for iters in (1, 2, 3):
+        assert _run_hits(spark, EDGES, iters) == _hits_mirror(EDGES, iters)
+
+
+def test_hits_hub_authority_separation(spark):
+    # star: h -> a1..a4. h is the only hub; targets split authority
+    edges = [("h", f"a{i}") for i in range(4)]
+    got = _run_hits(spark, edges, 2)
+    assert got["h"] == (0, 1_000_000)           # pure hub, no in-edges
+    for i in range(4):
+        assert got[f"a{i}"] == (1_000_000, 0)   # pure authorities
+
+
+def test_hits_multi_edge_counts(spark):
+    # a->b twice vs c->d once: b accrues double authority pre-norm,
+    # so after L-inf normalization b=1e6 and d=5e5
+    got = _run_hits(spark, [("a", "b"), ("a", "b"), ("c", "d")], 1)
+    assert got["b"][0] == 1_000_000 and got["d"][0] == 500_000
+
+
+def test_hits_layout_invariant(spark):
+    df = spark.createDataFrame(EDGES * 3, ["src", "dst"])
+    a = {r["node"]: (r["auth6"], r["hub6"]) for r in graph.hits(df.repartition(2), iters=3).collect()}
+    b = {r["node"]: (r["auth6"], r["hub6"]) for r in graph.hits(df.repartition(13), iters=3).collect()}
+    assert a == b

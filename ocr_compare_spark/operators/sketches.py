@@ -342,3 +342,20 @@ def cms_heavy_hitters(
     cand = df.select(key_col).distinct()
     est = cms_estimate(cand, counters, key_col, depth, width)
     return est.filter(F.col("est_cnt") >= threshold)
+
+
+# ---------------------------------------------------- persistence
+
+
+def save_sketch(df: DataFrame, path: str) -> None:
+    """Persist a register table (HLL) or counter table (CMS) as
+    parquet — the artifact a recurring crawl job reloads before each
+    batch (the save_bloom pattern): load prior sketch, build this
+    batch's, hll_merge / cms_merge, save back. Both tables are
+    bounded (<= m rows per group / <= d*w rows) so the write is
+    trivially small."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def load_sketch(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)

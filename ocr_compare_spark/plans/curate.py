@@ -108,6 +108,8 @@ def curate(
     robots_agent: str = "ccbot",
     dolma_out: str | None = None,
     sig_store: str | None = None,
+    profile: bool = False,
+    profile_hh_threshold: int = 1000,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -591,6 +593,42 @@ def curate(
             "append"
         ).parquet(sig_store)
 
+    corpus_profile = None
+    if profile:
+        # sketch-based corpus profile over the FINAL output — the
+        # 100-TB health check a curation run ships with its metrics:
+        # estimated distinct vocabulary per lang (HLL, one slim-row
+        # shuffle) + heavy-hitter tokens (CMS, bounded counter
+        # table). Driver traffic is registers + the heavy-hitter
+        # list, never the token stream.
+        from ocr_compare_spark.operators import sketches
+
+        src = out if output_dir else curated
+        tcol = "doc_text" if "doc_text" in src.columns else "text"
+        toks = src.repartition(num_partitions).select(
+            "lang",
+            F.explode(F.split(F.lower(F.col(tcol)), r"\s+")).alias("tok"),
+        ).persist()
+        vocab = {
+            r["lang"]: r["est6"] / 1e6
+            for r in sketches.hll_count_distinct(
+                toks, "tok", ("lang",), p=12
+            ).collect()
+        }
+        hh = {
+            r["tok"]: r["est_cnt"]
+            for r in sketches.cms_heavy_hitters(
+                toks, "tok", depth=4, width=2048,
+                threshold=profile_hh_threshold,
+            ).collect()
+        }
+        toks.unpersist()
+        corpus_profile = {
+            "est_distinct_tokens_by_lang": vocab,
+            "heavy_hitter_tokens": hh,
+            "hh_threshold": profile_hh_threshold,
+        }
+
     kept.unpersist()
     dedup_boundary.unpersist()
     for h in helper_persists:
@@ -656,6 +694,7 @@ def curate(
             "sig_store": sig_store,
         },
         "bpe_merges_learned": n_bpe_merges_learned,
+        "profile": corpus_profile,
     }
     if output_dir:
         with open(f"{output_dir}/curation_metrics.json", "w") as f:
@@ -734,6 +773,11 @@ def main() -> int:
                          "pages the host disallows for --robots-agent "
                          "(RFC 9309) before any other stage")
     ap.add_argument("--robots-agent", default="ccbot")
+    ap.add_argument("--profile", action="store_true",
+                    help="emit a sketch-based corpus profile with the "
+                         "metrics (HLL distinct vocabulary per lang + "
+                         "CMS heavy-hitter tokens)")
+    ap.add_argument("--profile-hh-threshold", type=int, default=1000)
     ap.add_argument("--sig-store", default=None,
                     help="cross-crawl MinHash signature store dir: "
                          "drop docs near-duplicating PRIOR crawls' "
@@ -811,6 +855,8 @@ def main() -> int:
         robots_agent=args.robots_agent,
         dolma_out=args.dolma_out,
         sig_store=args.sig_store,
+        profile=args.profile,
+        profile_hh_threshold=args.profile_hh_threshold,
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

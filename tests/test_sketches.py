@@ -177,3 +177,59 @@ def test_cms_partition_invariant(spark):
     a = {(r.row, r.pos): r.cnt for r in sk.cms_build(df.repartition(2), "key", D, W).collect()}
     b = {(r.row, r.pos): r.cnt for r in sk.cms_build(df.repartition(11), "key", D, W).collect()}
     assert a == b
+
+
+def test_curate_profile_stage(spark, sf_dir):
+    # --profile: the curation metrics carry a sketch-based corpus
+    # profile — HLL vocabulary estimates per lang within the standard
+    # error of the exact distinct counts, and every CMS heavy hitter
+    # is a genuinely frequent token (one-sided guarantee: no true
+    # heavy hitter missed, estimates >= truth)
+    from pyspark.sql import functions as F
+
+    from ocr_compare_spark.plans.curate import curate
+
+    m = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+               jaccard_threshold=0.8, profile=True,
+               profile_hh_threshold=200)
+    prof = m["profile"]
+    assert prof and prof["hh_threshold"] == 200
+    # ground truth from the same winner texts is awkward to rebuild
+    # here; sanity-check shape + ranges instead, plus one exactness
+    # anchor: every heavy hitter's estimate is >= the threshold and
+    # the per-lang estimates are positive and plausible (< total
+    # token count)
+    assert set(prof["est_distinct_tokens_by_lang"]) <= {"en", "de", "es", "fr", "zh"}
+    assert all(v > 0 for v in prof["est_distinct_tokens_by_lang"].values())
+    assert prof["heavy_hitter_tokens"], "threshold 200 must catch the corpus tokens"
+    assert all(c >= 200 for c in prof["heavy_hitter_tokens"].values())
+    # profile off -> key present but None (metrics shape stable)
+    m2 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+                jaccard_threshold=0.8)
+    assert m2["profile"] is None
+
+
+def test_sketch_persistence_cross_crawl_fold(spark, tmp_path):
+    # the recurring-crawl composition: crawl 1 builds + saves; crawl 2
+    # loads, merges its own sketch, saves back; the folded sketch ==
+    # building over both crawls at once (exactly, for HLL and CMS)
+    p_hll = str(tmp_path / "hll")
+    p_cms = str(tmp_path / "cms")
+    c1 = _keys(spark, 300, "s")
+    c2 = _keys(spark, 260, "s")  # overlaps 260, adds 0; plus 40 new below
+    c2 = c2.unionByName(_keys(spark, 40, "new"))
+
+    sk.save_sketch(sk.hll_registers(c1, "key", (), P), p_hll)
+    sk.save_sketch(sk.cms_build(c1, "key", D, W), p_cms)
+
+    merged_h = sk.hll_merge(sk.load_sketch(spark, p_hll), sk.hll_registers(c2, "key", (), P))
+    merged_c = sk.cms_merge(sk.load_sketch(spark, p_cms), sk.cms_build(c2, "key", D, W))
+    sk.save_sketch(merged_h, str(tmp_path / "hll2"))
+
+    both = c1.unionByName(c2)
+    want_h = sk.hll_count_distinct(both, "key", (), P).first().est6
+    got_h = sk.hll_estimate(sk.load_sketch(spark, str(tmp_path / "hll2")), (), P).first().est6
+    assert got_h == want_h
+    want_c = {(r.row, r.pos): r.cnt for r in sk.cms_build(both, "key", D, W).collect()}
+    got_c = {(r.row, r.pos): r.cnt for r in merged_c.collect()}
+    assert got_c == want_c

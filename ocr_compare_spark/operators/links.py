@@ -177,6 +177,25 @@ def inbound_anchors(links: DataFrame, max_texts: int = 100) -> DataFrame:
     )
 
 
+def anchor_documents(links: DataFrame, max_texts: int = 100) -> DataFrame:
+    """Anchor-text pseudo-documents: ``(url, n_inbound, anchor_doc)``
+    where anchor_doc is the sorted distinct inbound anchor texts
+    joined with spaces — the classic web-search signal that a page is
+    well described by what OTHER pages call it (Brin & Page 1998
+    §2.2; Craswell et al. 2001 showed anchor-text retrieval beats
+    content retrieval for site finding). The document is a pure
+    function of the inbound edge set (sorted before joining), so
+    retrieval over it is layout-invariant; it feeds
+    operators/index.bm25_topk unchanged — index the crawl by anchor
+    text without touching page bytes."""
+    agg = inbound_anchors(links, max_texts)
+    return agg.select(
+        F.col("dst").alias("url"),
+        "n_inbound",
+        F.array_join("anchor_texts", " ").alias("anchor_doc"),
+    )
+
+
 def domain_graph(
     links: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -151,3 +151,34 @@ def test_domain_graph_collapse(spark):
     }
     assert set(ranks) == {"alpha.com", "beta.org", "user.github.io"}
     assert ranks["beta.org"] > ranks["alpha.com"] > ranks["user.github.io"]
+
+
+def test_anchor_documents_bm25_site_finding(spark):
+    # the Craswell/Brin-Page composition: index pages by what OTHERS
+    # call them. Content never enters the index; the query matches a
+    # page purely through its inbound anchor texts, and the document
+    # is layout-invariant (sorted distinct texts).
+    from ocr_compare_spark.operators import index, links
+
+    rows = [
+        ("https://a.com/1", "https://shop.com/w", "blue widgets"),
+        ("https://a.com/2", "https://shop.com/w", "cheap blue widgets"),
+        ("https://a.com/3", "https://shop.com/w", "widgets"),
+        ("https://b.com/1", "https://news.com/x", "daily news"),
+        ("https://b.com/2", "https://news.com/x", "breaking story"),
+    ]
+    ldf = spark.createDataFrame(rows, ["src", "dst", "anchor_text"])
+    docs = links.anchor_documents(ldf)
+    got = {r.url: (r.n_inbound, r.anchor_doc) for r in docs.collect()}
+    assert got["https://shop.com/w"] == (3, "blue widgets cheap blue widgets widgets")
+    q = spark.createDataFrame([(1, "blue widgets")], ["query_id", "query_text"])
+    top = index.bm25_topk(
+        docs, q, id_col="url", text_col="anchor_doc", k=2
+    ).collect()
+    assert top[0].id == "https://shop.com/w" and top[0].rank == 1
+    # layout invariance: shuffled edge order yields the same documents
+    got2 = {
+        r.url: r.anchor_doc
+        for r in links.anchor_documents(ldf.repartition(7)).collect()
+    }
+    assert got2 == {u: d for u, (_, d) in got.items()}

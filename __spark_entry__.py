@@ -895,7 +895,13 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "lang", F.lower(F.col("text")).alias("text")
     )
-    sh = d.select("lang", F.explode(dedup.word_shingles("text", 3)).alias("s"))
+    # three consumers each for sh (exact + two hll arms) and toks
+    # (counters + exact counts) — materialize the slim exploded
+    # streams once (the bm25-postings/simhash-fingerprint precedent:
+    # differently-aliased consumers re-run the upstream otherwise)
+    sh = d.select(
+        "lang", F.explode(dedup.word_shingles("text", 3)).alias("s")
+    ).localCheckpoint()
     exact = sh.groupBy("lang").agg(F.countDistinct("s").alias("exact_distinct"))
 
     def hll_arm(p: int) -> DataFrame:
@@ -912,7 +918,9 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("is_hh"),
         )
 
-    toks = d.select(F.explode(F.split("text", r"\s+")).alias("tok"))
+    toks = d.select(
+        F.explode(F.split("text", r"\s+")).alias("tok")
+    ).localCheckpoint()
     counters = sk.cms_build(toks, "tok", SKETCH_CMS_D, SKETCH_CMS_W)
     exact_t = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
     est_t = sk.cms_estimate(

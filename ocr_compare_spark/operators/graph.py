@@ -216,9 +216,20 @@ def hits(
         contrib = edges.join(
             scores.select(F.col("node").alias(from_col), "score6"), from_col
         ).select(F.col(to_col).alias("node"), F.col("score6").alias("c"))
+        # checkpoint the RAW aggregate BEFORE _normalize reads it
+        # twice (crossJoin side + the max subplan) — the two are
+        # differently-aliased subtrees, the exact shape where
+        # ReuseExchange does not fire and the edge-sized shuffle
+        # would run twice per half-round (pagerank's edge-checkpoint
+        # lesson, one level up)
         raw = contrib.unionByName(zero_seed).groupBy("node").agg(
             F.sum("c").alias("s")
-        )
+        ).localCheckpoint(eager=True)
+        # checkpoint the normalized output too: the next half-round
+        # (and the caller's final join) then reads a materialized
+        # node-sized table, and the 1-row broadcast crossJoin never
+        # leaks into downstream plans (plan_audit flags nested-loop
+        # joins it can see; a checkpointed scalar-broadcast is fine)
         return _normalize(raw).localCheckpoint(eager=True)
 
     hubs = nodes.select("node", F.lit(RANK_ONE6).cast("long").alias("score6"))

@@ -113,6 +113,11 @@ def hll_registers(
     measured 5x on a 1-split source)."""
     if num_partitions:
         df = df.repartition(num_partitions)
+    # NULL keys are IGNORED (approx_count_distinct semantics). Without
+    # this, md5(NULL) row-poisons the whole group: the NULL _term
+    # turns the aggregate() fold's acc+term into NULL, so est6 for
+    # every group containing one null key silently becomes NULL.
+    df = df.filter(F.col(key_col).isNotNull())
     idx, rho = hll_register_cols(key_col, p)
     staged = df.select(*group_cols, idx.alias("idx"), rho.alias("rho"))
     return staged.groupBy(*group_cols, "idx").agg(F.max("rho").alias("m_j"))
@@ -239,9 +244,12 @@ def cms_build(
     input row, ONE groupBy sum (map-side combine). Output is at most
     depth*width rows no matter the input size — the whole point.
     ``num_partitions`` = the hll_registers repartition hint (same
-    narrow-source md5 trap)."""
+    narrow-source md5 trap). NULL keys are ignored (they would
+    otherwise vanish via the NULL-position explode anyway — made
+    explicit so the contract is visible)."""
     if num_partitions:
         df = df.repartition(num_partitions)
+    df = df.filter(F.col(key_col).isNotNull())
     wcol = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     staged = df.select(
         F.explode(cms_position_cols(key_col, depth, width)).alias("rp"),
@@ -275,8 +283,10 @@ def cms_estimate(
     key's depth positions, broadcast-join the (tiny, bounded)
     counter table, min over rows. Never-hit positions count as 0.
     Estimates are >= the true count (CM's one-sided error); pure
-    int64, so the DuckDB twin is bit-exact by construction."""
-    probes = keys.select(
+    int64, so the DuckDB twin is bit-exact by construction. NULL
+    keys are omitted from the output (their md5 positions are NULL,
+    which would otherwise min() to a meaningless 0)."""
+    probes = keys.filter(F.col(key_col).isNotNull()).select(
         key_col, F.explode(cms_position_cols(key_col, depth, width)).alias("rp")
     ).select(key_col, F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
     joined = probes.join(F.broadcast(counters), ["row", "pos"], "left").select(
@@ -304,7 +314,9 @@ def cms_estimate_broadcast(
     """Data path: the counter matrix rides a broadcast; membership is
     one vectorized gather per Arrow batch (plan O(1) in depth*width —
     the bloom.py might_contain shape). Pytest pins it equal to
-    cms_estimate."""
+    cms_estimate on non-null keys; NULL keys estimate NULL here and
+    are omitted by the relational path (both 'ignored', differently
+    shaped — withColumn cannot drop rows)."""
     spark = keys.sparkSession
     depth, width = matrix.shape
     bc = spark.sparkContext.broadcast(np.ascontiguousarray(matrix))
@@ -312,11 +324,17 @@ def cms_estimate_broadcast(
     @pandas_udf("long")
     def _est(col: pd.Series) -> pd.Series:
         mat = bc.value
-        out = np.empty(len(col), dtype=np.int64)
-        for j, k in enumerate(col):
+        out = []
+        for k in col:
+            # NULL key -> NULL estimate (the relational path omits the
+            # row entirely; hashing str(None) would conflate NULL with
+            # a literal 'None' token)
+            if k is None:
+                out.append(None)
+                continue
             pos = _py_cms_positions(k, depth, width)
-            out[j] = min(mat[i, pos[i]] for i in range(depth))
-        return pd.Series(out)
+            out.append(int(min(mat[i, pos[i]] for i in range(depth))))
+        return pd.Series(out, dtype="object")
 
     return keys.withColumn(out_col, _est(F.col(key_col).cast("string")))
 
@@ -353,8 +371,14 @@ def save_sketch(df: DataFrame, path: str) -> None:
     batch (the save_bloom pattern): load prior sketch, build this
     batch's, hll_merge / cms_merge, save back. Both tables are
     bounded (<= m rows per group / <= d*w rows) so the write is
-    trivially small."""
-    df.write.mode("overwrite").parquet(path)
+    trivially small.
+
+    The fold saves back TO THE PATH IT LOADED FROM, so the plan is
+    cut with localCheckpoint first — overwrite-writing a lazy plan
+    that still reads the target path throws Spark's 'Cannot
+    overwrite a path that is also being read from' (the cache.py
+    self-append trap, write-side flavor)."""
+    df.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
 
 
 def load_sketch(spark, path: str) -> DataFrame:

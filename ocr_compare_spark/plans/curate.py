@@ -608,6 +608,11 @@ def curate(
         toks = src.repartition(num_partitions).select(
             "lang",
             F.explode(F.split(F.lower(F.col(tcol)), r"\s+")).alias("tok"),
+        ).filter(
+            # split(limit=-1) keeps the empty token a trailing newline
+            # produces (CLAUDE.md whitespace-class family) — without
+            # this, '' tops the heavy-hitter dict and pads vocabulary
+            F.col("tok") != ""
         ).persist()
         vocab = {
             r["lang"]: r["est6"] / 1e6

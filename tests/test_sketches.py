@@ -233,3 +233,42 @@ def test_sketch_persistence_cross_crawl_fold(spark, tmp_path):
     want_c = {(r.row, r.pos): r.cnt for r in sk.cms_build(both, "key", D, W).collect()}
     got_c = {(r.row, r.pos): r.cnt for r in merged_c.collect()}
     assert got_c == want_c
+
+
+def test_hll_null_keys_ignored(spark):
+    # a NULL key must not poison the group (md5(NULL) -> NULL _term
+    # -> NULL fold); semantics match approx_count_distinct: ignored
+    clean = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    dirty = clean.unionByName(spark.createDataFrame([(None,), (None,)], "key string"))
+    a = sk.hll_count_distinct(clean, "key", (), P).first()
+    b = sk.hll_count_distinct(dirty, "key", (), P).first()
+    assert b.est6 == a.est6 and b.est6 is not None
+    assert b.n_present == a.n_present
+
+
+def test_cms_null_keys_contract(spark):
+    # build ignores NULLs; relational estimate omits the row;
+    # broadcast estimate returns NULL (never the str(None) hash)
+    df = spark.createDataFrame([("a",), ("a",), (None,), ("None",)], "key string")
+    counters = sk.cms_build(df, "key", D, W)
+    rel = {r.key: r.est_cnt for r in sk.cms_estimate(df.distinct(), counters, "key", D, W).collect()}
+    assert rel == {"a": 2, "None": 1}  # NULL row absent; literal 'None' distinct from it
+    mat = sk.cms_counters_to_numpy(counters, D, W)
+    dat = {r.key: r.est_cnt for r in sk.cms_estimate_broadcast(df.distinct(), mat, "key").collect()}
+    assert dat == {"a": 2, "None": 1, None: None}
+
+
+def test_save_sketch_fold_back_to_same_path(spark, tmp_path):
+    # the documented recipe writes back TO THE PATH IT LOADED FROM —
+    # without the checkpoint inside save_sketch this throws 'Cannot
+    # overwrite a path that is also being read from'
+    p = str(tmp_path / "fold")
+    sk.save_sketch(sk.hll_registers(_keys(spark, 100, "f"), "key", (), P), p)
+    merged = sk.hll_merge(
+        sk.load_sketch(spark, p),
+        sk.hll_registers(_keys(spark, 160, "f"), "key", (), P),
+    )
+    sk.save_sketch(merged, p)  # same path: must not raise
+    want = sk.hll_count_distinct(_keys(spark, 160, "f"), "key", (), P).first().est6
+    got = sk.hll_estimate(sk.load_sketch(spark, p), (), P).first().est6
+    assert got == want

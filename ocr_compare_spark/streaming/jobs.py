@@ -137,3 +137,52 @@ def first_seen_stream(pages_stream: DataFrame, hash_col: str = "html") -> DataFr
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def hll_stream(
+    spark: SparkSession,
+    input_path: str,
+    sketch_path: str,
+    checkpoint_path: str,
+    key_col: str,
+    schema: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 12,
+):
+    """Streaming distinct-count maintenance: fold every micro-batch's
+    HLL registers into a persistent sketch via foreachBatch — the
+    always-on flavor of the recurring-crawl fold (sketches.save_sketch
+    docstring). Each trigger touches only the NEW files; the sketch
+    on disk is at most m rows per group no matter how much history
+    streamed through, and hll_estimate over it answers "distinct keys
+    ever seen" without any reprocessing. Merge is idempotent per
+    batch content (register max), so a replayed batch cannot inflate
+    the estimate — the sketch analog of exactly-once.
+
+    AvailableNow trigger: processes all current data then stops
+    (rerun to pick up new files only, the extraction_stream
+    convention). Returns the started StreamingQuery."""
+    import os
+
+    from ocr_compare_spark.operators import sketches
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_path)
+    )
+
+    def fold(batch_df, batch_id):
+        regs = sketches.hll_registers(batch_df, key_col, group_cols, p)
+        if os.path.exists(sketch_path):
+            regs = sketches.hll_merge(
+                sketches.load_sketch(batch_df.sparkSession, sketch_path), regs
+            )
+        sketches.save_sketch(regs, sketch_path)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -272,3 +272,30 @@ def test_save_sketch_fold_back_to_same_path(spark, tmp_path):
     want = sk.hll_count_distinct(_keys(spark, 160, "f"), "key", (), P).first().est6
     got = sk.hll_estimate(sk.load_sketch(spark, p), (), P).first().est6
     assert got == want
+
+
+def test_hll_stream_equals_batch_build(spark, tmp_path):
+    # streaming maintenance: registers folded per micro-batch via
+    # foreachBatch == one batch build over everything that streamed
+    # through; a second run with NEW files folds incrementally
+    from ocr_compare_spark.streaming.jobs import hll_stream
+
+    inp = str(tmp_path / "keys")
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    c1 = _keys(spark, 300, "s").select("id", "key")
+    c1.write.mode("append").parquet(inp)
+    q = hll_stream(spark, inp, sketch, ckpt, "key", "id long, key string", p=P)
+    q.awaitTermination(120)
+    est1 = sk.hll_estimate(sk.load_sketch(spark, sketch), (), P).first().est6
+    want1 = sk.hll_count_distinct(c1, "key", (), P).first().est6
+    assert est1 == want1
+    # new files arrive: only they are processed; the fold still
+    # converges to the batch build over the union
+    c2 = _keys(spark, 120, "t").select("id", "key")
+    c2.write.mode("append").parquet(inp)
+    q = hll_stream(spark, inp, sketch, ckpt, "key", "id long, key string", p=P)
+    q.awaitTermination(120)
+    est2 = sk.hll_estimate(sk.load_sketch(spark, sketch), (), P).first().est6
+    want2 = sk.hll_count_distinct(c1.unionByName(c2), "key", (), P).first().est6
+    assert est2 == want2

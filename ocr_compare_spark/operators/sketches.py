@@ -347,6 +347,7 @@ def cms_heavy_hitters(
     threshold: int = 100,
     counters: DataFrame | None = None,
     num_partitions: int | None = None,
+    confirm: bool = False,
 ) -> DataFrame:
     """Keys whose CM estimate >= threshold, with the estimate. The
     candidate set is the stream's distinct keys (batch setting —
@@ -354,12 +355,27 @@ def cms_heavy_hitters(
     so merged multi-shard counters give cross-shard totals without a
     global key shuffle. One-sided: no true heavy hitter is missed
     (est >= true); collision overestimates can admit extras, bounded
-    by the depth/width sizing."""
+    by the depth/width sizing.
+
+    ``confirm=True`` runs the production two-pass shape: the sketch
+    produces the (small) candidate set cheaply, then ONE exact pass
+    counts only rows matching a candidate (broadcast semi-join — the
+    decontam shape; the full key space never shuffles) and drops the
+    collision-admitted extras. Output gains exact_cnt and is filtered
+    on it, making the result exactly the true heavy hitters."""
     if counters is None:
         counters = cms_build(df, key_col, depth, width, num_partitions=num_partitions)
     cand = df.select(key_col).distinct()
     est = cms_estimate(cand, counters, key_col, depth, width)
-    return est.filter(F.col("est_cnt") >= threshold)
+    hh = est.filter(F.col("est_cnt") >= threshold)
+    if not confirm:
+        return hh
+    exact = (
+        df.join(F.broadcast(hh.select(key_col)), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    return hh.join(exact, key_col).filter(F.col("exact_cnt") >= threshold)
 
 
 # ---------------------------------------------------- persistence

@@ -299,3 +299,17 @@ def test_hll_stream_equals_batch_build(spark, tmp_path):
     est2 = sk.hll_estimate(sk.load_sketch(spark, sketch), (), P).first().est6
     want2 = sk.hll_count_distinct(c1.unionByName(c2), "key", (), P).first().est6
     assert est2 == want2
+
+
+def test_cms_heavy_hitters_confirmed_exact(spark):
+    # two-pass shape: undersized sketch (4x16 over 20 keys forces
+    # collision overestimates) -> candidates -> exact confirm pass
+    # returns EXACTLY the true heavy hitters with true counts
+    df = _freq_df(spark)
+    got = {
+        r.key: r.exact_cnt
+        for r in sk.cms_heavy_hitters(
+            df, "key", depth=4, width=16, threshold=100, confirm=True
+        ).collect()
+    }
+    assert got == {f"f{n}": n * n for n in range(10, 21)}

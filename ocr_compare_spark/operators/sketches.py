@@ -362,7 +362,13 @@ def cms_heavy_hitters(
     counts only rows matching a candidate (broadcast semi-join — the
     decontam shape; the full key space never shuffles) and drops the
     collision-admitted extras. Output gains exact_cnt and is filtered
-    on it, making the result exactly the true heavy hitters."""
+    on it, making the result exactly the true heavy hitters OF ``df``
+    — the exact pass counts df's unweighted rows, so confirm requires
+    counters that describe exactly df (None, or cms_build(df) without
+    weight_col). For merged multi-shard or weighted counters the
+    one-sided sketch answer (confirm=False) is the correct tool:
+    confirming against one shard would silently drop a key whose mass
+    lives across shards."""
     if counters is None:
         counters = cms_build(df, key_col, depth, width, num_partitions=num_partitions)
     cand = df.select(key_col).distinct()
@@ -370,6 +376,11 @@ def cms_heavy_hitters(
     hh = est.filter(F.col("est_cnt") >= threshold)
     if not confirm:
         return hh
+    # hh feeds BOTH the semi-join build side and the final probe —
+    # differently-aliased consumers, so without a checkpoint the
+    # distinct+estimate pipeline runs twice (the pagerank/bm25
+    # two-consumer rule); the candidate set is small by construction
+    hh = hh.localCheckpoint(eager=True)
     exact = (
         df.join(F.broadcast(hh.select(key_col)), key_col, "left_semi")
         .groupBy(key_col)
@@ -393,8 +404,21 @@ def save_sketch(df: DataFrame, path: str) -> None:
     cut with localCheckpoint first — overwrite-writing a lazy plan
     that still reads the target path throws Spark's 'Cannot
     overwrite a path that is also being read from' (the cache.py
-    self-append trap, write-side flavor)."""
-    df.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    self-append trap, write-side flavor). The write itself goes to a
+    temp sibling then renames into place (the write_warc pattern):
+    mode('overwrite') deletes the target BEFORE the job commits, so
+    a mid-save crash would otherwise lose the accumulated sketch —
+    with the rename, a crash leaves either the old sketch intact or
+    the new one complete. (Local-FS rename; on an object store use
+    the committer instead.)"""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "._tmp"
+    df.localCheckpoint(eager=True).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
 
 
 def load_sketch(spark, path: str) -> DataFrame:

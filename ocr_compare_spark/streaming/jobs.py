@@ -174,7 +174,11 @@ def hll_stream(
 
     def fold(batch_df, batch_id):
         regs = sketches.hll_registers(batch_df, key_col, group_cols, p)
-        if os.path.exists(sketch_path):
+        # _SUCCESS-guarded (the plans/job.py cache convention): a
+        # half-written sketch dir must not be merged from — with
+        # save_sketch's rename this only ever misses a sketch that
+        # never completed
+        if os.path.exists(os.path.join(sketch_path, "_SUCCESS")):
             regs = sketches.hll_merge(
                 sketches.load_sketch(batch_df.sparkSession, sketch_path), regs
             )

@@ -286,7 +286,7 @@ def test_hll_stream_equals_batch_build(spark, tmp_path):
     c1 = _keys(spark, 300, "s").select("id", "key")
     c1.write.mode("append").parquet(inp)
     q = hll_stream(spark, inp, sketch, ckpt, "key", "id long, key string", p=P)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     est1 = sk.hll_estimate(sk.load_sketch(spark, sketch), (), P).first().est6
     want1 = sk.hll_count_distinct(c1, "key", (), P).first().est6
     assert est1 == want1
@@ -295,7 +295,7 @@ def test_hll_stream_equals_batch_build(spark, tmp_path):
     c2 = _keys(spark, 120, "t").select("id", "key")
     c2.write.mode("append").parquet(inp)
     q = hll_stream(spark, inp, sketch, ckpt, "key", "id long, key string", p=P)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     est2 = sk.hll_estimate(sk.load_sketch(spark, sketch), (), P).first().est6
     want2 = sk.hll_count_distinct(c1.unionByName(c2), "key", (), P).first().est6
     assert est2 == want2

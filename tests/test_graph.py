@@ -148,3 +148,25 @@ def test_hits_layout_invariant(spark):
     a = {r["node"]: (r["auth6"], r["hub6"]) for r in graph.hits(df.repartition(2), iters=3).collect()}
     b = {r["node"]: (r["auth6"], r["hub6"]) for r in graph.hits(df.repartition(13), iters=3).collect()}
     assert a == b
+
+
+def test_hits_over_domain_graph_composition(spark):
+    # links -> registered-domain collapse -> HITS: directory-style
+    # domains (many out-links) surface as hubs, linked-to content
+    # domains as authorities
+    from ocr_compare_spark.operators import links
+
+    rows = [
+        (f"https://dir.example/p{i}", f"https://site{i}.com/x", "t")
+        for i in range(4)
+    ] + [("https://site0.com/a", "https://site1.com/b", "t")]
+    ldf = spark.createDataFrame(rows, ["src", "dst", "anchor_text"])
+    dg = links.domain_graph(ldf)
+    got = {
+        r["node"]: (r["auth6"], r["hub6"])
+        for r in graph.hits(dg.select("src_domain", "dst_domain"),
+                            iters=2, src="src_domain", dst="dst_domain").collect()
+    }
+    assert got["dir.example"][1] == 1_000_000      # the directory is THE hub
+    assert got["dir.example"][0] == 0              # nothing links to it
+    assert max(got[f"site{i}.com"][0] for i in range(4)) == 1_000_000

@@ -276,3 +276,69 @@ def combine_pages_spanned(spans: DataFrame) -> DataFrame:
         .drop("new_page_no", "new_last")
     )
     return out
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "doc_text",
+    window: int = 256,
+    stride: int | None = None,
+) -> DataFrame:
+    """Token-window chunking — the retrieval/context-window shape
+    (fixed-size possibly-overlapping windows PER DOCUMENT, offsets
+    kept so a retrieved chunk maps back into its source), the
+    document-local complement of sampling.pack_sequences' cross-doc
+    concat-and-chunk.
+
+    Output: (id, chunk_no, tok_start, tok_end, n_tokens, chunk_text)
+    — chunk_no 0-based, tok_start inclusive / tok_end exclusive in
+    the doc's whitespace-token stream, chunk_text the space-joined
+    window. stride defaults to window (disjoint); stride < window
+    overlaps. The LAST window is the remainder (shorter, never
+    empty); a doc shorter than window yields exactly one chunk.
+    Fully native (split + sequence + slice inside one projection —
+    zero shuffle, zero Python), so the plan composes into any scan.
+    Empty/NULL texts yield no chunks.
+    """
+    if stride is None:
+        stride = window
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    # blank docs yield NO chunks — rlike, not trim (F.trim strips only
+    # 0x20; a tab/newline-only doc would otherwise emit one chunk of
+    # empty split tokens — the CLAUDE.md whitespace-class family)
+    df = df.filter(
+        F.col(text_col).isNotNull() & ~F.col(text_col).rlike(r"^\s*$")
+    )
+    toks = F.split(F.col(text_col), r"\s+")
+    # start offsets 0, stride, ... strictly below n (so the tail
+    # window is the remainder); transform carries (start, slice)
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.filter(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                s.alias("tok_start"),
+                F.least(s + window, n).alias("tok_end"),
+                # slice() is 1-based
+                F.array_join(F.slice(toks, s + 1, window), " ").alias("chunk_text"),
+            ),
+        ),
+        lambda c: c["tok_end"] > c["tok_start"],
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_no", "c"),
+    )
+    return ex.select(
+        "id",
+        "chunk_no",
+        F.col("c.tok_start").alias("tok_start"),
+        F.col("c.tok_end").alias("tok_end"),
+        (F.col("c.tok_end") - F.col("c.tok_start")).alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

@@ -874,3 +874,57 @@ def ivfpq_topk(
 
     partial = codes.mapInPandas(scan, out_schema)
     return _rank_topk(partial.filter(F.col("neighbor_id") != F.col("query_id")), k)
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame | None = None,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for embedding/retriever training (the
+    DPR / ANCE recipe: the best negatives are the nearest non-
+    relevant neighbors, not random ones): per query, the exact top-k
+    most-similar corpus vectors AFTER removing the query itself and
+    its known positives. Output (query_id, rank, neighbor_id, sim),
+    rank 1..k over the surviving negatives.
+
+    ``positives``: (query_id, pos_id) pairs to exclude. Exactness
+    under exclusion: fetch k + max(positives per query) candidates
+    (one bounded aggregate decides the buffer), anti-join the
+    positives, re-rank — every excluded pair frees exactly one slot,
+    so the kept k are the true top-k negatives. Same scale shape as
+    brute_force_topk (broadcast queries, partition GEMM, corpus never
+    shuffled); swap in lsh/ivf candidates upstream for query sets
+    beyond the driver guard."""
+    if positives is not None:
+        row = (
+            positives.groupBy("query_id")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n"))
+            .first()
+        )
+        max_pos = int(row[0] or 0)
+    else:
+        max_pos = 0
+    top = brute_force_topk_df(
+        corpus, queries, k=k + max_pos, id_col=id_col, vec_col=vec_col
+    )
+    if positives is not None:
+        top = top.join(
+            positives.select(
+                "query_id", F.col("pos_id").alias("neighbor_id")
+            ),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )

@@ -1110,3 +1110,32 @@ def test_ivfpq_partition_invariant_and_guard(vectors, monkeypatch):
     monkeypatch.setattr(similarity, "MAX_DRIVER_QUERIES", 2)
     with pytest.raises(ValueError, match="query set exceeds"):
         similarity.ivfpq_topk(df, q, dim=16)
+
+
+def test_mine_hard_negatives_excludes_positives_exactly(spark):
+    # two tight clusters on orthogonal axes plus per-vector jitter:
+    # for a cluster-A query with all other A members marked positive,
+    # the mined negatives are EXACTLY the B vectors (nearest
+    # non-relevant), ranked by true cosine
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(6):      # cluster A: ids 0..5 near e0
+        v = np.zeros(8); v[0] = 1.0
+        rows.append((i, (v + 0.01 * rng.standard_normal(8)).tolist()))
+    for i in range(6, 12):  # cluster B: ids 6..11 near e1
+        v = np.zeros(8); v[1] = 1.0
+        rows.append((i, (v + 0.01 * rng.standard_normal(8)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0")
+    pos = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "query_id long, pos_id long"
+    )
+    negs = similarity.mine_hard_negatives(emb, q, positives=pos, k=4).collect()
+    assert [r.rank for r in negs] == [1, 2, 3, 4]
+    assert all(6 <= r.neighbor_id <= 11 for r in negs)       # only cluster B
+    assert all(negs[i].sim >= negs[i + 1].sim for i in range(3))
+    # without positives, the same-cluster vectors dominate instead
+    base = similarity.mine_hard_negatives(emb, q, k=4).collect()
+    assert all(1 <= r.neighbor_id <= 5 for r in base)

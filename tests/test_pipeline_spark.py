@@ -862,3 +862,39 @@ def test_curate_sig_store_cross_crawl(spark, sf_dir, tmp_path):
     assert m2["dropped_cross_crawl"] == m1["docs_out"]
     # nothing kept -> nothing appended
     assert spark.read.parquet(store).count() == m1["docs_out"]
+
+
+# ------------------------------------------------- token windows
+
+
+def test_chunk_token_windows_reconstruction_and_overlap(spark):
+    from ocr_compare_spark.operators.chunking import chunk_token_windows
+
+    text = " ".join(f"w{i}" for i in range(23))
+    df = spark.createDataFrame(
+        [("a", text), ("b", "x y"), ("c", None), ("d", " \t\n"), ("e", "solo")],
+        ["url", "doc_text"],
+    )
+    # disjoint windows: concatenation reconstructs the token stream,
+    # the tail window is the remainder
+    got = chunk_token_windows(df, window=10).orderBy("id", "chunk_no").collect()
+    a = [r for r in got if r.id == "a"]
+    assert [(r.tok_start, r.tok_end) for r in a] == [(0, 10), (10, 20), (20, 23)]
+    assert " ".join(r.chunk_text for r in a) == text
+    assert [r.chunk_no for r in a] == [0, 1, 2]
+    assert sum(r.n_tokens for r in a) == 23
+    # short docs -> exactly one chunk; blank/null -> none
+    assert [(r.id, r.chunk_text) for r in got if r.id in "bcde"] == [
+        ("b", "x y"), ("e", "solo")
+    ]
+    # overlapping windows: consecutive chunks share window-stride toks
+    ov = [
+        r for r in chunk_token_windows(df, window=10, stride=5)
+        .orderBy("id", "chunk_no").collect() if r.id == "a"
+    ]
+    assert [(r.tok_start, r.tok_end) for r in ov] == [
+        (0, 10), (5, 15), (10, 20), (15, 23), (20, 23)
+    ]
+    for prev, nxt in zip(ov, ov[1:]):
+        shared_prev = prev.chunk_text.split()[5:]
+        assert nxt.chunk_text.split()[: len(shared_prev)] == shared_prev

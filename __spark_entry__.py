@@ -460,16 +460,35 @@ def q_meta_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.unionByName(p)
 
 
+#: token-window gate shape: overlapping (stride < window) so the
+#: overlap math gates too; sizes chosen to give multi-chunk docs AND
+#: remainder tails at both gate sfs.
+TOKEN_WINDOW = 32
+TOKEN_STRIDE = 24
+
+
 def q_chunk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """chunk_segments + chunk_roundtrip gated as ONE wide union row
-    set (null-padded per kind) — frees a 50-cap registry slot for the
-    robots gate; both remain importable individually."""
+    """chunk_segments + chunk_roundtrip (+ token_windows, session 8:
+    the per-doc RAG window chunker with source offsets — fully
+    SQL-expressible, so the twin recomputes every window byte-exactly)
+    gated as ONE wide union row set (null-padded per kind) — frees a
+    50-cap registry slot for the robots gate; all remain importable
+    individually."""
+    from ocr_compare_spark.operators.chunking import chunk_token_windows
+
+    pad = {
+        "chunk_no": F.lit(None).cast("long"),
+        "tok_start": F.lit(None).cast("long"),
+        "tok_end": F.lit(None).cast("long"),
+        "chunk_text": F.lit(None).cast("string"),
+    }
     s = q_chunk_segments(spark, sf_dir).select(
         F.lit("segments").alias("kind"),
         "url",
         "n_segments",
         "n_pages",
         F.lit(None).cast("long").alias("match"),
+        *[c.alias(n) for n, c in pad.items()],
     )
     r = q_chunk_roundtrip(spark, sf_dir).select(
         F.lit("roundtrip").alias("kind"),
@@ -477,8 +496,27 @@ def q_chunk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_segments",
         F.lit(None).cast("long").alias("n_pages"),
         "match",
+        *[c.alias(n) for n, c in pad.items()],
     )
-    return s.unionByName(r)
+    w = chunk_token_windows(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.col("text").alias("doc_text"),
+        ),
+        window=TOKEN_WINDOW,
+        stride=TOKEN_STRIDE,
+    ).select(
+        F.lit("token_windows").alias("kind"),
+        F.col("id").alias("url"),
+        F.lit(None).cast("long").alias("n_segments"),
+        F.lit(None).cast("long").alias("n_pages"),
+        F.lit(None).cast("long").alias("match"),
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.col("tok_end").cast("long").alias("tok_end"),
+        "chunk_text",
+    )
+    return s.unionByName(r).unionByName(w)
 
 
 #: robots.txt bodies for the gated row — deterministic per host-
@@ -3131,12 +3169,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT 'segments' AS kind, url,
                    CAST(ceil(n_pages / 2.0) AS BIGINT) AS n_segments, n_pages,
-                   CAST(NULL AS BIGINT) AS match
+                   CAST(NULL AS BIGINT) AS match,
+                   CAST(NULL AS BIGINT) AS chunk_no,
+                   CAST(NULL AS BIGINT) AS tok_start,
+                   CAST(NULL AS BIGINT) AS tok_end,
+                   CAST(NULL AS VARCHAR) AS chunk_text
             FROM pd
             UNION ALL
             SELECT 'roundtrip', url, CAST(ceil(n_pages / 2.0) AS BIGINT),
-                   CAST(NULL AS BIGINT), CAST(1 AS BIGINT)
+                   CAST(NULL AS BIGINT), CAST(1 AS BIGINT),
+                   NULL, NULL, NULL, NULL
             FROM pd
+            UNION ALL
+            SELECT 'token_windows', CAST(doc_id AS VARCHAR), NULL, NULL, NULL,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1,
+                   s, least(s + {TOKEN_WINDOW}, len(t)),
+                   array_to_string(t[s + 1 : s + {TOKEN_WINDOW}], ' ')
+            FROM (
+              SELECT doc_id, t, unnest(range(0, len(t), {TOKEN_STRIDE})) AS s
+              FROM (
+                SELECT doc_id, string_split_regex(text, '\\s+') AS t
+                FROM documents
+                WHERE text IS NOT NULL AND NOT regexp_matches(text, '^\\s*$')
+              )
+            )
         """,
         "robots_gate": """
             SELECT doc_id,

@@ -1388,6 +1388,29 @@ def _graph_suite_oracle() -> str:
     """
 
 
+#: SQL twin of the ann_suite 'hardneg' arm: bf scoring with the
+#: closed-form positives {q+1, q+2, q+3} and self excluded, ranked on
+#: the SAME round6 sims mine_hard_negatives re-ranks on (ties by id).
+_EMBED_HARDNEG_ORACLE = """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      FROM q, embeddings c
+      WHERE q.vec_id <> c.vec_id
+        AND c.vec_id NOT IN (q.vec_id + 1, q.vec_id + 2, q.vec_id + 3)
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+    FROM ranked WHERE rank <= 3
+"""
+
+
 #: SQL twin of q_embed_topk (brute-force cosine top-3 for queries
 #: vec_id < 8) — folded into the ann_suite 'bf' arm.
 _EMBED_BF_ORACLE = """
@@ -1609,7 +1632,27 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = q_embed_topk_lsh(spark, sf_dir).select(F.lit("lsh").alias("family"), "*")
     ivf = q_embed_topk_ivf(spark, sf_dir).select(F.lit("ivf").alias("family"), "*")
     pq = q_embed_topk_pq(spark, sf_dir).select(F.lit("pq").alias("family"), "*")
-    return bf.unionByName(lsh).unionByName(ivf).unionByName(pq)
+    # hardneg (session 8): DPR-style mining — bf top-k AFTER excluding
+    # each query's closed-form positives {q+1, q+2, q+3} and itself;
+    # ranked on the round6 sims (ties by id), which the twin mirrors
+    emb = _tbl(spark, sf_dir, "embeddings")
+    hn_queries = emb.filter(F.col("vec_id") < 8)
+    hn_pos = hn_queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(*[F.col("vec_id") + i for i in (1, 2, 3)])
+        ).alias("pos_id"),
+    )
+    hn = similarity.mine_hard_negatives(
+        emb, hn_queries, positives=hn_pos, k=3
+    ).select(
+        F.lit("hardneg").alias("family"),
+        F.lit("literal").alias("variant"),
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+    )
+    return bf.unionByName(lsh).unionByName(ivf).unionByName(pq).unionByName(hn)
 
 
 #: SemDeDup gate config: seeded 16-cell quantizer over the dim-64
@@ -3653,6 +3696,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pq', 'literal', * FROM ({_embed_pq_oracle()})
             UNION ALL
             SELECT 'pq', 'data', * FROM ({_embed_pq_oracle()})
+            UNION ALL
+            SELECT 'hardneg', 'literal', * FROM ({_EMBED_HARDNEG_ORACLE})
         """,
         "bm25": _bm25_oracle(),
         "graph_suite": _graph_suite_oracle(),

@@ -1390,13 +1390,15 @@ def _graph_suite_oracle() -> str:
 
 #: SQL twin of the ann_suite 'hardneg' arm: bf scoring with the
 #: closed-form positives {q+1, q+2, q+3} and self excluded, ranked on
-#: the SAME round6 sims mine_hard_negatives re-ranks on (ties by id).
+#: RAW sims like the bf arm (order-robust to cross-engine ulps; a
+#: round6 ranking key would hit the DuckDB-vs-Spark HALF_UP boundary
+#: divergence CLAUDE.md warns about).
 _EMBED_HARDNEG_ORACLE = """
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                          CAST(c.embedding AS DOUBLE[])), 6) AS sim
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS sim
       FROM q, embeddings c
       WHERE q.vec_id <> c.vec_id
         AND c.vec_id NOT IN (q.vec_id + 1, q.vec_id + 2, q.vec_id + 3)
@@ -1624,8 +1626,8 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     final — its freed slot gates PageRank; + pq, session 8) gated as
     ONE union row set (they already share the (variant, query_id,
     rank, neighbor_id) schema; a family column tells them apart).
-    All eight ANN variants (bf, lsh literal/data, ivf seeded/trained/
-    data, pq literal/data) stay gated."""
+    All NINE ANN variants (bf, lsh literal/data, ivf seeded/trained/
+    data, pq literal/data, hardneg) stay gated."""
     bf = q_embed_topk(spark, sf_dir).select(
         F.lit("bf").alias("family"), F.lit("literal").alias("variant"), "*"
     )
@@ -1634,7 +1636,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = q_embed_topk_pq(spark, sf_dir).select(F.lit("pq").alias("family"), "*")
     # hardneg (session 8): DPR-style mining — bf top-k AFTER excluding
     # each query's closed-form positives {q+1, q+2, q+3} and itself;
-    # ranked on the round6 sims (ties by id), which the twin mirrors
+    # ordered by the raw bf ranking (the twin ranks raw sims too)
     emb = _tbl(spark, sf_dir, "embeddings")
     hn_queries = emb.filter(F.col("vec_id") < 8)
     hn_pos = hn_queries.select(
@@ -3231,7 +3233,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT doc_id, t, unnest(range(0, len(t), {TOKEN_STRIDE})) AS s
               FROM (
-                SELECT doc_id, string_split_regex(text, '\\s+') AS t
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
                 FROM documents
                 WHERE text IS NOT NULL AND NOT regexp_matches(text, '^\\s*$')
               )

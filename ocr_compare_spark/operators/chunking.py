@@ -297,48 +297,54 @@ def chunk_token_windows(
     window. stride defaults to window (disjoint); stride < window
     overlaps. The LAST window is the remainder (shorter, never
     empty); a doc shorter than window yields exactly one chunk.
-    Fully native (split + sequence + slice inside one projection —
-    zero shuffle, zero Python), so the plan composes into any scan.
-    Empty/NULL texts yield no chunks.
+    Fully native (split + sequence + posexplode + slice — zero
+    shuffle, zero Python), so the plan composes into any scan.
+    Empty/NULL/whitespace-only texts yield no chunks; empty edge
+    tokens from leading/trailing whitespace are filtered out.
     """
     if stride is None:
         stride = window
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
-    # blank docs yield NO chunks — rlike, not trim (F.trim strips only
-    # 0x20; a tab/newline-only doc would otherwise emit one chunk of
-    # empty split tokens — the CLAUDE.md whitespace-class family)
+    # NULL text first: size(NULL array) is -1, which would leak a
+    # garbage row through the window arithmetic (rlike not trim —
+    # the whitespace-class trap)
     df = df.filter(
         F.col(text_col).isNotNull() & ~F.col(text_col).rlike(r"^\s*$")
     )
-    toks = F.split(F.col(text_col), r"\s+")
-    # start offsets 0, stride, ... strictly below n (so the tail
-    # window is the remainder); transform carries (start, slice)
-    n = F.size(toks)
-    starts = F.sequence(
-        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    # split(limit=-1) keeps the empty edge tokens leading/trailing
+    # whitespace produces (the CLAUDE.md whitespace-class family) —
+    # filter them so a newline-terminated doc can't emit a phantom
+    # empty tail chunk
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
     )
-    chunks = F.filter(
-        F.transform(
-            starts,
-            lambda s: F.struct(
-                s.alias("tok_start"),
-                F.least(s + window, n).alias("tok_end"),
-                # slice() is 1-based
-                F.array_join(F.slice(toks, s + 1, window), " ").alias("chunk_text"),
-            ),
-        ),
-        lambda c: c["tok_end"] > c["tok_start"],
-    )
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(chunks).alias("chunk_no", "c"),
-    )
-    return ex.select(
+    # explode-first shape: bind the token array as an ATTRIBUTE below
+    # the Generate, then slice it in the projection above — putting
+    # the slice inside a transform() lambda would re-inline the regex
+    # split per WINDOW (Catalyst does no subexpression elimination
+    # inside higher-order-function lambdas; the CLAUDE.md N-lambdas
+    # trap), turning a 100k-token doc into ~780 full re-splits
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    ex = base.select(
         "id",
-        "chunk_no",
-        F.col("c.tok_start").alias("tok_start"),
-        F.col("c.tok_end").alias("tok_end"),
-        (F.col("c.tok_end") - F.col("c.tok_start")).alias("n_tokens"),
-        F.col("c.chunk_text").alias("chunk_text"),
+        "_toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+        ).alias("chunk_no", "tok_start"),
+    )
+    tok_end = F.least(F.col("tok_start") + window, F.size("_toks"))
+    return (
+        ex.select(
+            "id",
+            "chunk_no",
+            "tok_start",
+            tok_end.alias("tok_end"),
+            (tok_end - F.col("tok_start")).alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("tok_start") + 1, window), " "
+            ).alias("chunk_text"),
+        )
+        .filter(F.col("tok_end") > F.col("tok_start"))
     )

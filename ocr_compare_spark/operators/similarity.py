@@ -920,9 +920,13 @@ def mine_hard_negatives(
             ["query_id", "neighbor_id"],
             "left_anti",
         )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
+    # re-rank by the ORIGINAL brute-force rank, not by the rounded sim
+    # column: the candidate buffer was cut on RAW sims, so ordering
+    # survivors by round6 sims could disagree with the cut near
+    # round6 ties — rank asc preserves the raw (sim desc, id asc)
+    # order exactly and keeps Spark consistent with the raw-ranked
+    # oracle twin (the bf-arm convention)
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
     return (
         top.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

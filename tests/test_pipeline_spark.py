@@ -872,7 +872,8 @@ def test_chunk_token_windows_reconstruction_and_overlap(spark):
 
     text = " ".join(f"w{i}" for i in range(23))
     df = spark.createDataFrame(
-        [("a", text), ("b", "x y"), ("c", None), ("d", " \t\n"), ("e", "solo")],
+        [("a", text), ("b", "x y"), ("c", None), ("d", " \t\n"), ("e", "solo"),
+         ("f", "tail newline\n"), ("g", "  lead and tail  ")],
         ["url", "doc_text"],
     )
     # disjoint windows: concatenation reconstructs the token stream,
@@ -883,9 +884,12 @@ def test_chunk_token_windows_reconstruction_and_overlap(spark):
     assert " ".join(r.chunk_text for r in a) == text
     assert [r.chunk_no for r in a] == [0, 1, 2]
     assert sum(r.n_tokens for r in a) == 23
-    # short docs -> exactly one chunk; blank/null -> none
-    assert [(r.id, r.chunk_text) for r in got if r.id in "bcde"] == [
-        ("b", "x y"), ("e", "solo")
+    # short docs -> exactly one chunk; blank/null -> none; edge
+    # whitespace -> NO phantom empty tokens or chunks (split limit -1
+    # keeps empty edge tokens; the operator filters them)
+    assert [(r.id, r.chunk_text, r.n_tokens) for r in got if r.id in "bcdefg"] == [
+        ("b", "x y", 2), ("e", "solo", 1),
+        ("f", "tail newline", 2), ("g", "lead and tail", 3),
     ]
     # overlapping windows: consecutive chunks share window-stride toks
     ov = [

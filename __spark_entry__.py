@@ -914,6 +914,15 @@ SKETCH_HLL_PS = (8, 12)
 SKETCH_CMS_D = 4
 SKETCH_CMS_W = 64
 SKETCH_HH_THRESHOLD = 920
+#: DDSketch arm (session 9): per-lang doc-token-count quantiles at
+#: alpha=0.02. The q grid covers the zero-rank clamp (q=0.05 at small
+#: langs), interior buckets, and the exact-max walk (q=1.0).
+SKETCH_DD_ALPHA = 0.02
+SKETCH_DD_QS = (0.05, 0.25, 0.5, 0.75, 0.95, 1.0)
+
+
+def _dd_lbl(q: float) -> str:
+    return f"q{int(round(q * 100)):02d}"
 
 
 def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,10 +984,38 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_cnt",
         (F.col("est_cnt") >= SKETCH_HH_THRESHOLD).cast("long").alias("is_hh"),
     )
+    # DDSketch arm (session 9): per-lang doc token-count quantiles.
+    # Column mapping in the wide union: n_present carries n_buckets,
+    # v_zero carries n (total values), exact_cnt carries the TRUE
+    # rank-ceil(q*n) value (the exact_distinct-style truth column).
+    ddv = d.select(
+        "lang", F.size(F.split("text", r"\s+")).cast("long").alias("v")
+    ).localCheckpoint()
+    dd_sk = sk.dd_build(ddv, "v", ("lang",), alpha=SKETCH_DD_ALPHA)
+    dd_q = sk.dd_quantiles(dd_sk, SKETCH_DD_QS, ("lang",), alpha=SKETCH_DD_ALPHA)
+    ex_arr = ddv.groupBy("lang").agg(F.array_sort(F.collect_list("v")).alias("_vs"))
+    rank = F.greatest(
+        F.ceil(F.col("q") * F.col("n").cast("double")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    lbl = F.lit(None).cast("string")
+    for qv in SKETCH_DD_QS:
+        lbl = F.when(F.col("q") == F.lit(float(qv)), F.lit(_dd_lbl(qv))).otherwise(lbl)
+    dd = dd_q.join(ex_arr, "lang").select(
+        F.lit("dd").alias("kind"),
+        F.concat(F.col("lang"), F.lit(":"), lbl).alias("grp"),
+        F.col("n_buckets").cast("long").alias("n_present"),
+        F.col("n").cast("long").alias("v_zero"),
+        "est6",
+        F.lit(None).cast("long").alias("exact_distinct"),
+        F.lit(None).cast("long").alias("est_cnt"),
+        F.get("_vs", (rank - 1).cast("int")).cast("long").alias("exact_cnt"),
+        F.lit(None).cast("long").alias("is_hh"),
+    )
     out = hll_arm(SKETCH_HLL_PS[0])
     for p in SKETCH_HLL_PS[1:]:
         out = out.unionByName(hll_arm(p))
-    return out.unionByName(cms)
+    return out.unionByName(cms).unionByName(dd)
 
 
 def _sketch_oracle() -> str:
@@ -986,8 +1023,24 @@ def _sketch_oracle() -> str:
     binary-string trick (format('{:b}') == Spark bin()); the HLL fold
     is list_sum over an idx-ORDERED list of exact dyadic terms ==
     Spark's aggregate() fold (the confidences ordered-list_sum
-    precedent); alpha*m^2 ships as the same repr literal."""
-    from ocr_compare_spark.operators.sketches import hll_alpha_m2
+    precedent); alpha*m^2 ships as the same repr literal. The dd arm
+    replays the DDSketch bucket map (ceil(ln(v)/ln_gamma) with the
+    SAME ln_gamma repr literal), the rank-crossing walk as a window
+    cumsum + min(bkt), and the 2*exp(i*ln_gamma)/(gamma+1) estimate
+    under floor-round6; exact_cnt is the true rank-ceil(q*n) value
+    via row_number."""
+    from ocr_compare_spark.operators.sketches import (
+        DD_ZERO_BKT,
+        dd_gamma,
+        dd_ln_gamma,
+        hll_alpha_m2,
+    )
+
+    dd_lng = dd_ln_gamma(SKETCH_DD_ALPHA)
+    dd_gp1 = dd_gamma(SKETCH_DD_ALPHA) + 1.0
+    dd_vals = ", ".join(
+        f"(CAST({float(q)!r} AS DOUBLE), '{_dd_lbl(q)}')" for q in SKETCH_DD_QS
+    )
 
     arms = []
     for p in SKETCH_HLL_PS:
@@ -1053,6 +1106,41 @@ def _sketch_oracle() -> str:
         ), est_t AS (
           SELECT kp.tok, min(coalesce(c.cnt, 0)) AS est_cnt
           FROM kp LEFT JOIN counters c USING (row, pos) GROUP BY kp.tok
+        ), ddv AS (
+          SELECT lang, CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS v
+          FROM documents
+        ), ddb AS (
+          SELECT lang,
+                 CASE WHEN v <= 0 THEN {DD_ZERO_BKT}
+                      ELSE CAST(ceil(ln(CAST(v AS DOUBLE)) / {dd_lng!r}) AS BIGINT)
+                 END AS bkt,
+                 count(*) AS cnt
+          FROM ddv GROUP BY 1, 2
+        ), ddn AS (
+          SELECT lang, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS n_buckets
+          FROM ddb GROUP BY lang
+        ), ddq0 AS (
+          SELECT * FROM (VALUES {dd_vals}) AS q(q, lbl)
+        ), ddr AS (
+          SELECT b.lang, q.q, q.lbl, n.n, n.n_buckets,
+                 greatest(CAST(ceil(q.q * CAST(n.n AS DOUBLE)) AS BIGINT), 1) AS rnk,
+                 b.bkt,
+                 sum(b.cnt) OVER (PARTITION BY b.lang, q.q ORDER BY b.bkt) AS cum
+          FROM ddb b JOIN ddn n USING (lang) CROSS JOIN ddq0 q
+        ), ddsel AS (
+          SELECT lang, q, lbl, n, n_buckets, min(bkt) AS bkt,
+                 greatest(CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT), 1) AS rnk
+          FROM ddr WHERE cum >= rnk GROUP BY lang, q, lbl, n, n_buckets
+        ), ddx AS (
+          SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn
+          FROM ddv
+        ), dde AS (
+          SELECT s.lang, s.lbl, s.n, s.n_buckets,
+                 CAST(floor((CASE WHEN s.bkt = {DD_ZERO_BKT} THEN 0.0
+                             ELSE 2.0 * exp(CAST(s.bkt AS DOUBLE) * {dd_lng!r}) / {dd_gp1!r}
+                             END) * 1e6 + 0.5) AS BIGINT) AS est6,
+                 x.v AS exact_q
+          FROM ddsel s JOIN ddx x ON x.lang = s.lang AND x.rn = s.rnk
         )
         {hll_sql}
         UNION ALL
@@ -1060,6 +1148,9 @@ def _sketch_oracle() -> str:
                e.est_cnt, x.exact_cnt,
                CAST(e.est_cnt >= {SKETCH_HH_THRESHOLD} AS BIGINT)
         FROM est_t e JOIN exact_t x ON e.tok = x.tok
+        UNION ALL
+        SELECT 'dd', lang || ':' || lbl, n_buckets, n, est6, NULL, NULL, exact_q, NULL
+        FROM dde
     """
 
 

@@ -1,5 +1,6 @@
 """Bounded-size sketches for 100-TB-scale analytics: HyperLogLog
-distinct counting and Count-Min frequency estimation / heavy hitters.
+distinct counting, Count-Min frequency estimation / heavy hitters,
+and DDSketch relative-error quantiles.
 
 Why these exist in a webtext engine: at crawl scale the questions
 "how many distinct urls/tokens per host/shard?" and "which keys are
@@ -387,6 +388,180 @@ def cms_heavy_hitters(
         .agg(F.count("*").alias("exact_cnt"))
     )
     return hh.join(exact, key_col).filter(F.col("exact_cnt") >= threshold)
+
+
+# -------------------------------------------------------- DDSketch
+
+
+#: Sentinel bucket for the zero store (values <= 0). Any real bucket
+#: index is ceil(ln(x)/ln(gamma)) which for representable doubles is
+#: > -2^40, so the sentinel sorts strictly first and the quantile
+#: walk naturally places zero mass before all positive buckets.
+DD_ZERO_BKT = -(1 << 40)
+
+
+def dd_gamma(alpha: float) -> float:
+    """gamma = (1+alpha)/(1-alpha) — the DDSketch bucket base (Masson/
+    Lee/Rigollet, VLDB 2019 §2.1). Computed once in Python so Spark
+    and the SQL twin share the exact double."""
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_ln_gamma(alpha: float) -> float:
+    """ln(gamma) as ONE shared literal (the alpha_m2 convention):
+    bucket index = ceil(ln(x) / ln_gamma) with both transcendentals
+    on the shared ln-parity contract (lm.py/dsir/recrawl precedent)."""
+    return math.log(dd_gamma(alpha))
+
+
+def dd_bucket_col(value: str | Column, alpha: float) -> Column:
+    """DDSketch bucket index for one value: ceil(ln(x)/ln_gamma) for
+    x > 0, the zero-store sentinel otherwise. The division is by the
+    precomputed ln_gamma literal (never ln(x)/ln(gamma) re-derived
+    per engine) so the only cross-engine float surface is the shared
+    ln itself."""
+    c = F.col(value) if isinstance(value, str) else value
+    v = c.cast("double")
+    lng = dd_ln_gamma(alpha)
+    return (
+        F.when(v <= 0, F.lit(DD_ZERO_BKT).cast("long"))
+        .otherwise(F.ceil(F.log(v) / F.lit(lng)).cast("long"))
+    )
+
+
+def dd_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    alpha: float = 0.01,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group DDSketch bucket table (group_cols..., bkt, cnt):
+    ONE map-side-combined groupBy — the only shuffle, moving at most
+    O(log_gamma(max/min)) slim rows per group regardless of input
+    size (a few hundred buckets covers 15 orders of magnitude at
+    alpha=0.01). This is the quantile member of the bounded-sketch
+    family (HLL = distinct counts, CMS = frequencies, DD = quantiles):
+    exact percentiles over 100 TB would sort/shuffle the full value
+    stream, the sketch ships only bucket counters.
+
+    Unlike KLL/t-digest, the bucket mapping is a pure function of the
+    value — no RNG, no compaction order — so the sketch is
+    PARTITION-INVARIANT and merge == build-on-union EXACTLY (the
+    hll_merge property, here with no estimator error either).
+    NULL values are ignored (approx-aggregate semantics)."""
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    df = df.filter(F.col(value_col).isNotNull())
+    b = dd_bucket_col(value_col, alpha)
+    staged = df.select(*group_cols, b.alias("bkt"))
+    return staged.groupBy(*group_cols, "bkt").agg(F.count("*").alias("cnt"))
+
+
+def dd_merge(*bucket_tables: DataFrame) -> DataFrame:
+    """DD(A ⊎ B) = bucket-wise counter sum — shard/crawl-batch
+    sketches fold without rescanning (save_sketch/load_sketch work
+    unchanged on the bucket table)."""
+    out = bucket_tables[0]
+    for t in bucket_tables[1:]:
+        out = out.unionByName(t)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def dd_quantiles(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Bucket table -> (group_cols..., q, n, n_buckets, est6) for each
+    requested quantile. rank = max(ceil(q * n), 1) (discrete, no
+    interpolation — integer ranks keep the walk float-free); the
+    selected bucket is the first, in ascending bkt order, whose
+    cumulative count reaches the rank (one aggregate() fold over the
+    idx-sorted bucket array — the hll_estimate shape). Estimate =
+    2*gamma^i/(gamma+1) computed as 2*exp(i*ln_gamma)/(gamma+1) with
+    both constants shared literals; zero-store hits estimate 0.0.
+    est6 is floor-round6'd (house contract). Guarantee: the estimate
+    is within relative error alpha of the TRUE rank-r value
+    (pytest-pinned property)."""
+    lng = dd_ln_gamma(alpha)
+    gp1 = dd_gamma(alpha) + 1.0
+    agg = sketch.groupBy(*group_cols).agg(
+        F.sum("cnt").alias("n"),
+        F.count("*").alias("n_buckets"),
+        F.array_sort(F.collect_list(F.struct("bkt", "cnt"))).alias("_bl"),
+    )
+    rows = agg.select(
+        *group_cols,
+        "n",
+        "n_buckets",
+        "_bl",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    rank = F.greatest(
+        F.ceil(F.col("q") * F.col("n").cast("double")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    rows = rows.withColumn("_rank", rank)
+    # fold: carry (cum, chosen bkt); choose the first bucket whose
+    # running total reaches the rank. _bl is a groupBy OUTPUT
+    # attribute, so the single lambda reads it without re-inlining
+    # any upstream expression (the CLAUDE.md array-lambda rule).
+    chosen = F.aggregate(
+        F.col("_bl"),
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("long").alias("bkt"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["cnt"]).alias("cum"),
+            F.when(
+                acc["bkt"].isNull() & (acc["cum"] + x["cnt"] >= F.col("_rank")),
+                x["bkt"],
+            )
+            .otherwise(acc["bkt"])
+            .alias("bkt"),
+        ),
+        lambda acc: acc["bkt"],
+    )
+    rows = rows.withColumn("_bkt", chosen)
+    est = F.when(F.col("_bkt") == DD_ZERO_BKT, F.lit(0.0)).otherwise(
+        F.lit(2.0)
+        * F.exp(F.col("_bkt").cast("double") * F.lit(lng))
+        / F.lit(gp1)
+    )
+    return rows.select(
+        *group_cols,
+        "q",
+        "n",
+        "n_buckets",
+        F.floor(est * 1e6 + F.lit(0.5)).cast("long").alias("est6"),
+    )
+
+
+def py_dd_quantile(values, q: float, alpha: float = 0.01) -> float:
+    """Pure-python mirror of dd_build + dd_quantiles for one group
+    (pytest ground truth — same ln/exp, same fold order, same rank
+    rule; returns the unrounded estimate)."""
+    lng = dd_ln_gamma(alpha)
+    gp1 = dd_gamma(alpha) + 1.0
+    buckets: dict[int, int] = {}
+    n = 0
+    for v in values:
+        if v is None:
+            continue
+        b = DD_ZERO_BKT if v <= 0 else math.ceil(math.log(float(v)) / lng)
+        buckets[b] = buckets.get(b, 0) + 1
+        n += 1
+    rank = max(math.ceil(q * float(n)), 1)
+    cum = 0
+    for b in sorted(buckets):
+        cum += buckets[b]
+        if cum >= rank:
+            return 0.0 if b == DD_ZERO_BKT else 2.0 * math.exp(b * lng) / gp1
+    raise ValueError("empty sketch")
 
 
 # ---------------------------------------------------- persistence

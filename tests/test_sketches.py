@@ -313,3 +313,95 @@ def test_cms_heavy_hitters_confirmed_exact(spark):
         ).collect()
     }
     assert got == {f"f{n}": n * n for n in range(10, 21)}
+
+
+# -------------------------------------------------------- DDSketch
+
+
+def _vals(spark, rows, parts=4):
+    # rows: list of (grp, value)
+    return spark.createDataFrame(rows, "grp string, v double").repartition(parts)
+
+
+QS = (0.05, 0.25, 0.5, 0.75, 0.95, 1.0)
+
+
+def test_dd_quantiles_equal_python_mirror_bitwise(spark):
+    # mixed magnitudes, non-integer values, two groups
+    rows = [("a", float(i) * 1.37 + 0.25) for i in range(1, 200)]
+    rows += [("b", float(i * i) + 0.5) for i in range(1, 80)]
+    df = _vals(spark, rows)
+    sketch = sk.dd_build(df, "v", ("grp",), alpha=0.01)
+    got = {
+        (r.grp, r.q): (r.n, r.est6)
+        for r in sk.dd_quantiles(sketch, QS, ("grp",), alpha=0.01).collect()
+    }
+    by_grp = {"a": [v for g, v in rows if g == "a"], "b": [v for g, v in rows if g == "b"]}
+    assert len(got) == 2 * len(QS)
+    for (grp, q), (n, est6) in got.items():
+        assert n == len(by_grp[grp])
+        expect = math.floor(sk.py_dd_quantile(by_grp[grp], q, 0.01) * 1e6 + 0.5)
+        assert est6 == expect, (grp, q)
+
+
+def test_dd_relative_error_guarantee(spark):
+    # the published DDSketch bound: |est - x_r| <= alpha * x_r where
+    # x_r is the TRUE value at rank ceil(q*n) — over 5 decades
+    alpha = 0.02
+    vals = sorted(((i * 2654435761) % 99991) / 7.0 + 0.001 for i in range(5000))
+    df = _vals(spark, [("g", v) for v in vals])
+    sketch = sk.dd_build(df, "v", ("grp",), alpha=alpha)
+    out = sk.dd_quantiles(sketch, QS, ("grp",), alpha=alpha).collect()
+    assert len(out) == len(QS)
+    for r in out:
+        rank = max(math.ceil(r.q * len(vals)), 1)
+        true = vals[rank - 1]
+        est = r.est6 / 1e6
+        assert abs(est - true) <= alpha * true + 1e-6, (r.q, est, true)
+
+
+def test_dd_merge_equals_union_build_exactly(spark):
+    a = _vals(spark, [("g", float(i % 37) + 1.0) for i in range(300)])
+    b = _vals(spark, [("g", float(i % 91) * 3.5 + 1.0) for i in range(200)])
+    merged = sk.dd_merge(
+        sk.dd_build(a, "v", ("grp",)), sk.dd_build(b, "v", ("grp",))
+    )
+    union = sk.dd_build(a.unionByName(b), "v", ("grp",))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, union.collect()))
+
+
+def test_dd_partition_invariant(spark):
+    rows = [("g", float(i) + 0.5) for i in range(1, 500)]
+    s1 = sk.dd_build(_vals(spark, rows, parts=1), "v", ("grp",))
+    s8 = sk.dd_build(_vals(spark, rows, parts=8), "v", ("grp",))
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s8.collect()))
+    q1 = sorted(map(tuple, sk.dd_quantiles(s1, QS, ("grp",)).collect()))
+    q8 = sorted(map(tuple, sk.dd_quantiles(s8, QS, ("grp",)).collect()))
+    assert q1 == q8
+
+
+def test_dd_zero_store_and_nulls(spark):
+    rows = [("g", 0.0)] * 10 + [("g", 100.0)] * 10
+    df = spark.createDataFrame(rows + [("g", None)], "grp string, v double")
+    sketch = sk.dd_build(df, "v", ("grp",))
+    out = {r.q: r for r in sk.dd_quantiles(sketch, (0.25, 0.75), ("grp",)).collect()}
+    assert out[0.25].n == 20  # NULL ignored
+    assert out[0.25].est6 == 0  # zero store serves the low quantile
+    est_hi = out[0.75].est6 / 1e6
+    assert abs(est_hi - 100.0) <= 0.01 * 100.0 + 1e-6
+    # the zero sentinel sorts before every real bucket
+    bkts = [r.bkt for r in sketch.collect()]
+    assert min(bkts) == sk.DD_ZERO_BKT
+
+
+def test_dd_persistence_fold(spark, tmp_path):
+    path = str(tmp_path / "dd_sketch")
+    a = _vals(spark, [("g", float(i) + 1.0) for i in range(100)])
+    b = _vals(spark, [("g", float(i) * 2.0 + 1.0) for i in range(100)])
+    sk.save_sketch(sk.dd_build(a, "v", ("grp",)), path)
+    folded = sk.dd_merge(sk.load_sketch(spark, path), sk.dd_build(b, "v", ("grp",)))
+    sk.save_sketch(folded, path)
+    expect = sk.dd_build(a.unionByName(b), "v", ("grp",))
+    assert sorted(map(tuple, sk.load_sketch(spark, path).collect())) == sorted(
+        map(tuple, expect.collect())
+    )

@@ -2665,9 +2665,28 @@ MIX_ALPHA = 0.3
 UNIMAX_TOTAL = 16000
 UNIMAX_EPOCHS = 0.8
 
+#: Deterministic train/val/test assignment for the lang_mix 'split'
+#: arm (session 9): hash_frac(doc_id) against python-shared
+#: cumulative bounds — at these weights all three splits are
+#: populated at both gate sfs.
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_case_sql(frac_expr: str = "frac") -> str:
+    """CASE chain for the lang_mix 'split' arm — the same cumulative
+    bounds sampling.split_bounds computes, as repr literals."""
+    from ocr_compare_spark.operators.sampling import split_bounds
+
+    bounds = split_bounds(SPLIT_WEIGHTS)
+    whens = " ".join(
+        f"WHEN {frac_expr} < {upper!r} THEN '{name}'" for name, upper in bounds[:-1]
+    )
+    return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
+
 
 def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-mix suite, TWO arms (null-padded union; r5 final):
+    """Language-mix suite, THREE arms (null-padded union; 'split'
+    added session 9 — deterministic train/val/test assignment):
 
     - 'temperature': mC4 / XLM-R alpha sampling
       (sampling.temperature_mix) — per-language keep rates
@@ -2713,7 +2732,21 @@ def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         "budget",
     )
-    return temp.unionByName(uni)
+    # 'split' arm (session 9): deterministic train/val/test
+    # assignment (sampling.assign_split) — kind carries the split
+    # name, rate carries the round6'd hash_frac the when-chain
+    # thresholded (the twin recomputes both from the same md5 prefix
+    # and the same python-shared cumulative bounds)
+    spl = sampling.assign_split(docs, "doc_id", SPLIT_WEIGHTS).select(
+        F.concat(F.lit("split:"), F.col("split")).alias("kind"),
+        "lang",
+        "doc_id",
+        "token_count",
+        (F.floor(sampling.hash_frac("doc_id") * 1e6 + F.lit(0.5)) / 1e6).alias("rate"),
+        F.lit(None).cast("long").alias("cum_tokens"),
+        F.lit(None).cast("long").alias("budget"),
+    )
+    return temp.unionByName(uni).unionByName(spl)
 
 
 def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4243,5 +4276,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT lang, doc_id, token_count, cum_tokens, budget
               FROM c WHERE cum_tokens <= budget
             )
+            UNION ALL
+            SELECT 'split:' || {_split_case_sql("t.frac")}, t.lang, t.doc_id,
+                   t.token_count, floor(t.frac * 1e6 + 0.5) / 1e6,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+            FROM t
         """,
     }

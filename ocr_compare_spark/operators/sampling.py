@@ -600,3 +600,61 @@ def cap_per_key(
     else:
         raise ValueError(f"unknown method {method!r}")
     return kept.drop("_cum", *helper)
+
+
+# ------------------------------------------------- train/val/test
+
+
+def split_bounds(weights: Mapping[str, float]) -> list[tuple[str, float]]:
+    """Cumulative upper bounds for assign_split, in the caller's
+    mapping order (computed once in Python so Spark and any SQL twin
+    share the exact double partial sums). Weights must sum to ~1;
+    the LAST split's bound is forced to exactly 1.0 so the assignment
+    is exhaustive regardless of float dust in the partial sums."""
+    if not weights:
+        raise ValueError("assign_split: weights must be non-empty")
+    total = float(sum(weights.values()))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"assign_split: weights sum to {total!r}, expected 1.0")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("assign_split: negative weight")
+    bounds: list[tuple[str, float]] = []
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += float(w)
+        bounds.append((name, cum))
+    bounds.append((items[-1][0], 1.0))
+    return bounds
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str | Column,
+    weights: Mapping[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: u = hash_frac(key),
+    split = the first bucket whose cumulative bound exceeds u. Pure
+    function of the key — zero shuffle, rerun-stable, layout- and
+    cluster-size-independent (the df.sample() objections in the
+    module docstring apply doubly to eval splits: a val set that
+    changes when the partition layout does silently contaminates
+    every checkpoint comparison).
+
+    Leakage safety is a KEYING decision: hashing the document id
+    splits near-duplicates independently, so a train doc can be a
+    99%-dup of a test doc. Key on the duplicate-cluster
+    representative instead (``dedup.connected_components`` label or
+    ``latest_snapshot``'s url) and every member of a cluster lands in
+    the same split — pytest pins that composition. The same argument
+    applies to any grouping that must not straddle splits (host,
+    source document of chunked windows)."""
+    bounds = split_bounds(weights)
+    u = hash_frac(key_col)
+    expr: Column = F.lit(bounds[-1][0])
+    # when-chain from the last bound down so earlier (smaller) bounds
+    # take precedence: first bound whose upper exceeds u wins
+    for name, upper in reversed(bounds[:-1]):
+        expr = F.when(u < F.lit(upper), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -110,6 +110,7 @@ def curate(
     sig_store: str | None = None,
     profile: bool = False,
     profile_hh_threshold: int = 1000,
+    splits: dict[str, float] | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -534,6 +535,18 @@ def curate(
             for r in curated.groupBy("lang").agg(F.sum("token_count").alias("t")).collect()
         }
 
+    if splits:
+        # deterministic train/val/test assignment on the FINAL kept
+        # set, keyed on url. Near-dups were already removed by the
+        # para/LSH stages, so url-keying cannot leak a surviving
+        # near-duplicate across splits; callers who skip dedup should
+        # split on a cluster representative instead (see
+        # sampling.assign_split's docstring). Counts are taken from
+        # the MATERIALIZED output below (no extra pass over the plan).
+        from ocr_compare_spark.operators.sampling import assign_split
+
+        curated = assign_split(curated, "url", splits)
+
     n_shards = None
     if output_dir:
         if shard_tokens is not None:
@@ -634,6 +647,16 @@ def curate(
             "hh_threshold": profile_hh_threshold,
         }
 
+    split_counts = None
+    if splits:
+        # counts come from the materialized output (parquet read or
+        # the persisted frame) — one tiny aggregate, no plan re-run
+        src = out if output_dir else curated
+        split_counts = {
+            r["split"]: r["n"]
+            for r in src.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+
     kept.unpersist()
     dedup_boundary.unpersist()
     for h in helper_persists:
@@ -697,14 +720,30 @@ def curate(
             "robots_txt": robots_txt,
             "robots_agent": robots_agent if robots_txt else None,
             "sig_store": sig_store,
+            "splits": splits,
         },
         "bpe_merges_learned": n_bpe_merges_learned,
+        "split_counts": split_counts,
         "profile": corpus_profile,
     }
     if output_dir:
         with open(f"{output_dir}/curation_metrics.json", "w") as f:
             json.dump(metrics, f)
     return metrics
+
+
+def parse_splits(spec: str | None) -> dict[str, float] | None:
+    """'train=0.98,val=0.01,test=0.01' -> ordered weight dict (order
+    matters: it fixes the cumulative hash_frac bounds)."""
+    if not spec:
+        return None
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        name, _, w = part.partition("=")
+        if not name or not w:
+            raise ValueError(f"--splits: malformed entry {part!r}")
+        out[name.strip()] = float(w)
+    return out
 
 
 def main() -> int:
@@ -783,6 +822,10 @@ def main() -> int:
                          "metrics (HLL distinct vocabulary per lang + "
                          "CMS heavy-hitter tokens)")
     ap.add_argument("--profile-hh-threshold", type=int, default=1000)
+    ap.add_argument("--splits", default=None,
+                    help="deterministic train/val/test assignment on the "
+                         "final output, e.g. 'train=0.98,val=0.01,test=0.01' "
+                         "(weights must sum to 1; keyed on url)")
     ap.add_argument("--sig-store", default=None,
                     help="cross-crawl MinHash signature store dir: "
                          "drop docs near-duplicating PRIOR crawls' "
@@ -862,6 +905,7 @@ def main() -> int:
         sig_store=args.sig_store,
         profile=args.profile,
         profile_hh_threshold=args.profile_hh_threshold,
+        splits=parse_splits(args.splits),
     )
     print("CURATE_JSON:" + json.dumps(m))
     spark.stop()

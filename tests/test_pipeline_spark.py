@@ -902,3 +902,28 @@ def test_chunk_token_windows_reconstruction_and_overlap(spark):
     for prev, nxt in zip(ov, ov[1:]):
         shared_prev = prev.chunk_text.split()[5:]
         assert nxt.chunk_text.split()[: len(shared_prev)] == shared_prev
+
+
+def test_curate_splits_stage(spark, sf_dir, tmp_path):
+    """--splits: deterministic train/val/test assignment rides the
+    curated output (keyed on url, applied AFTER dedup so surviving
+    docs cannot leak near-dups across splits); counts are exhaustive
+    and rerun-stable, and the split column lands in the parquet."""
+    from ocr_compare_spark.plans.curate import curate, parse_splits
+
+    w = parse_splits("train=0.8,val=0.1,test=0.1")
+    assert list(w) == ["train", "val", "test"]
+    out = str(tmp_path / "curated_split")
+    m = curate(spark, sf_dir, out, min_quality=0.0, min_tokens=1,
+               jaccard_threshold=0.8, splits=w)
+    assert m["split_counts"] is not None
+    assert sum(m["split_counts"].values()) == m["docs_out"]
+    assert m["split_counts"].get("train", 0) > m["split_counts"].get("val", 0)
+    corpus = spark.read.parquet(f"{out}/corpus")
+    from pyspark.sql import functions as F
+
+    assert corpus.filter(~F.col("split").isin("train", "val", "test")).count() == 0
+    # rerun-deterministic per url
+    m2 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
+                jaccard_threshold=0.8, splits=w)
+    assert m2["split_counts"] == m["split_counts"]

@@ -454,3 +454,78 @@ def test_pack_sequences_drops_zero_token_docs(spark):
     assert sorted((r.seq_no, r.seq_start, r.tok_start, r.tok_end) for r in out) == [
         (0, 0, 0, 8), (1, 0, 8, 10)
     ]
+
+
+# ------------------------------------------------- train/val/test
+
+
+SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _py_split(key, bounds):
+    import hashlib
+
+    u = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 4294967296.0
+    for name, ub in bounds[:-1]:
+        if u < ub:
+            return name
+    return bounds[-1][0]
+
+
+def test_assign_split_exhaustive_disjoint_layout_independent(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = {r.doc_id: r.split for r in sampling.assign_split(d, "doc_id", SPLIT_W).collect()}
+    assert len(out) == d.count()  # exactly one split per row
+    assert set(out.values()) <= set(SPLIT_W)
+    n = len(out)
+    n_train = sum(1 for s in out.values() if s == "train")
+    assert 0.7 * n < n_train < 0.9 * n
+    assert any(s == "val" for s in out.values())
+    assert any(s == "test" for s in out.values())
+    out2 = {
+        r.doc_id: r.split
+        for r in sampling.assign_split(d.repartition(13), "doc_id", SPLIT_W).collect()
+    }
+    assert out == out2
+
+
+def test_assign_split_matches_python_mirror(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    bounds = sampling.split_bounds(SPLIT_W)
+    got = {r.doc_id: r.split for r in sampling.assign_split(d, "doc_id", SPLIT_W).collect()}
+    for doc_id, s in got.items():
+        assert s == _py_split(doc_id, bounds), doc_id
+
+
+def test_assign_split_cluster_co_assignment(spark):
+    from ocr_compare_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 50) for i in range(50)], "id_a long, id_b long"
+    )
+    labeled = dedup.dedup_keep_list(docs, pairs, "doc_id")
+    # keyed on doc_id, near-dup pairs straddle splits (the leak)
+    leaky = sampling.assign_split(labeled, "doc_id", SPLIT_W)
+    by_comp = {}
+    for r in leaky.collect():
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert any(len(s) > 1 for s in by_comp.values())
+    # keyed on the duplicate-cluster representative, never
+    safe = sampling.assign_split(labeled, "component", SPLIT_W)
+    by_comp = {}
+    for r in safe.collect():
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_comp.values())
+
+
+def test_split_bounds_validation():
+    import pytest
+
+    assert sampling.split_bounds({"a": 0.25, "b": 0.75})[-1] == ("b", 1.0)
+    with pytest.raises(ValueError):
+        sampling.split_bounds({"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        sampling.split_bounds({})
+    with pytest.raises(ValueError):
+        sampling.split_bounds({"a": 1.5, "b": -0.5})

@@ -1712,13 +1712,20 @@ def _embed_pq_oracle(
     """
 
 
+#: hashed-embedding gate dim: small enough that signed collisions
+#: genuinely cancel (vocab >> 32), large enough for non-degenerate
+#: rankings at both gate sfs.
+HASHED_TF_DIM = 32
+
+
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embed_topk_lsh + embed_topk_ivf (+ brute-force, folded in r5
-    final — its freed slot gates PageRank; + pq, session 8) gated as
-    ONE union row set (they already share the (variant, query_id,
-    rank, neighbor_id) schema; a family column tells them apart).
-    All NINE ANN variants (bf, lsh literal/data, ivf seeded/trained/
-    data, pq literal/data, hardneg) stay gated."""
+    final — its freed slot gates PageRank; + pq, session 8; +
+    hashedtf, session 9) gated as ONE union row set (they already
+    share the (variant, query_id, rank, neighbor_id) schema; a
+    family column tells them apart). All TEN ANN variants (bf, lsh
+    literal/data, ivf seeded/trained/data, pq literal/data, hardneg,
+    hashedtf) stay gated."""
     bf = q_embed_topk(spark, sf_dir).select(
         F.lit("bf").alias("family"), F.lit("literal").alias("variant"), "*"
     )
@@ -1745,7 +1752,32 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         "neighbor_id",
     )
-    return bf.unionByName(lsh).unionByName(ivf).unionByName(pq).unionByName(hn)
+    # hashedtf (session 9): feature-hashed text vectors from the
+    # DOCUMENTS table feeding the exact integer-arithmetic top-k —
+    # the vocabulary-free embedding path gated end to end (text ->
+    # vector -> ranking). checkpoint: the vector aggregate has two
+    # consumers (query collect + corpus scan).
+    from ocr_compare_spark.operators import embedding as emb_ops
+
+    vecs = emb_ops.hashed_tf(
+        _docs(spark, sf_dir), "doc_id", "text", dim=HASHED_TF_DIM
+    ).localCheckpoint()
+    ht = emb_ops.hashed_topk(
+        vecs, vecs.filter(F.col("doc_id") < 8), k=3
+    ).select(
+        F.lit("hashedtf").alias("family"),
+        F.lit("data").alias("variant"),
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+    )
+    return (
+        bf.unionByName(lsh)
+        .unionByName(ivf)
+        .unionByName(pq)
+        .unionByName(hn)
+        .unionByName(ht)
+    )
 
 
 #: SemDeDup gate config: seeded 16-cell quantizer over the dim-64
@@ -1878,6 +1910,57 @@ def _embed_ivf_oracle(
           FROM scored
         )
         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= {k}
+    """
+
+
+def _hashed_tf_oracle(dim: int = None, k: int = 3) -> str:
+    """SQL twin of the ann_suite 'hashedtf' arm: rebuilds the signed
+    hashed vectors relationally (same md5 bucket/sign draws), dots
+    via a shared-bucket join with the full (query x corpus) pair
+    frame coalescing absent overlaps to 0, norms from exact squared
+    sums. Every sum is over exact integers, so GEMM vs SQL order is
+    irrelevant — rankings match bit-for-bit by construction."""
+    dim = dim or HASHED_TF_DIM
+    return f"""
+        WITH htok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS t
+          FROM documents
+        ), hh AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(t), 1, 8))::BIGINT % {dim} AS j,
+                 CASE WHEN ('0x' || substr(md5(t), 9, 1))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM htok
+        ), hvec AS (
+          SELECT doc_id, j, CAST(sum(s) AS DOUBLE) AS v
+          FROM hh GROUP BY doc_id, j
+        ), hnrm AS (
+          SELECT doc_id, sqrt(sum(v * v)) AS nn FROM hvec GROUP BY doc_id
+        ), hdot AS (
+          SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+                 sum(q.v * c.v) AS dot
+          FROM hvec q JOIN hvec c ON q.j = c.j
+          WHERE q.doc_id < 8 AND c.doc_id <> q.doc_id
+          GROUP BY 1, 2
+        ), hpairs AS (
+          SELECT nq.doc_id AS query_id, nc.doc_id AS neighbor_id,
+                 CASE WHEN nq.nn > 0 AND nc.nn > 0
+                      THEN coalesce(d.dot, 0.0) / (nq.nn * nc.nn)
+                      ELSE 0.0 END AS sim
+          FROM (SELECT * FROM hnrm WHERE doc_id < 8) nq
+          JOIN hnrm nc ON nc.doc_id <> nq.doc_id
+          LEFT JOIN hdot d ON d.query_id = nq.doc_id
+                          AND d.neighbor_id = nc.doc_id
+        ), hranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM hpairs
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+        FROM hranked WHERE rank <= {k}
     """
 
 
@@ -3826,6 +3909,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pq', 'data', * FROM ({_embed_pq_oracle()})
             UNION ALL
             SELECT 'hardneg', 'literal', * FROM ({_EMBED_HARDNEG_ORACLE})
+            UNION ALL
+            SELECT 'hashedtf', 'data', * FROM ({_hashed_tf_oracle()})
         """,
         "bm25": _bm25_oracle(),
         "graph_suite": _graph_suite_oracle(),

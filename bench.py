@@ -356,6 +356,21 @@ def main() -> int:
             toks, "tok", depth=4, width=2048, threshold=1000
         ).write.format("noop").mode("overwrite").save()
 
+    def q_hashed_embed():
+        # vocabulary-free text vectorization + exact top-k: hashed
+        # signed TF (explode + two map-side groupBys, all native) ->
+        # integer-exact GEMM ranking for 8 query docs. repartition
+        # first — the md5 explode is the byte-light compute-heavy
+        # family (dsir/sketches trap).
+        from ocr_compare_spark.operators import embedding as emb_ops
+
+        vecs = emb_ops.hashed_tf(
+            docs, "doc_id", "text", dim=64, num_partitions=cores
+        ).localCheckpoint()
+        emb_ops.hashed_topk(
+            vecs, vecs.filter(F.col("doc_id") < 8), k=10
+        ).write.format("noop").mode("overwrite").save()
+
     # IVF-PQ: train once untimed (amortized at scale, like the cc
     # pair materialization); the timed row is encode + routed
     # compressed scan + final top-k window
@@ -394,6 +409,7 @@ def main() -> int:
         "recrawl": q_recrawl,
         "simhash_pairs": q_simhash_pairs,
         "ann_ivfpq": q_ann_ivfpq,
+        "hashed_embed": q_hashed_embed,
         "sketches": q_sketches,
         "tpch_q1": q_tpch_q1,
     }

@@ -1,0 +1,221 @@
+"""Feature-hashed text embeddings (the hashing trick: Weinberger et
+al. 2009, "Feature Hashing for Large Scale Multitask Learning"; the
+Vowpal Wabbit / scikit-learn HashingVectorizer construction).
+
+Why this exists in a webtext engine: every similarity operator in the
+stack (brute-force/LSH/IVF/PQ ANN, SemDeDup, embedding near-dups)
+consumes an embedding column — but at 100 TB a neural encoder over
+every document is often the single most expensive stage in the whole
+pipeline, and it needs a model artifact. Feature hashing gives a
+vocabulary-free, training-free, model-free text vector: token ->
+md5 -> bucket j = h % dim, sign s = ±1 from an independent hash bit,
+vector[j] += s. Signed hashing makes collisions cancel in
+expectation (the inner product is an unbiased estimate of the full
+TF inner product — the paper's Lemma 2), so cosine over hashed
+vectors approximates token-level cosine well enough for clustering,
+near-dup blocking and cheap retrieval triage.
+
+Scale shape: one explode + two map-side-combined groupBys, all
+Catalyst-native (md5/conv/explode/sum) — no Python, no vocabulary
+broadcast, no model. Output vectors plug directly into
+operators/similarity.py and operators/dedup.semdedup.
+
+Determinism contract (and why this module earns a bit-exact SQL
+twin where float-embedding ANN needed round6 care): every vector
+component is an exact small INTEGER (a sum of ±1s). Dot products and
+squared norms are therefore sums of exact integers < 2^53 — every
+partial sum is exact, so ANY evaluation order (numpy GEMM blocking,
+SQL left-to-right, Spark fold) produces the identical double; norms
+are IEEE-exact sqrt of those; cosines divide identical doubles.
+Nothing here depends on libm parity or summation order.
+
+Reference analog: none (the reference has no text-vectorization);
+SURVEY §2.7's scalar-function family is the seam, and the ANN
+operators are the consumers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: driver guard for hashed_topk's query collect (the
+#: brute_force_topk_df convention)
+MAX_DRIVER_QUERIES = 65536
+
+
+def hashed_tf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+    signed: bool = True,
+    lowercase: bool = True,
+    num_partitions: int | None = None,
+    vec_col: str = "vector",
+) -> DataFrame:
+    """(id, vector array<double>) — signed hashed term frequencies.
+
+    bucket = first-8-hex(md5(tok)) % dim; sign = parity of the 9th
+    hex digit (an independent bit of the same digest — the two draws
+    never share bits). Components are exact integers in double.
+
+    Docs whose token stream is empty (blank/whitespace-only text)
+    emit NO row — there is no meaningful direction for them, and a
+    zero vector would only ever cosine to 0 (the cosine_native
+    contract); callers needing them left-join back.
+
+    ``num_partitions`` spreads the input BEFORE the md5 explode —
+    the byte-light compute-heavy repartition trap (dsir/decontam/
+    sketches precedent)."""
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    toks = (
+        df.select(id_col, F.explode(F.split(c, r"\s+")).alias("tok"))
+        # split(limit=-1) keeps the empty token a trailing newline
+        # produces (the whitespace-class family) — drop it, it is a
+        # separator artifact, not a feature
+        .filter(F.col("tok") != "")
+    )
+    md5 = F.md5("tok")
+    j = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long") % dim
+    if signed:
+        s = F.when(
+            F.conv(F.substring(md5, 9, 1), 16, 10).cast("long") % 2 == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+    else:
+        s = F.lit(1)
+    entries = (
+        toks.select(id_col, j.alias("j"), s.cast("long").alias("s"))
+        .groupBy(id_col, "j")
+        .agg(F.sum("s").alias("v"))
+    )
+    # densify: bucket map -> fixed-length array. _m is a groupBy
+    # OUTPUT attribute, so the transform lambda reads an attribute
+    # reference (no re-inlining — the CLAUDE.md array-lambda rule);
+    # try_element_at because ANSI element_at throws on absent keys.
+    dense = entries.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("j", "v"))).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(dim - 1).cast("long")),
+        lambda i: F.coalesce(F.try_element_at("_m", i), F.lit(0).cast("long")).cast(
+            "double"
+        ),
+    )
+    return dense.select(id_col, vec.alias(vec_col))
+
+
+def py_hashed_tf(text: str, dim: int, signed: bool = True, lowercase: bool = True):
+    """Pure-python mirror of hashed_tf for one document (pytest
+    ground truth). Returns None for an empty token stream (the
+    no-row contract)."""
+    if lowercase:
+        text = text.lower()
+    toks = [t for t in __import__("re").split(r"\s+", text) if t != ""]
+    if not toks:
+        return None
+    v = [0] * dim
+    for t in toks:
+        d = hashlib.md5(t.encode()).hexdigest()
+        j = int(d[:8], 16) % dim
+        s = 1 if (not signed or int(d[8], 16) % 2 == 0) else -1
+        v[j] += s
+    return [float(x) for x in v]
+
+
+def hashed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Exact cosine top-k over integer-valued hashed vectors:
+    (query_id, rank, neighbor_id). Self-matches excluded; ties break
+    to the lowest neighbor id.
+
+    Same broadcast-queries + partition-GEMM shape as
+    similarity.brute_force_topk (corpus never shuffled), but the
+    arithmetic keeps the module's integer-exactness contract: the
+    GEMM runs on the RAW integer-valued matrices (exact in any
+    order), norms come from exact squared sums, and the cosine is an
+    elementwise divide of those — so the result is bit-identical to
+    a relational SQL twin, which lets the gate check ranking, not
+    just row counts. Zero-norm rows cosine to 0.0 (the cosine_native
+    convention)."""
+    spark = corpus.sparkSession
+    rows = queries.select(id_col, vec_col).limit(MAX_DRIVER_QUERIES + 1).collect()
+    if len(rows) > MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"hashed_topk: query set exceeds {MAX_DRIVER_QUERIES} rows; "
+            "bucket with similarity.lsh_topk instead"
+        )
+    q_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    q_mat = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    out_schema = "query_id long, neighbor_id long, sim double"
+
+    def partial_topk(batches):
+        ids_q, mat_q, nq = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_c = pdf[id_col].to_numpy(dtype=np.int64)
+            mat_c = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            nc = np.sqrt((mat_c * mat_c).sum(axis=1))
+            dots = mat_q @ mat_c.T  # exact: integer-valued operands
+            denom = np.outer(nq, nc)
+            sims = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
+            kk = min(k + 1, sims.shape[1])  # +1 survives self-removal
+            top_idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids_q, kk),
+                    "neighbor_id": ids_c[top_idx].ravel(),
+                    "sim": np.take_along_axis(sims, top_idx, axis=1).ravel(),
+                }
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(partial_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def py_hashed_topk(vectors: dict, query_ids, k: int = 3):
+    """Pure-python mirror of hashed_topk (pytest ground truth):
+    vectors = {id: [float]}, returns {(query_id, rank): neighbor_id}."""
+    import math
+
+    norms = {i: math.sqrt(sum(x * x for x in v)) for i, v in vectors.items()}
+    out = {}
+    for q in query_ids:
+        sims = []
+        for c, v in vectors.items():
+            if c == q:
+                continue
+            denom = norms[q] * norms[c]
+            dot = sum(a * b for a, b in zip(vectors[q], v))
+            sims.append((-(dot / denom if denom > 0 else 0.0), c))
+        sims.sort()
+        for r, (_, c) in enumerate(sims[:k], start=1):
+            out[(q, r)] = c
+    return out

@@ -641,10 +641,34 @@ def curate(
             ).collect()
         }
         toks.unpersist()
+        # doc-length distribution per lang via DDSketch (bounded
+        # bucket table — the driver sees quantile rows, never the
+        # per-doc length stream); same empty-token filter as the
+        # token sketches
+        lens = src.select(
+            "lang",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col(tcol)), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).cast("long").alias("v"),
+        )
+        dd = sketches.dd_build(lens, "v", ("lang",), alpha=0.02,
+                               num_partitions=num_partitions)
+        qrows = sketches.dd_quantiles(
+            dd, (0.5, 0.95, 0.99), ("lang",), alpha=0.02
+        ).collect()
+        len_quantiles: dict = {}
+        for r in qrows:
+            len_quantiles.setdefault(r["lang"], {})[
+                f"q{int(round(r['q'] * 100))}"
+            ] = r["est6"] / 1e6
         corpus_profile = {
             "est_distinct_tokens_by_lang": vocab,
             "heavy_hitter_tokens": hh,
             "hh_threshold": profile_hh_threshold,
+            "token_count_quantiles_by_lang": len_quantiles,
         }
 
     split_counts = None

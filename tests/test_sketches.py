@@ -203,6 +203,13 @@ def test_curate_profile_stage(spark, sf_dir):
     assert all(v > 0 for v in prof["est_distinct_tokens_by_lang"].values())
     assert prof["heavy_hitter_tokens"], "threshold 200 must catch the corpus tokens"
     assert all(c >= 200 for c in prof["heavy_hitter_tokens"].values())
+    # DD length quantiles: every lang present, monotone in q, within
+    # the 2% relative-error guarantee of a plausible doc length
+    lq = prof["token_count_quantiles_by_lang"]
+    assert set(lq) == set(prof["est_distinct_tokens_by_lang"])
+    for lang, qs in lq.items():
+        assert set(qs) == {"q50", "q95", "q99"}
+        assert 0 < qs["q50"] <= qs["q95"] <= qs["q99"], (lang, qs)
     # profile off -> key present but None (metrics shape stable)
     m2 = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1,
                 jaccard_threshold=0.8)

@@ -529,3 +529,34 @@ def test_split_bounds_validation():
         sampling.split_bounds({})
     with pytest.raises(ValueError):
         sampling.split_bounds({"a": 1.5, "b": -0.5})
+
+
+def test_split_then_decontaminate_eval_hygiene(spark, sf_dir):
+    """The eval-hygiene composition a split pipeline must run: after
+    assign_split, TRAIN docs sharing word n-grams with the val/test
+    side are contaminated and get dropped — deterministic, and the
+    synth corpus's cycling vocabulary makes the flagged set real."""
+    from ocr_compare_spark.operators import dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    split = sampling.assign_split(d, "doc_id", SPLIT_W)
+    train = split.filter(F.col("split") == "train")
+    heldout = split.filter(F.col("split") != "train")
+    out = dedup.ngram_decontaminate(train, heldout, "doc_id", "text", n=8)
+    flagged = {r.id for r in out.filter(F.col("contaminated")).collect()}
+    assert flagged, "cycling vocab must plant cross-split n-gram overlaps"
+    clean = train.join(
+        out.filter(F.col("contaminated")).select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+    # every surviving train doc is decontamination-clean, counts add up
+    n_train = train.count()
+    assert clean.count() == n_train - len(flagged)
+    flagged2 = {
+        r.id
+        for r in dedup.ngram_decontaminate(train, heldout, "doc_id", "text", n=8)
+        .filter(F.col("contaminated"))
+        .collect()
+    }
+    assert flagged2 == flagged  # rerun-deterministic

@@ -1112,7 +1112,8 @@ def _sketch_oracle() -> str:
         ), ddb AS (
           SELECT lang,
                  CASE WHEN v <= 0 THEN {DD_ZERO_BKT}
-                      ELSE CAST(ceil(ln(CAST(v AS DOUBLE)) / {dd_lng!r}) AS BIGINT)
+                      ELSE CAST(ceil(floor((ln(CAST(v AS DOUBLE)) / {dd_lng!r})
+                                           * 1e6 + 0.5) / 1e6) AS BIGINT)
                  END AS bkt,
                  count(*) AS cnt
           FROM ddv GROUP BY 1, 2
@@ -2825,7 +2826,7 @@ def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "doc_id",
         "token_count",
-        (F.floor(sampling.hash_frac("doc_id") * 1e6 + F.lit(0.5)) / 1e6).alias("rate"),
+        (F.floor(sampling.split_frac("doc_id") * 1e6 + F.lit(0.5)) / 1e6).alias("rate"),
         F.lit(None).cast("long").alias("cum_tokens"),
         F.lit(None).cast("long").alias("budget"),
     )
@@ -4362,9 +4363,16 @@ def oracle_sql() -> dict[str, str]:
               FROM c WHERE cum_tokens <= budget
             )
             UNION ALL
-            SELECT 'split:' || {_split_case_sql("t.frac")}, t.lang, t.doc_id,
-                   t.token_count, floor(t.frac * 1e6 + 0.5) / 1e6,
+            -- the split draw is domain-prefixed (sampling.split_frac)
+            -- so it is independent of the samplers' hash_frac stream
+            SELECT 'split:' || {_split_case_sql("sf.sfrac")}, sf.lang, sf.doc_id,
+                   sf.token_count, floor(sf.sfrac * 1e6 + 0.5) / 1e6,
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-            FROM t
+            FROM (
+              SELECT lang, doc_id, token_count,
+                     ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS sfrac
+              FROM t
+            ) sf
         """,
     }

@@ -37,14 +37,16 @@ operators are the consumers.
 from __future__ import annotations
 
 import hashlib
+import math
+import re
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-#: driver guard for hashed_topk's query collect (the
-#: brute_force_topk_df convention)
-MAX_DRIVER_QUERIES = 65536
+#: driver guard for hashed_topk's query collect — THE constant from
+#: similarity.py (one knob, not two)
+from ocr_compare_spark.operators.similarity import MAX_DRIVER_QUERIES
 
 
 def hashed_tf(
@@ -119,7 +121,7 @@ def py_hashed_tf(text: str, dim: int, signed: bool = True, lowercase: bool = Tru
     no-row contract)."""
     if lowercase:
         text = text.lower()
-    toks = [t for t in __import__("re").split(r"\s+", text) if t != ""]
+    toks = [t for t in re.split(r"\s+", text) if t != ""]
     if not toks:
         return None
     v = [0] * dim
@@ -143,13 +145,21 @@ def hashed_topk(
     to the lowest neighbor id.
 
     Same broadcast-queries + partition-GEMM shape as
-    similarity.brute_force_topk (corpus never shuffled), but the
-    arithmetic keeps the module's integer-exactness contract: the
-    GEMM runs on the RAW integer-valued matrices (exact in any
-    order), norms come from exact squared sums, and the cosine is an
-    elementwise divide of those — so the result is bit-identical to
-    a relational SQL twin, which lets the gate check ranking, not
-    just row counts. Zero-norm rows cosine to 0.0 (the cosine_native
+    similarity.brute_force_topk (corpus never shuffled) — kept as a
+    SEPARATE implementation deliberately, because both differences
+    are the point of this module: (a) the GEMM runs on the RAW
+    integer-valued matrices (exact in any order; brute_force_topk
+    normalizes first, which trades exactness for one multiply) with
+    norms from exact squared sums and an elementwise divide, so the
+    result is bit-identical to a relational SQL twin; (b) the
+    per-partition cut is TIE-STABLE — with integer vectors exact
+    cosine ties are real (duplicate token multisets give identical
+    vectors), so the partial cut sorts each query row by the SAME
+    total order the final window uses (sim desc, neighbor_id asc;
+    corpus batch pre-sorted by id + stable argsort), making the
+    merged global top-k partition-layout-independent where a bare
+    argpartition could drop the lowest-id member of a tie straddling
+    the cut. Zero-norm rows cosine to 0.0 (the cosine_native
     convention)."""
     spark = corpus.sparkSession
     rows = queries.select(id_col, vec_col).limit(MAX_DRIVER_QUERIES + 1).collect()
@@ -174,12 +184,19 @@ def hashed_topk(
             mat_c = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
+            # tie-stable cut: sort the batch by id ASC, then a STABLE
+            # argsort on -sim keeps equal sims in id order — the
+            # partial top-kk is taken under exactly the final
+            # window's (sim desc, neighbor_id asc) total order
+            order0 = np.argsort(ids_c)
+            ids_c = ids_c[order0]
+            mat_c = mat_c[order0]
             nc = np.sqrt((mat_c * mat_c).sum(axis=1))
             dots = mat_q @ mat_c.T  # exact: integer-valued operands
             denom = np.outer(nq, nc)
             sims = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
             kk = min(k + 1, sims.shape[1])  # +1 survives self-removal
-            top_idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            top_idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(ids_q, kk),
@@ -203,8 +220,6 @@ def hashed_topk(
 def py_hashed_topk(vectors: dict, query_ids, k: int = 3):
     """Pure-python mirror of hashed_topk (pytest ground truth):
     vectors = {id: [float]}, returns {(query_id, rank): neighbor_id}."""
-    import math
-
     norms = {i: math.sqrt(sum(x * x for x in v)) for i, v in vectors.items()}
     out = {}
     for q in query_ids:

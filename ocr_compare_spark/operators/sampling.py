@@ -628,19 +628,39 @@ def split_bounds(weights: Mapping[str, float]) -> list[tuple[str, float]]:
     return bounds
 
 
+#: Domain-separation prefix for the split hash: every OTHER sampler
+#: in this module draws its uniform from hash_frac(key) directly, so
+#: an eval split drawn from the same stream would be perfectly
+#: correlated with sampling survival (e.g. hash_sample(rate=0.1)
+#: upstream leaves only u < 0.1 rows — all 'train', val/test EMPTY).
+#: Prefixing the key gives the split its own independent draw.
+SPLIT_HASH_DOMAIN = "split:"
+
+
+def split_frac(key: str | Column) -> Column:
+    """The split assignment's uniform draw — hash_frac over the
+    domain-prefixed key (see SPLIT_HASH_DOMAIN)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return hash_frac(F.concat(F.lit(SPLIT_HASH_DOMAIN), c.cast("string")))
+
+
 def assign_split(
     df: DataFrame,
     key_col: str | Column,
     weights: Mapping[str, float],
     split_col: str = "split",
 ) -> DataFrame:
-    """Deterministic train/val/test assignment: u = hash_frac(key),
-    split = the first bucket whose cumulative bound exceeds u. Pure
-    function of the key — zero shuffle, rerun-stable, layout- and
-    cluster-size-independent (the df.sample() objections in the
-    module docstring apply doubly to eval splits: a val set that
-    changes when the partition layout does silently contaminates
-    every checkpoint comparison).
+    """Deterministic train/val/test assignment: u = split_frac(key)
+    (hash_frac over the 'split:'-prefixed key — an INDEPENDENT draw
+    from the one hash_sample/temperature_mix/token-budget priority
+    use, so composing a split after any of those samplers cannot
+    correlate; an unprefixed draw would leave val/test empty after
+    hash_sample(rate < train weight)), split = the first bucket
+    whose cumulative bound exceeds u. Pure function of the key —
+    zero shuffle, rerun-stable, layout- and cluster-size-independent
+    (the df.sample() objections in the module docstring apply doubly
+    to eval splits: a val set that changes when the partition layout
+    does silently contaminates every checkpoint comparison).
 
     Leakage safety is a KEYING decision: hashing the document id
     splits near-duplicates independently, so a train doc can be a
@@ -651,7 +671,7 @@ def assign_split(
     applies to any grouping that must not straddle splits (host,
     source document of chunked windows)."""
     bounds = split_bounds(weights)
-    u = hash_frac(key_col)
+    u = split_frac(key_col)
     expr: Column = F.lit(bounds[-1][0])
     # when-chain from the last bound down so earlier (smaller) bounds
     # take precedence: first bound whose upper exceeds u wins

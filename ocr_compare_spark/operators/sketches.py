@@ -415,17 +415,23 @@ def dd_ln_gamma(alpha: float) -> float:
 
 
 def dd_bucket_col(value: str | Column, alpha: float) -> Column:
-    """DDSketch bucket index for one value: ceil(ln(x)/ln_gamma) for
-    x > 0, the zero-store sentinel otherwise. The division is by the
-    precomputed ln_gamma literal (never ln(x)/ln(gamma) re-derived
-    per engine) so the only cross-engine float surface is the shared
-    ln itself."""
+    """DDSketch bucket index for one value: ceil(round6(ln(x)/
+    ln_gamma)) for x > 0, the zero-store sentinel otherwise. The
+    division is by the precomputed ln_gamma literal (never
+    ln(x)/ln(gamma) re-derived per engine), and the ratio is
+    floor-round6'd BEFORE the ceil — the house transcendental
+    contract (lm/dsir/recrawl): without it, a value whose ratio
+    lands within 1 ulp of an integer would flip the bucket on a
+    JVM-vs-libm ln disagreement and move the estimate by a whole
+    gamma factor. The rounding perturbs the bucket boundary by a
+    factor gamma^5e-7 ~ 1+1e-8 — absorbed by the alpha guarantee."""
     c = F.col(value) if isinstance(value, str) else value
     v = c.cast("double")
     lng = dd_ln_gamma(alpha)
+    ratio6 = F.floor((F.log(v) / F.lit(lng)) * 1e6 + F.lit(0.5)) / 1e6
     return (
         F.when(v <= 0, F.lit(DD_ZERO_BKT).cast("long"))
-        .otherwise(F.ceil(F.log(v) / F.lit(lng)).cast("long"))
+        .otherwise(F.ceil(ratio6).cast("long"))
     )
 
 
@@ -552,7 +558,11 @@ def py_dd_quantile(values, q: float, alpha: float = 0.01) -> float:
     for v in values:
         if v is None:
             continue
-        b = DD_ZERO_BKT if v <= 0 else math.ceil(math.log(float(v)) / lng)
+        if v <= 0:
+            b = DD_ZERO_BKT
+        else:
+            # round6-before-ceil, exactly like dd_bucket_col
+            b = math.ceil(math.floor((math.log(float(v)) / lng) * 1e6 + 0.5) / 1e6)
         buckets[b] = buckets.get(b, 0) + 1
         n += 1
     rank = max(math.ceil(q * float(n)), 1)

@@ -122,3 +122,22 @@ def test_hashed_vectors_feed_semdedup_and_near_dups(spark, sf_dir):
     cents = similarity.seeded_centroids(4, DIM)
     kept = dedup.semdedup(vecs, centroids=cents, threshold=0.95, method="data")
     assert kept.count() == n
+
+
+def test_hashed_topk_tie_stable_and_layout_independent(spark):
+    # nine identical corpus vectors tie at sim 1.0 — the partial cut
+    # must keep the LOWEST ids (the final window's total order), in
+    # any partition layout
+    rows = [(0, [1.0, 0.0])] + [(i, [2.0, 0.0]) for i in range(1, 10)]
+    expected = {(0, 1): 1, (0, 2): 2, (0, 3): 3}
+    for parts in (1, 5):
+        vecs = spark.createDataFrame(
+            rows, "doc_id long, vector array<double>"
+        ).repartition(parts)
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in emb.hashed_topk(
+                vecs, vecs.filter(F.col("doc_id") == 0), k=3
+            ).collect()
+        }
+        assert got == expected, parts

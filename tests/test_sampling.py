@@ -465,7 +465,10 @@ SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
 def _py_split(key, bounds):
     import hashlib
 
-    u = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 4294967296.0
+    u = (
+        int(hashlib.md5(f"split:{key}".encode()).hexdigest()[:8], 16)
+        / 4294967296.0
+    )
     for name, ub in bounds[:-1]:
         if u < ub:
             return name
@@ -560,3 +563,17 @@ def test_split_then_decontaminate_eval_hygiene(spark, sf_dir):
         .collect()
     }
     assert flagged2 == flagged  # rerun-deterministic
+
+
+def test_assign_split_independent_of_sampler_hash(spark, sf_dir):
+    """The split draw is domain-prefixed: composing a split AFTER a
+    hash_sample must still populate every split (an unprefixed draw
+    would label every hash_sample(rate<0.8) survivor 'train')."""
+    d = _docs(spark, sf_dir)
+    survivors = sampling.hash_sample(d, "doc_id", 0.3)
+    out = sampling.assign_split(survivors, "doc_id", SPLIT_W)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+    n = sum(counts.values())
+    assert 0.6 * n < counts["train"] < 0.95 * n

@@ -577,7 +577,7 @@ def py_dd_quantile(values, q: float, alpha: float = 0.01) -> float:
 # ---------------------------------------------------- persistence
 
 
-def save_sketch(df: DataFrame, path: str) -> None:
+def save_sketch(df: DataFrame, path: str, epoch: int | None = None) -> None:
     """Persist a register table (HLL) or counter table (CMS) as
     parquet — the artifact a recurring crawl job reloads before each
     batch (the save_bloom pattern): load prior sketch, build this
@@ -595,12 +595,23 @@ def save_sketch(df: DataFrame, path: str) -> None:
     a mid-save crash would otherwise lose the accumulated sketch —
     with the rename, a crash leaves either the old sketch intact or
     the new one complete. (Local-FS rename; on an object store use
-    the committer instead.)"""
+    the committer instead.)
+
+    ``epoch`` (optional) rides the same atomic rename as an _epoch
+    marker file — the last-folded micro-batch id for ADDITIVE sketch
+    streams (see streaming.jobs.additive_sketch_stream: counter adds
+    are not replay-idempotent the way HLL's register max is, so the
+    fold must know which batch the on-disk sketch already includes;
+    committing the epoch atomically WITH the sketch is what makes
+    the skip-if-seen guard crash-safe)."""
     import os
     import shutil
 
     tmp = path.rstrip("/") + "._tmp"
     df.localCheckpoint(eager=True).write.mode("overwrite").parquet(tmp)
+    if epoch is not None:
+        with open(os.path.join(tmp, "_epoch"), "w") as f:
+            f.write(str(int(epoch)))
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
@@ -608,3 +619,15 @@ def save_sketch(df: DataFrame, path: str) -> None:
 
 def load_sketch(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def load_sketch_epoch(path: str) -> int | None:
+    """The _epoch marker save_sketch committed with the sketch, or
+    None when the sketch predates epochs / never carried one."""
+    import os
+
+    f = os.path.join(path, "_epoch")
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return int(fh.read().strip())

@@ -190,3 +190,100 @@ def hll_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_additive_sketch_fold(sketch_path: str, build, merge):
+    """The epoch-guarded foreachBatch fold for ADDITIVE sketches
+    (Count-Min counters, DDSketch buckets — anything whose merge is
+    a SUM). HLL's fold (hll_stream) is replay-idempotent for free
+    because register max is; counter ADDS are not — a replayed
+    micro-batch (driver restart between the sketch save and the
+    checkpoint commit) would inflate every count it touched. The
+    guard: save_sketch commits the folded batch id atomically WITH
+    the sketch (_epoch rides the same rename), and the fold skips
+    any batch id <= the committed epoch. Within one checkpoint
+    lineage batch ids are monotone, so a skipped id is exactly a
+    replay of work the sketch already includes. (Wiping the
+    checkpoint dir resets batch ids to 0 — wipe or re-epoch the
+    sketch with it; the two commit as a pair by design.)
+
+    ``build(batch_df) -> sketch rows``, ``merge(prior, delta) ->
+    folded`` — the cms_build/cms_merge (or dd_build/dd_merge)
+    signatures curried over their config. Factored out of the
+    stream starter so the replay guard is directly testable."""
+    import os
+
+    from ocr_compare_spark.operators import sketches
+
+    def fold(batch_df, batch_id):
+        have = os.path.exists(os.path.join(sketch_path, "_SUCCESS"))
+        if have:
+            committed = sketches.load_sketch_epoch(sketch_path)
+            if committed is not None and batch_id <= committed:
+                return  # replayed batch — already folded
+        delta = build(batch_df)
+        if have:
+            delta = merge(
+                sketches.load_sketch(batch_df.sparkSession, sketch_path), delta
+            )
+        sketches.save_sketch(delta, sketch_path, epoch=batch_id)
+
+    return fold
+
+
+def additive_sketch_stream(
+    spark: SparkSession,
+    input_path: str,
+    sketch_path: str,
+    checkpoint_path: str,
+    build,
+    merge,
+    schema: str,
+):
+    """Streaming maintenance for additive sketches: every micro-batch
+    builds its delta sketch and folds it into the persistent one,
+    exactly once per batch id (see make_additive_sketch_fold). Each
+    AvailableNow run touches only NEW files; the on-disk sketch stays
+    bounded (d*w counters / O(log range) buckets) regardless of how
+    much history streamed through."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            make_additive_sketch_fold(sketch_path, build, merge)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_stream(
+    spark: SparkSession,
+    input_path: str,
+    sketch_path: str,
+    checkpoint_path: str,
+    key_col: str,
+    schema: str,
+    depth: int = 4,
+    width: int = 2048,
+):
+    """Streaming Count-Min maintenance — the additive fold with
+    cms_build/cms_merge curried (the production shape: a standing
+    token-frequency sketch over an ever-growing crawl, queryable at
+    any time with cms_estimate / cms_heavy_hitters without
+    reprocessing a single historical file)."""
+    from ocr_compare_spark.operators import sketches
+
+    return additive_sketch_stream(
+        spark,
+        input_path,
+        sketch_path,
+        checkpoint_path,
+        lambda df: sketches.cms_build(df, key_col, depth, width),
+        sketches.cms_merge,
+        schema,
+    )

@@ -509,12 +509,27 @@ def simhash_near_dups(
 
     Output: (id_a, id_b, hamming) with id_a < id_b.
     """
+    return fingerprint_near_dups(
+        simhash(df, id_col, text_col, num_partitions=num_partitions), max_distance
+    )
+
+
+def fingerprint_near_dups(fp: DataFrame, max_distance: int = 3) -> DataFrame:
+    """The MJS pigeonhole block join over ANY 64-bit fingerprint
+    table ``(id, sim_hi, sim_lo)`` — shared by text SimHash
+    (simhash_near_dups) and image dHash (multimodal.dhash_images):
+    the candidate-generation guarantee depends only on the 64-bit
+    Hamming geometry, not on where the bits came from. Input is
+    localCheckpoint'd here (the self-join's differently-aliased
+    sides defeat ReuseExchange — the fingerprint stage would run
+    twice). Output: (id_a, id_b, hamming) with id_a < id_b, exact
+    within the Hamming ball."""
     nb = max_distance + 1
     assert nb <= 64, "max_distance must be < 64"
     base, rem = divmod(64, nb)
     widths = [base + (1 if j < rem else 0) for j in range(nb)]
     starts = [sum(widths[:j]) for j in range(nb)]
-    sh = simhash(df, id_col, text_col, num_partitions=num_partitions).localCheckpoint()
+    sh = fp.localCheckpoint()
     blocked = sh.select(
         "id",
         "sim_hi",

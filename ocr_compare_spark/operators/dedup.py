@@ -1258,3 +1258,55 @@ def tune_lsh(
         return miss + max_fp_weight * fp
 
     return min(splits, key=lambda br: cost(*br))
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """dedup_keep_list with a QUALITY-aware representative: instead
+    of "keep the min id", each near-dup component keeps its
+    highest-``quality_col`` member (ties to the lowest id — total
+    order, so the keep set is deterministic and exactly one member
+    per component survives). This is how production curation picks
+    the survivor of a dup cluster — longest / highest-quality-score /
+    most-recent — rather than an arbitrary id (pass e.g.
+    textstats.quality_score(), a length, or a timestamp cast to
+    double as the quality column).
+
+    Scale shape: components come from the same min-label propagation
+    (connected_components over the pairs graph — tiny next to the
+    corpus); the best-member election is one groupBy(component) +
+    max_by over SLIM (component, quality, id) rows (map-side
+    combined, deliberately NOT a window — the CLAUDE.md winner.py
+    rule), then a broadcast-friendly join back. Returns df +
+    (component, keep)."""
+    comps = connected_components(pairs)
+    labeled = (
+        df.select(F.col(id_col), F.col(quality_col).alias("_q"))
+        .join(comps, F.col(id_col) == comps.id, "left")
+        .drop("id")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    # max of (quality, -id) struct == highest quality, ties to the
+    # LOWEST id; NULL quality coalesced to -inf so it never wins a
+    # non-null (struct comparison is field-wise natural order — sort
+    # modifiers don't apply inside max_by)
+    best = labeled.groupBy("component").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.coalesce(F.col("_q").cast("double"), F.lit(float("-inf"))).alias("q"),
+                (-F.col(id_col)).alias("nid"),
+            ),
+        ).alias("_best_id")
+    )
+    keyed = labeled.select(id_col, "component").join(best, "component")
+    return df.join(
+        keyed.select(
+            id_col, "component", (F.col(id_col) == F.col("_best_id")).alias("keep")
+        ),
+        id_col,
+    )

@@ -282,3 +282,68 @@ def merge_index(
         dl.select("id", "dl").join(replaced, "id", "left_anti").unionByName(new_dl)
     )
     return merged_post, merged_dl
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 10,
+    k0: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR
+    2009): fuse N per-query rankings — e.g. BM25 (bm25_topk) and
+    embedding cosine (embedding.hashed_topk / similarity.*_topk) —
+    into one hybrid ranking. The canonical retrieval ensemble: RRF
+    "outperforms Condorcet and individual rank learning methods"
+    with a single constant, and it is what production hybrid-search
+    engines (Elasticsearch/OpenSearch/Vespa) ship.
+
+    score6(q, d) = SUM over rankings of floor(1e6 / (k0 + rank) + .5)
+
+    Each term is one IEEE double division of exact integers rounded
+    to microunits BEFORE the int64 sum (the repo's round6-before-sum
+    contract, lm.py/index.py precedent), so the fused scores and the
+    (rrf6 desc, id asc) ranking are bit-exact against an ANSI-SQL
+    twin on any engine. A document absent from one ranking simply
+    contributes no term (the standard RRF-over-truncated-lists form).
+
+    Inputs must share ``query_col``/``id_col``/``rank_col`` names
+    (callers alias; rank is 1-based as every *_topk here emits).
+    Returns (query_id, rank, id, rrf6, n_rankers).
+
+    Scale shape: each input is projected to three slim columns before
+    a unionAll + one map-side-combined groupBy; the final per-query
+    cut is a window over the fused (query, id, rrf6) stream — bounded
+    by sum of the input list lengths per query (inputs are already
+    top-k-truncated), never by the corpus."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    w6 = F.floor(
+        F.lit(1e6) / (F.lit(float(k0)) + F.col(rank_col).cast("double")) + F.lit(0.5)
+    ).cast("long")
+    slim = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("id"),
+            w6.alias("w6"),
+        )
+        for r in rankings
+    ]
+    u = slim[0]
+    for s in slim[1:]:
+        u = u.unionByName(s)
+    agg = u.groupBy("query_id", "id").agg(
+        F.sum("w6").alias("rrf6"), F.count(F.lit(1)).alias("n_rankers")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf6").desc(), F.col("id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "id", "rrf6", "n_rankers")
+    )

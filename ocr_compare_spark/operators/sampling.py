@@ -678,3 +678,73 @@ def assign_split(
     for name, upper in reversed(bounds[:-1]):
         expr = F.when(u < F.lit(upper), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+#: Domain-separation prefix for the bottom-k draw — same argument as
+#: SPLIT_HASH_DOMAIN: an unprefixed draw shares the hash_sample /
+#: temperature_mix survival stream, so "the k smallest hashes per
+#: stratum" after hash_sample(rate) would be EXACTLY the sample's own
+#: survivor prefix (perfectly correlated) instead of an independent
+#: subsample.
+BOTTOMK_HASH_DOMAIN = "bottomk:"
+
+
+def bottomk_frac(key: str | Column) -> Column:
+    """The bottom-k sampler's uniform draw — hash_frac over the
+    'bottomk:'-prefixed key (see BOTTOMK_HASH_DOMAIN)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return hash_frac(F.concat(F.lit(BOTTOMK_HASH_DOMAIN), c.cast("string")))
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    strata_col: str | None = None,
+    frac_col: str = "frac",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """EXACT-size deterministic uniform sample: keep the k rows with
+    the smallest (bottomk_frac(key), key) per stratum (global if
+    ``strata_col`` is None). This is bottom-k / order sketching
+    (Cohen & Kaplan 2007): because the prefixed md5 draw is uniform,
+    the k smallest hashes are a uniform simple random sample WITHOUT
+    replacement of exactly min(k, |stratum|) rows — the fixed-size
+    counterpart to hash_sample's fixed-RATE Bernoulli sample, with
+    the same run/layout/cluster-size determinism (df.sample and
+    RDD-takeSample give neither exact size + determinism together).
+
+    Output adds ``frac_col`` (the draw, floor-round6'd so a SQL twin
+    reproduces it) and ``rank_col`` (1-based position in the
+    (frac, key) order — the sample is itself ORDERED, so a caller
+    can take the bottom-j of a materialized bottom-k without
+    resampling: the bottom-j IS its prefix, the classic bottom-k
+    sketch property; k can be grown later only by rerunning).
+
+    Scale shape: the ranking window sees a SLIM (stratum, key, frac)
+    projection — full rows never shuffle (CLAUDE.md window rule); the
+    winners semi-join back by key. At 100 TB with a known stratum
+    count, pre-filter with hash_sample(rate ~= safety * k / n) first
+    to cut the window's input — the bottom-k of the survivors equals
+    the bottom-k of the whole stratum as long as the prefilter keeps
+    >= k rows (it draws from the SAME unprefixed stream only if you
+    pass the same key unprefixed — use bottomk_frac for the
+    prefilter threshold to stay consistent)."""
+    if k <= 0:
+        raise ValueError(f"bottomk_sample: k must be positive, got {k!r}")
+    frac6 = F.floor(bottomk_frac(key_col) * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    strata = [strata_col] if strata_col else []
+    slim = df.select(*strata, key_col).select(
+        *strata, key_col, bottomk_frac(key_col).alias("_bk_frac")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in strata] or [F.lit(1)]).orderBy(
+        F.col("_bk_frac").asc(), F.col(key_col).asc()
+    )
+    winners = (
+        slim.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .select(*strata, key_col, rank_col)
+    )
+    # join carries the stratum too — a key value repeated across
+    # strata must only admit its OWN stratum's row
+    return df.join(winners, [*strata, key_col], "inner").withColumn(frac_col, frac6)

@@ -1323,6 +1323,101 @@ def _bm25_oracle() -> str:
     """
 
 
+#: RRF constant (Cormack, Clarke & Büttcher 2009's k=60) for the
+#: retrieval_suite 'rrf' arm.
+RRF_K0 = 60
+
+
+def q_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval + reciprocal-rank-fusion hybrid gated as ONE
+    union row set (bm25 folded into this suite, session 10):
+
+    - 'bm25': the original inverted-index BM25 top-k row (q_bm25).
+    - 'rrf': index.rrf_fuse over TWO rankings of the SAME corpus and
+      query set — the bm25 lexical ranking and a hashed-TF cosine
+      ranking (embedding.hashed_tf + hashed_topk, the vocabulary-free
+      vector path) — the canonical hybrid-search ensemble. Every RRF
+      term is floor-round6'd to int64 before the sum, so fused scores
+      AND the (rrf6 desc, id asc) ranking reproduce bit-for-bit in
+      the DuckDB twin.
+
+    localCheckpoints: the bm25 ranking feeds two consumers (its own
+    arm + the fusion input) and the hashed vectors feed two (query
+    filter + corpus side) — both are cut so neither upstream runs
+    twice (the differently-aliased-consumer recompute trap)."""
+    from ocr_compare_spark.operators import embedding as emb_ops
+    from ocr_compare_spark.operators import index as index_ops
+
+    bm = q_bm25(spark, sf_dir).localCheckpoint()
+    vecs = emb_ops.hashed_tf(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        dim=HASHED_TF_DIM,
+    ).localCheckpoint()
+    qvecs = vecs.filter(F.col("doc_id") % BM25_QUERY_MOD == BM25_QUERY_REM)
+    ht = emb_ops.hashed_topk(vecs, qvecs, k=BM25_K).select(
+        "query_id", F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").alias("id"),
+    )
+    fused = index_ops.rrf_fuse(
+        [bm.select("query_id", "rank", "id"), ht], k=BM25_K, k0=RRF_K0
+    )
+    return bm.select(
+        F.lit("bm25").alias("kind"),
+        "query_id",
+        "rank",
+        "id",
+        "score6",
+        F.lit(1).cast("long").alias("n_rankers"),
+    ).unionByName(
+        fused.select(
+            F.lit("rrf").alias("kind"),
+            "query_id",
+            "rank",
+            "id",
+            F.col("rrf6").alias("score6"),
+            F.col("n_rankers").cast("long").alias("n_rankers"),
+        )
+    )
+
+
+def _retrieval_suite_oracle() -> str:
+    """SQL twin of q_retrieval_suite: the bm25 statement verbatim as
+    the first arm AND the fusion input, the hashedtf CTEs re-pointed
+    at the bm25 query set, then RRF exactly as index.rrf_fuse — w6 =
+    floor(1e6 / (k0 + rank) + 0.5) per truncated list (identical IEEE
+    double division + half-up floor on both engines), int64-summed,
+    ranked (score6 desc, id asc)."""
+    ht = _hashed_tf_oracle(
+        k=BM25_K, query_pred=f"{{d}} % {BM25_QUERY_MOD} = {BM25_QUERY_REM}"
+    )
+    w6 = f"CAST(floor(1000000.0 / ({float(RRF_K0)!r} + CAST(rank AS DOUBLE)) + 0.5) AS BIGINT)"
+    return f"""
+        WITH bm AS (SELECT * FROM ({_bm25_oracle()})),
+        ht AS (SELECT query_id, rank, neighbor_id AS id FROM ({ht})),
+        fused AS (
+          SELECT query_id, id, CAST(sum(w6) AS BIGINT) AS score6,
+                 CAST(count(*) AS BIGINT) AS n_rankers
+          FROM (
+            SELECT query_id, id, {w6} AS w6 FROM bm
+            UNION ALL
+            SELECT query_id, id, {w6} FROM ht
+          ) GROUP BY query_id, id
+        ),
+        franked AS (
+          SELECT query_id, id, score6, n_rankers,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, id ASC) AS rank
+          FROM fused
+        )
+        SELECT 'bm25' AS kind, query_id, rank, id, score6, CAST(1 AS BIGINT) AS n_rankers
+        FROM bm
+        UNION ALL
+        SELECT 'rrf', query_id, CAST(rank AS BIGINT), id, score6, n_rankers
+        FROM franked WHERE rank <= {BM25_K}
+    """
+
+
 #: PageRank gate config: 3 damped rounds (0.85 = 85/100) over the
 #: REAL extract_links graph of the synth corpus (every html doc has
 #: exactly 4 same-host anchors: /, /about, /contact, /buy).
@@ -1914,14 +2009,21 @@ def _embed_ivf_oracle(
     """
 
 
-def _hashed_tf_oracle(dim: int = None, k: int = 3) -> str:
+def _hashed_tf_oracle(
+    dim: int = None, k: int = 3, query_pred: str = "{d} < 8"
+) -> str:
     """SQL twin of the ann_suite 'hashedtf' arm: rebuilds the signed
     hashed vectors relationally (same md5 bucket/sign draws), dots
     via a shared-bucket join with the full (query x corpus) pair
     frame coalescing absent overlaps to 0, norms from exact squared
     sums. Every sum is over exact integers, so GEMM vs SQL order is
-    irrelevant — rankings match bit-for-bit by construction."""
+    irrelevant — rankings match bit-for-bit by construction.
+    ``query_pred`` selects the query docs ({{d}} = the qualified
+    doc_id column) — the retrieval_suite 'rrf' arm reuses these CTEs
+    with the bm25 query set."""
     dim = dim or HASHED_TF_DIM
+    pred_q = query_pred.format(d="q.doc_id")
+    pred_n = query_pred.format(d="doc_id")
     return f"""
         WITH htok AS (
           SELECT doc_id,
@@ -1943,14 +2045,14 @@ def _hashed_tf_oracle(dim: int = None, k: int = 3) -> str:
           SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
                  sum(q.v * c.v) AS dot
           FROM hvec q JOIN hvec c ON q.j = c.j
-          WHERE q.doc_id < 8 AND c.doc_id <> q.doc_id
+          WHERE {pred_q} AND c.doc_id <> q.doc_id
           GROUP BY 1, 2
         ), hpairs AS (
           SELECT nq.doc_id AS query_id, nc.doc_id AS neighbor_id,
                  CASE WHEN nq.nn > 0 AND nc.nn > 0
                       THEN coalesce(d.dot, 0.0) / (nq.nn * nc.nn)
                       ELSE 0.0 END AS sim
-          FROM (SELECT * FROM hnrm WHERE doc_id < 8) nq
+          FROM (SELECT * FROM hnrm WHERE {pred_n}) nq
           JOIN hnrm nc ON nc.doc_id <> nq.doc_id
           LEFT JOIN hdot d ON d.query_id = nq.doc_id
                           AND d.neighbor_id = nc.doc_id
@@ -2755,6 +2857,11 @@ UNIMAX_EPOCHS = 0.8
 #: populated at both gate sfs.
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
+#: Bottom-k gate config for the lang_mix 'bottomk' arm: exactly 25
+#: docs per language (every gate-sf language has >25, so the
+#: min(k, n) edge rides pytest, not the gate).
+BOTTOMK_K = 25
+
 
 def _split_case_sql(frac_expr: str = "frac") -> str:
     """CASE chain for the lang_mix 'split' arm — the same cumulative
@@ -2769,8 +2876,9 @@ def _split_case_sql(frac_expr: str = "frac") -> str:
 
 
 def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-mix suite, THREE arms (null-padded union; 'split'
-    added session 9 — deterministic train/val/test assignment):
+    """Language-mix suite, FOUR arms (null-padded union; 'split'
+    added session 9 — deterministic train/val/test assignment;
+    'bottomk' added session 10 — exact-size per-stratum sampling):
 
     - 'temperature': mC4 / XLM-R alpha sampling
       (sampling.temperature_mix) — per-language keep rates
@@ -2830,7 +2938,24 @@ def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("cum_tokens"),
         F.lit(None).cast("long").alias("budget"),
     )
-    return temp.unionByName(uni).unionByName(spl)
+    # 'bottomk' arm (session 10): exact-size uniform sample — the k
+    # smallest 'bottomk:'-prefixed hash draws per language
+    # (sampling.bottomk_sample, the Cohen-Kaplan order sketch). rate
+    # carries the round6'd draw; cum_tokens rides the 1-based
+    # (frac, id) sample_rank (the arm's order statistic — the twin
+    # replays the same window).
+    bk = sampling.bottomk_sample(
+        docs, "doc_id", k=BOTTOMK_K, strata_col="lang"
+    ).select(
+        F.lit("bottomk").alias("kind"),
+        "lang",
+        "doc_id",
+        "token_count",
+        F.col("frac").alias("rate"),
+        F.col("sample_rank").cast("long").alias("cum_tokens"),
+        F.lit(None).cast("long").alias("budget"),
+    )
+    return temp.unionByName(uni).unionByName(spl).unionByName(bk)
 
 
 def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2927,8 +3052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_suite": q_sketch_suite,
         "dedup_embed": q_dedup_embed,
         # simhash folded into dedup_suite (r5 final); the freed slot
-        # gates BM25 ranked retrieval over the inverted index
-        "bm25": q_bm25,
+        # gates BM25 ranked retrieval over the inverted index —
+        # widened to a bm25 + RRF-hybrid union suite in session 10
+        "retrieval_suite": q_retrieval_suite,
         # embed_topk folded into ann_suite (r5 final); the freed slot
         # gates PageRank over the real extract_links graph — widened
         # to a pagerank + HITS union suite in session 8
@@ -3913,7 +4039,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'hashedtf', 'data', * FROM ({_hashed_tf_oracle()})
         """,
-        "bm25": _bm25_oracle(),
+        "retrieval_suite": _retrieval_suite_oracle(),
         "graph_suite": _graph_suite_oracle(),
         "semdedup": _semdedup_oracle(),
         "decontam": """
@@ -4374,5 +4500,24 @@ def oracle_sql() -> dict[str, str]:
                        / 4294967296.0 AS sfrac
               FROM t
             ) sf
+            UNION ALL
+            -- bottomk: the {BOTTOMK_K} smallest 'bottomk:'-prefixed
+            -- draws per language; the window orders on the UNROUNDED
+            -- exact-rational frac (int/2^32) like the Spark side,
+            -- rounding only the emitted rate
+            SELECT 'bottomk', lang, doc_id, token_count,
+                   floor(bfrac * 1e6 + 0.5) / 1e6,
+                   CAST(brank AS BIGINT), CAST(NULL AS BIGINT)
+            FROM (
+              SELECT lang, doc_id, token_count, bfrac,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY bfrac ASC, doc_id ASC) AS brank
+              FROM (
+                SELECT lang, doc_id, token_count,
+                       ('0x' || substr(md5('bottomk:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         / 4294967296.0 AS bfrac
+                FROM t
+              )
+            ) WHERE brank <= {BOTTOMK_K}
         """,
     }

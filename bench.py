@@ -371,6 +371,41 @@ def main() -> int:
             vecs, vecs.filter(F.col("doc_id") < 8), k=10
         ).write.format("noop").mode("overwrite").save()
 
+    def q_rrf_hybrid():
+        # hybrid retrieval end-to-end: BM25 lexical ranking + hashed-
+        # TF cosine ranking over the SAME corpus-derived query set,
+        # fused with reciprocal-rank fusion (round6 int64 scores).
+        # This is the production hybrid-search query path — both
+        # component rankings AND the fusion are timed together.
+        import __spark_entry__ as entry
+        from ocr_compare_spark.operators import embedding as emb_ops
+        from ocr_compare_spark.operators import index as index_ops
+
+        d = docs.select("doc_id", "text")
+        queries_df = d.filter(
+            F.col("doc_id") % entry.BM25_QUERY_MOD == entry.BM25_QUERY_REM
+        ).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(index_ops._words("text"), 1, entry.BM25_QUERY_TERMS), " "
+            ).alias("query_text"),
+        )
+        bm = index_ops.bm25_topk(
+            d, queries_df, k=10, n_docs=bm25_n, sum_dl=bm25_sumdl,
+            num_partitions=cores,
+        )
+        vecs = emb_ops.hashed_tf(
+            d, "doc_id", "text", dim=64, num_partitions=cores
+        ).localCheckpoint()
+        ht = emb_ops.hashed_topk(
+            vecs,
+            vecs.filter(F.col("doc_id") % entry.BM25_QUERY_MOD == entry.BM25_QUERY_REM),
+            k=10,
+        ).select("query_id", "rank", F.col("neighbor_id").alias("id"))
+        index_ops.rrf_fuse(
+            [bm.select("query_id", "rank", "id"), ht], k=10
+        ).write.format("noop").mode("overwrite").save()
+
     # IVF-PQ: train once untimed (amortized at scale, like the cc
     # pair materialization); the timed row is encode + routed
     # compressed scan + final top-k window
@@ -410,6 +445,7 @@ def main() -> int:
         "simhash_pairs": q_simhash_pairs,
         "ann_ivfpq": q_ann_ivfpq,
         "hashed_embed": q_hashed_embed,
+        "rrf_hybrid": q_rrf_hybrid,
         "sketches": q_sketches,
         "tpch_q1": q_tpch_q1,
     }

@@ -1284,11 +1284,16 @@ def dedup_keep_best(
     rule), then a broadcast-friendly join back. Returns df +
     (component, keep)."""
     comps = connected_components(pairs)
+    # slim (id, quality, component) stream; localCheckpoint because
+    # it feeds TWO consumers (the best-member election and the
+    # keyed join-back) — without the cut the caller's upstream DAG
+    # runs twice (the differently-aliased-consumer recompute trap)
     labeled = (
         df.select(F.col(id_col), F.col(quality_col).alias("_q"))
         .join(comps, F.col(id_col) == comps.id, "left")
         .drop("id")
         .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+        .localCheckpoint()
     )
     # max of (quality, -id) struct == highest quality, ties to the
     # LOWEST id; NULL quality coalesced to -inf so it never wins a

@@ -71,6 +71,7 @@ def curate(
     max_tokens: int = 100_000,
     langs: tuple[str, ...] | None = None,
     jaccard_threshold: float = 0.8,
+    keep_best: bool = False,
     max_dup_line_frac: float = 0.9,
     max_top2gram_share: float = 0.9,
     para_dedup: bool = False,
@@ -374,7 +375,18 @@ def curate(
         keyed, "doc_key", "doc_text",
         verify_threshold=jaccard_threshold, num_partitions=num_partitions,
     )
-    curated = dedup_keep_list(keyed, pairs, "doc_key").filter(F.col("keep")).select(
+    if keep_best:
+        # quality-aware survivor election: each near-dup cluster
+        # keeps its highest-quality_score member (ties to the lowest
+        # doc_key) instead of the arbitrary min-id representative —
+        # same component labels, same one-keeper-per-cluster
+        # invariant, just a better winner (dedup.dedup_keep_best).
+        from ocr_compare_spark.operators.dedup import dedup_keep_best
+
+        decided = dedup_keep_best(keyed, pairs, "doc_key", "quality_score")
+    else:
+        decided = dedup_keep_list(keyed, pairs, "doc_key")
+    curated = decided.filter(F.col("keep")).select(
         "url", "lang", "lang_pred", "engine", "doc_text",
         "confidence", "quality_score", "token_count", "component",
     )
@@ -713,6 +725,7 @@ def curate(
             "max_tokens": max_tokens,
             "langs": list(langs) if langs else None,
             "jaccard_threshold": jaccard_threshold,
+            "keep_best": keep_best,
             "max_dup_line_frac": max_dup_line_frac,
             "max_top2gram_share": max_top2gram_share,
             "para_dedup": para_dedup,
@@ -779,6 +792,9 @@ def main() -> int:
     ap.add_argument("--max-tokens", type=int, default=100_000)
     ap.add_argument("--langs", default=None)
     ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--keep-best", action="store_true",
+                    help="near-dup clusters keep their highest-quality_score "
+                         "member instead of the min-id representative")
     ap.add_argument("--max-dup-line-frac", type=float, default=0.9)
     ap.add_argument("--max-top2gram-share", type=float, default=0.9)
     ap.add_argument("--para-dedup", action="store_true",
@@ -893,6 +909,7 @@ def main() -> int:
         max_tokens=args.max_tokens,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         jaccard_threshold=args.jaccard,
+        keep_best=args.keep_best,
         max_dup_line_frac=args.max_dup_line_frac,
         max_top2gram_share=args.max_top2gram_share,
         para_dedup=args.para_dedup,

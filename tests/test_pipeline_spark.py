@@ -424,6 +424,42 @@ def test_curate_mix_stages(spark, sf_dir):
     assert m["dropped_sampling"] > 0  # sample_rate 0.8 + budget bite
 
 
+def test_curate_keep_best_stage(spark, sf_dir, tmp_path):
+    """--keep-best: near-dup clusters keep their highest-
+    quality_score member instead of the min-id representative. The
+    cluster structure is unchanged (same docs_out, one keeper per
+    component), and the elected set can only improve the output's
+    quality mass — per-cluster argmax >= any other member, so the
+    aggregate quality_score sum dominates the default run's."""
+    from pyspark.sql import functions as F
+
+    from ocr_compare_spark.plans.curate import curate
+
+    out = str(tmp_path / "kb")
+    base = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1)
+    m = curate(spark, sf_dir, out, min_quality=0.0, min_tokens=1,
+               keep_best=True)
+    assert m["docs_out"] == base["docs_out"]
+    assert m["params"]["keep_best"] is True
+    corpus = spark.read.parquet(f"{out}/corpus")
+    # exactly one keeper per near-dup component
+    assert (
+        corpus.groupBy("component").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    # quality mass dominates the arbitrary-representative election
+    kb_q = corpus.agg(F.sum("quality_score")).first()[0]
+    b = curate(spark, sf_dir, str(tmp_path / "b"), min_quality=0.0,
+               min_tokens=1)
+    base_q = (
+        spark.read.parquet(f"{tmp_path}/b/corpus")
+        .agg(F.sum("quality_score"))
+        .first()[0]
+    )
+    assert kb_q >= base_q - 1e-9
+    assert b["docs_out"] == m["docs_out"]
+
+
 def test_curate_blocklist_and_ppl_stages(spark, sf_dir):
     """--blocked-domain/--blocked-pattern prune pages BEFORE
     extraction (warm.example.com hosts doc_id%4==1 -> exactly 125 of

@@ -1882,28 +1882,48 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_THRESHOLD = 0.3
 
 
+#: D4 prototypicality cut for the semdedup gate row: each cell's
+#: most-centroid-similar 15% of SemDeDup survivors are pruned.
+D4_PROTO_FRAC = 0.15
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023; dedup.semdedup): k-means cells +
-    within-cell cosine near-dup removal keeping the LOW-centroid-sim
-    member of every pair (the paper's keep rule), literal path. The
+    """SemDeDup (Abbas et al. 2023; dedup.semdedup) + the D4
+    diversification pass (Tirumala et al. 2023; dedup.d4_prune,
+    session 10): k-means cells + within-cell cosine near-dup removal
+    keeping the LOW-centroid-sim member of every pair (the paper's
+    keep rule), then per-cell pruning of the proto_frac most
+    prototypical survivors — one quantization feeds both stages. The
     DuckDB twin embeds the seeded centroids and replays assignment
     (argmax with ties to the lowest cell), greatest() centroid sim,
-    the same left-to-right cosine folds, and the pairwise earlier-
-    in-order drop rule bit-for-bit. The data path (broadcast GEMM)
-    is pytest-pinned to the same kept set."""
+    the same left-to-right cosine folds, the pairwise earlier-
+    in-order drop rule, and the (centsim6 desc, id asc) proto window
+    with the round6-before-floor cut, bit-for-bit. The data path
+    (broadcast GEMM) is pytest-pinned to the same kept set."""
     emb = _tbl(spark, sf_dir, "embeddings")
-    out = dedup.semdedup(emb, threshold=SEMDEDUP_THRESHOLD)
-    return out.select("id", "cell", "centsim", "kept")
+    out = dedup.d4_prune(
+        emb, threshold=SEMDEDUP_THRESHOLD, proto_frac=D4_PROTO_FRAC
+    )
+    return out.select("id", "cell", "centsim", "kept", "proto_rank", "d4_kept")
 
 
 def _semdedup_oracle(
-    n_centroids: int = 16, dim: int = 64, threshold: float = SEMDEDUP_THRESHOLD
+    n_centroids: int = 16,
+    dim: int = 64,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    proto_frac: float = None,
 ) -> str:
     """SQL twin of q_semdedup: seeded-centroid literals, the same
     argmax/greatest assignment as _embed_ivf_oracle, pairwise cosine
     within cells, and the (centsim asc, id asc) earlier-member drop
     rule. Every float op sequence matches the Spark folds, so cells,
-    centroid sims and the kept set reproduce bit-for-bit."""
+    centroid sims and the kept set reproduce bit-for-bit. The D4
+    stage (session 10) ranks the SURVIVORS per cell on the ROUND6
+    centsim desc (ties to lowest id) and prunes proto_rank <=
+    floor(round6(proto_frac * n_cell)) — the same round6-before-
+    integer-cliff contract as the Spark side."""
+    if proto_frac is None:
+        proto_frac = D4_PROTO_FRAC
     cents = similarity.seeded_centroids(n_centroids, dim)
 
     def chain(terms) -> str:
@@ -1939,11 +1959,26 @@ def _semdedup_oracle(
           SELECT DISTINCT CASE WHEN cs_a < cs_b OR (cs_a = cs_b AND id_a < id_b)
                                THEN id_b ELSE id_a END AS id
           FROM pairs WHERE sim >= {threshold!r}
+        ),
+        rk AS (
+          SELECT a.id,
+                 row_number() OVER (
+                   PARTITION BY a.cell
+                   ORDER BY floor(a.centsim * 1e6 + 0.5) / 1e6 DESC, a.id ASC
+                 ) AS proto_rank,
+                 count(*) OVER (PARTITION BY a.cell) AS n_cell
+          FROM assigned a LEFT JOIN dropped d ON a.id = d.id
+          WHERE d.id IS NULL
         )
         SELECT a.id, CAST(a.cell AS BIGINT) AS cell,
                floor(a.centsim * 1e6 + 0.5) / 1e6 AS centsim,
-               (d.id IS NULL) AS kept
+               (d.id IS NULL) AS kept,
+               CAST(rk.proto_rank AS BIGINT) AS proto_rank,
+               coalesce(d.id IS NULL
+                        AND rk.proto_rank > floor(floor({proto_frac!r} * rk.n_cell * 1e6 + 0.5) / 1e6),
+                        FALSE) AS d4_kept
         FROM assigned a LEFT JOIN dropped d ON a.id = d.id
+                        LEFT JOIN rk ON a.id = rk.id
     """
 
 

@@ -1127,6 +1127,87 @@ def semdedup(
     )
 
 
+def d4_prune(
+    emb: DataFrame,
+    centroids=None,
+    threshold: float = 0.95,
+    proto_frac: float = 0.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "literal",
+) -> DataFrame:
+    """D4 (Tirumala et al. 2023, arXiv:2308.12284): semantic dedup
+    THEN per-cluster prototypicality pruning — after SemDeDup drops
+    the near-duplicates, also drop the ``proto_frac`` fraction of
+    each cluster's SURVIVORS closest to their centroid. The most
+    "typical" members carry the least marginal information once the
+    cluster is represented; pruning them diversifies the mix (the
+    paper's SSL-prototype step, re-expressed on the same k-means
+    geometry SemDeDup already computed — one quantization pass feeds
+    both stages).
+
+    Per cluster: rank survivors by (centsim desc, id asc) — most
+    prototypical first — and drop proto_rank <= cut where
+    cut = floor(round6(proto_frac * n_cell)). The round6 before the
+    integer floor is the house cliff contract (DDSketch precedent):
+    proto_frac * n lands EXACTLY on integers for 1/proto_frac-sized
+    cells, and an IEEE ulp there (0.3*10 = 2.999...96) would move
+    the cut by a whole rank. floor also means a cluster needs
+    > 1/proto_frac survivors before it loses any — small clusters
+    are never wiped. The ranking key is the ROUND6 centsim (the
+    semdedup output column), ties to the lowest id, so the order is
+    total and the twin replays it exactly.
+
+    Output: semdedup's (id, cell, centsim, kept) + proto_rank (rank
+    in the per-cell drop order among semdedup survivors; NULL for
+    rows semdedup already dropped) + d4_kept (kept AND not
+    proto-pruned).
+
+    Scale shape: the semdedup output is localCheckpoint'd (it feeds
+    the ranking AND the join-back — without the cut its pairwise
+    join DAG runs twice); the window sees only slim
+    (id, cell, centsim) rows — vectors never shuffle; per-cell size
+    is bounded by the quantizer (the SemDeDup/IVF contract), so the
+    window partition never holds a corpus-sized cell."""
+    if not (0.0 <= proto_frac < 1.0):
+        raise ValueError(f"d4_prune: proto_frac must be in [0, 1), got {proto_frac!r}")
+    sd = semdedup(
+        emb,
+        centroids=centroids,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        method=method,
+    ).localCheckpoint()
+    wr = Window.partitionBy("cell").orderBy(
+        F.col("centsim").desc(), F.col("id").asc()
+    )
+    wc = Window.partitionBy("cell")
+    cut = F.floor(
+        F.floor(F.lit(proto_frac) * F.col("_n") * F.lit(1e6) + F.lit(0.5))
+        / F.lit(1e6)
+    )
+    ranked = (
+        sd.filter(F.col("kept"))
+        .select("id", "cell", "centsim")
+        .withColumn("proto_rank", F.row_number().over(wr))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .select(
+            "id",
+            F.col("proto_rank").cast("long").alias("proto_rank"),
+            (F.col("proto_rank") <= cut).alias("_pp"),
+        )
+    )
+    return sd.join(ranked, "id", "left").select(
+        "id",
+        "cell",
+        "centsim",
+        "kept",
+        "proto_rank",
+        (F.col("kept") & ~F.coalesce(F.col("_pp"), F.lit(False))).alias("d4_kept"),
+    )
+
+
 def minhash_tables(
     df: DataFrame,
     id_col: str,

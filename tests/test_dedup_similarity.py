@@ -873,6 +873,72 @@ def test_semdedup_data_path_matches_literal(spark, sf_dir):
     assert len(out) == 64 and all(r.kept for r in out)  # random vecs: no dups
 
 
+def test_d4_prune_semantics(spark):
+    """D4 (Tirumala et al. 2023): after SemDeDup, each cell prunes
+    the floor(round6(frac*n)) most-prototypical SURVIVORS (highest
+    round6 centsim, ties to lowest id). Semdedup-dropped rows carry
+    NULL proto_rank and d4_kept False; a 1-survivor cell is never
+    wiped (cut floor(0.3*1) = 0)."""
+    import math
+
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    ang = lambda d: [math.cos(math.radians(d)), math.sin(math.radians(d))]
+    # cell 0: 10 distinct at 2°..20° (all < 45°, so argmax keeps them
+    # off cell 1; adjacent sim cos(2°)=.99939 < the .9995 threshold)
+    rows = [(i, ang(2 * i)) for i in range(1, 11)]
+    rows += [(21, ang(89.0)), (22, ang(89.1))]  # cell 1: near-dup pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.id: (r.kept, r.proto_rank, r.d4_kept)
+        for r in dedup.d4_prune(df, cents, threshold=0.9995, proto_frac=0.3).collect()
+    }
+    # cell 1: 22 has the HIGHER centsim (closer to 90°) -> semdedup
+    # drops it; the lone survivor 21 is never proto-pruned
+    assert out[22] == (False, None, False)
+    assert out[21] == (True, 1, True)
+    # cell 0: all 10 kept; cut = floor(0.3*10) = 3 -> the three
+    # highest-centsim members (smallest angles: ids 1, 2, 3) prune
+    for i in range(1, 11):
+        kept, rank, d4 = out[i]
+        assert kept is True
+        assert rank == i  # centsim desc == angle asc == id asc here
+        assert d4 is (i > 3)
+
+    try:
+        dedup.d4_prune(df, cents, proto_frac=1.0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_d4_prune_data_matches_literal_and_cut_exact(spark, sf_dir):
+    """The data path (broadcast GEMM assignment) yields the same d4
+    decision set as the literal path at the gate config, and the
+    per-cell pruned count is exactly floor(round6(frac * n_cell))."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lit_ = dedup.d4_prune(emb, threshold=0.3, proto_frac=0.15).collect()
+    data = {
+        (r.id, r.cell, r.kept, r.proto_rank, r.d4_kept)
+        for r in dedup.d4_prune(
+            emb, threshold=0.3, proto_frac=0.15, method="data"
+        ).collect()
+    }
+    assert {(r.id, r.cell, r.kept, r.proto_rank, r.d4_kept) for r in lit_} == data
+    by_cell: dict = {}
+    for r in lit_:
+        if r.kept:
+            by_cell.setdefault(r.cell, []).append(r)
+    pruned_total = 0
+    for cell, members in by_cell.items():
+        n = len(members)
+        # floor(round6(frac * n)) — the same double ops as both engines
+        cut = int(((0.15 * n * 1e6 + 0.5) // 1) / 1e6)
+        got = sum(1 for m in members if not m.d4_kept)
+        assert got == cut, (cell, n, cut, got)
+        pruned_total += got
+    assert pruned_total > 0  # nontrivial at the gate config
+
+
 def test_cross_batch_near_dups_store_loop(spark, corpus, tmp_path):
     """The incremental cross-crawl loop: signature store written as
     parquet shields later batches from re-reading prior text; parity

@@ -255,21 +255,29 @@ def main() -> int:
         .agg(F.sum("dl")).collect()[0][0]
     )
 
-    def q_bm25():
+    def _bm25_query_set(d):
+        # corpus-derived query set — ONE recipe shared by the bm25
+        # and rrf_hybrid rows so they always time the same queries
         import __spark_entry__ as entry
         from ocr_compare_spark.operators import index as index_ops
 
-        # inverted index + BM25 top-10; corpus-derived query set,
-        # n/sum_dl hints skip the stats job (dl is one native size())
-        d = docs.select("doc_id", "text")
-        queries_df = d.filter(F.col("doc_id") % entry.BM25_QUERY_MOD == entry.BM25_QUERY_REM).select(
+        return d.filter(
+            F.col("doc_id") % entry.BM25_QUERY_MOD == entry.BM25_QUERY_REM
+        ).select(
             F.col("doc_id").alias("query_id"),
             F.array_join(
                 F.slice(index_ops._words("text"), 1, entry.BM25_QUERY_TERMS), " "
             ).alias("query_text"),
         )
+
+    def q_bm25():
+        from ocr_compare_spark.operators import index as index_ops
+
+        # inverted index + BM25 top-10; corpus-derived query set,
+        # n/sum_dl hints skip the stats job (dl is one native size())
+        d = docs.select("doc_id", "text")
         index_ops.bm25_topk(
-            d, queries_df, k=10, n_docs=bm25_n, sum_dl=bm25_sumdl,
+            d, _bm25_query_set(d), k=10, n_docs=bm25_n, sum_dl=bm25_sumdl,
             num_partitions=cores,
         ).write.format("noop").mode("overwrite").save()
 
@@ -382,16 +390,8 @@ def main() -> int:
         from ocr_compare_spark.operators import index as index_ops
 
         d = docs.select("doc_id", "text")
-        queries_df = d.filter(
-            F.col("doc_id") % entry.BM25_QUERY_MOD == entry.BM25_QUERY_REM
-        ).select(
-            F.col("doc_id").alias("query_id"),
-            F.array_join(
-                F.slice(index_ops._words("text"), 1, entry.BM25_QUERY_TERMS), " "
-            ).alias("query_text"),
-        )
         bm = index_ops.bm25_topk(
-            d, queries_df, k=10, n_docs=bm25_n, sum_dl=bm25_sumdl,
+            d, _bm25_query_set(d), k=10, n_docs=bm25_n, sum_dl=bm25_sumdl,
             num_partitions=cores,
         )
         vecs = emb_ops.hashed_tf(

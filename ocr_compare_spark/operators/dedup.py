@@ -1365,34 +1365,42 @@ def dedup_keep_best(
     rule), then a broadcast-friendly join back. Returns df +
     (component, keep)."""
     comps = connected_components(pairs)
-    # slim (id, quality, component) stream; localCheckpoint because
-    # it feeds TWO consumers (the best-member election and the
-    # keyed join-back) — without the cut the caller's upstream DAG
-    # runs twice (the differently-aliased-consumer recompute trap)
+    # slim (id, quality, component) stream under an INTERNAL alias
+    # (id_col may itself be named 'id' — comps' output column);
+    # localCheckpoint because it feeds TWO consumers (the best-member
+    # election and the keyed join-back) — without the cut the
+    # caller's upstream DAG runs twice (the differently-aliased-
+    # consumer recompute trap)
     labeled = (
-        df.select(F.col(id_col), F.col(quality_col).alias("_q"))
-        .join(comps, F.col(id_col) == comps.id, "left")
+        df.select(F.col(id_col).alias("_kb_id"), F.col(quality_col).alias("_q"))
+        .join(comps, F.col("_kb_id") == comps.id, "left")
         .drop("id")
-        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("component", F.coalesce(F.col("component"), F.col("_kb_id")))
         .localCheckpoint()
     )
-    # max of (quality, -id) struct == highest quality, ties to the
-    # LOWEST id; NULL quality coalesced to -inf so it never wins a
-    # non-null (struct comparison is field-wise natural order — sort
-    # modifiers don't apply inside max_by)
+    # min of (negated quality, id) == highest quality, ties to the
+    # LOWEST id — the id rides in its NATIVE orderable type (string
+    # urls work; only the quality is negated, and it is already
+    # double by contract). NULL quality -> +inf never beats a real
+    # score; a NaN quality sorts GREATEST in Spark's double order, so
+    # under the MIN it loses to every real score AND to NULL's +inf —
+    # NaN can only be elected in an all-NaN/NULL cluster (then the id
+    # tiebreak still makes the winner deterministic).
     best = labeled.groupBy("component").agg(
-        F.max_by(
-            F.col(id_col),
+        F.min_by(
+            F.col("_kb_id"),
             F.struct(
-                F.coalesce(F.col("_q").cast("double"), F.lit(float("-inf"))).alias("q"),
-                (-F.col(id_col)).alias("nid"),
+                F.coalesce(-F.col("_q").cast("double"), F.lit(float("inf"))).alias("nq"),
+                F.col("_kb_id").alias("i"),
             ),
         ).alias("_best_id")
     )
-    keyed = labeled.select(id_col, "component").join(best, "component")
+    keyed = labeled.select("_kb_id", "component").join(best, "component")
     return df.join(
         keyed.select(
-            id_col, "component", (F.col(id_col) == F.col("_best_id")).alias("keep")
+            F.col("_kb_id").alias(id_col),
+            "component",
+            (F.col("_kb_id") == F.col("_best_id")).alias("keep"),
         ),
         id_col,
     )

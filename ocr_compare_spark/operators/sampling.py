@@ -704,15 +704,21 @@ def bottomk_sample(
     frac_col: str = "frac",
     rank_col: str = "sample_rank",
 ) -> DataFrame:
-    """EXACT-size deterministic uniform sample: keep the k rows with
-    the smallest (bottomk_frac(key), key) per stratum (global if
-    ``strata_col`` is None). This is bottom-k / order sketching
-    (Cohen & Kaplan 2007): because the prefixed md5 draw is uniform,
-    the k smallest hashes are a uniform simple random sample WITHOUT
-    replacement of exactly min(k, |stratum|) rows — the fixed-size
-    counterpart to hash_sample's fixed-RATE Bernoulli sample, with
-    the same run/layout/cluster-size determinism (df.sample and
-    RDD-takeSample give neither exact size + determinism together).
+    """EXACT-size deterministic uniform sample: keep the rows whose
+    KEY is among the k smallest (bottomk_frac(key), key) draws per
+    stratum (global if ``strata_col`` is None). This is bottom-k /
+    order sketching (Cohen & Kaplan 2007): because the prefixed md5
+    draw is uniform, the k smallest hashes are a uniform simple
+    random sample WITHOUT replacement of exactly min(k, n) of the
+    stratum's DISTINCT keys — the fixed-size counterpart to
+    hash_sample's fixed-RATE Bernoulli sample, with the same run/
+    layout/cluster-size determinism (df.sample and RDD-takeSample
+    give neither exact size + determinism together). Like
+    hash_sample, selection is key-level: if a key value repeats
+    within its stratum, ALL its rows ride the one selected slot
+    (keys are normally unique ids, where rows == keys). Rows with a
+    NULL key take no draw and never sample (the HLL NULL-key rule);
+    a NULL STRATUM is a regular stratum of its own (null-safe join).
 
     Output adds ``frac_col`` (the draw, floor-round6'd so a SQL twin
     reproduces it) and ``rank_col`` (1-based position in the
@@ -721,21 +727,27 @@ def bottomk_sample(
     resampling: the bottom-j IS its prefix, the classic bottom-k
     sketch property; k can be grown later only by rerunning).
 
-    Scale shape: the ranking window sees a SLIM (stratum, key, frac)
-    projection — full rows never shuffle (CLAUDE.md window rule); the
-    winners semi-join back by key. At 100 TB with a known stratum
-    count, pre-filter with hash_sample(rate ~= safety * k / n) first
-    to cut the window's input — the bottom-k of the survivors equals
-    the bottom-k of the whole stratum as long as the prefilter keeps
-    >= k rows (it draws from the SAME unprefixed stream only if you
-    pass the same key unprefixed — use bottomk_frac for the
-    prefilter threshold to stay consistent)."""
+    Scale shape: the ranking window sees a SLIM distinct
+    (stratum, key, frac) projection — full rows never shuffle
+    (CLAUDE.md window rule); the winners join back null-safely. At
+    100 TB, pre-filter with ``bottomk_frac(key) < safety * k / n``
+    (the SAME prefixed draw — NOT hash_sample, whose unprefixed
+    stream is independent by design and would discard true bottom-k
+    members) to cut the window's input: the bottom-k of that prefix
+    equals the stratum's true bottom-k whenever the prefix keeps
+    >= k keys."""
     if k <= 0:
         raise ValueError(f"bottomk_sample: k must be positive, got {k!r}")
     frac6 = F.floor(bottomk_frac(key_col) * 1e6 + F.lit(0.5)) / F.lit(1e6)
     strata = [strata_col] if strata_col else []
-    slim = df.select(*strata, key_col).select(
-        *strata, key_col, bottomk_frac(key_col).alias("_bk_frac")
+    # distinct: a repeated key must hold ONE slot in the rank order
+    # (the join-back then fans the slot out to all its rows); NULL
+    # keys are excluded — no deterministic draw exists for them
+    slim = (
+        df.select(*strata, key_col)
+        .filter(F.col(key_col).isNotNull())
+        .distinct()
+        .select(*strata, key_col, bottomk_frac(key_col).alias("_bk_frac"))
     )
     w = Window.partitionBy(*[F.col(c) for c in strata] or [F.lit(1)]).orderBy(
         F.col("_bk_frac").asc(), F.col(key_col).asc()
@@ -743,8 +755,21 @@ def bottomk_sample(
     winners = (
         slim.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
-        .select(*strata, key_col, rank_col)
+        .select(
+            *[F.col(c).alias(f"_bk_{c}") for c in strata],
+            F.col(key_col).alias("_bk_key"),
+            rank_col,
+        )
     )
-    # join carries the stratum too — a key value repeated across
-    # strata must only admit its OWN stratum's row
-    return df.join(winners, [*strata, key_col], "inner").withColumn(frac_col, frac6)
+    # null-safe join (the CLAUDE.md stratum-join rule): a NULL
+    # stratum's winners must reach their rows; the join carries the
+    # stratum too — a key value repeated ACROSS strata only admits
+    # its own stratum's rows
+    cond = df[key_col].eqNullSafe(winners["_bk_key"])
+    for c in strata:
+        cond = cond & df[c].eqNullSafe(winners[f"_bk_{c}"])
+    return (
+        df.join(winners, cond, "inner")
+        .drop("_bk_key", *[f"_bk_{c}" for c in strata])
+        .withColumn(frac_col, frac6)
+    )

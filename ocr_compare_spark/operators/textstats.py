@@ -409,8 +409,11 @@ def langid_label(text_col: str = "text") -> Column:
 
 def compression_ratio(col: str | Column, level: int = 6) -> Column:
     """Deflate compression ratio of the UTF-8 text, in integer
-    microunits: ratio6 = floor(1e6 * len(zlib(text)) / len(text) +
-    0.5); NULL for empty/NULL text. The RedPajama-v2 / Dolma
+    microunits: with b = text.encode('utf-8'),
+    ratio6 = floor(1e6 * len(zlib.compress(b)) / len(b) + 0.5) —
+    BYTE lengths on both sides (for multibyte scripts the divisor is
+    the encoded size, not the character count); NULL for empty/NULL
+    text. The RedPajama-v2 / Dolma
     "ccnet_compression_ratio"-family quality signal: highly
     repetitive or templated pages compress far below prose (~0.3-0.5
     for natural text; <0.2 flags boilerplate/spam, ~1.0 flags

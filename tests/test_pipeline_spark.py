@@ -436,7 +436,8 @@ def test_curate_keep_best_stage(spark, sf_dir, tmp_path):
     from ocr_compare_spark.plans.curate import curate
 
     out = str(tmp_path / "kb")
-    base = curate(spark, sf_dir, None, min_quality=0.0, min_tokens=1)
+    base = curate(spark, sf_dir, str(tmp_path / "b"), min_quality=0.0,
+                  min_tokens=1)
     m = curate(spark, sf_dir, out, min_quality=0.0, min_tokens=1,
                keep_best=True)
     assert m["docs_out"] == base["docs_out"]
@@ -449,15 +450,12 @@ def test_curate_keep_best_stage(spark, sf_dir, tmp_path):
     )
     # quality mass dominates the arbitrary-representative election
     kb_q = corpus.agg(F.sum("quality_score")).first()[0]
-    b = curate(spark, sf_dir, str(tmp_path / "b"), min_quality=0.0,
-               min_tokens=1)
     base_q = (
         spark.read.parquet(f"{tmp_path}/b/corpus")
         .agg(F.sum("quality_score"))
         .first()[0]
     )
     assert kb_q >= base_q - 1e-9
-    assert b["docs_out"] == m["docs_out"]
 
 
 def test_curate_blocklist_and_ppl_stages(spark, sf_dir):

@@ -182,6 +182,41 @@ def test_bottomk_global_and_independence_from_hash_sample(spark):
     assert got != unprefixed_prefix
 
 
+def test_bottomk_null_strata_null_keys_and_dup_keys(spark):
+    """Review-pass contracts: a NULL stratum is a regular stratum
+    (null-safe join-back — an EqualTo join silently dropped its
+    winners); NULL keys take no draw and never sample; a key value
+    repeated within its stratum holds ONE rank slot and fans out to
+    all its rows on the join-back (key-level selection, the
+    hash_sample semantics)."""
+    rows = [(i, None) for i in range(10)]  # NULL stratum, 10 keys
+    rows += [(100 + i, "en") for i in range(10)]
+    rows += [(None, "en")]  # NULL key: excluded
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.bottomk_sample(df, "doc_id", k=3, strata_col="lang").collect()
+    by_stratum: dict = {}
+    for r in out:
+        by_stratum.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by_stratum[None]) == 3  # NULL stratum sampled
+    assert len(by_stratum["en"]) == 3
+    assert all(d is not None for ds in by_stratum.values() for d in ds)
+    want_null = sorted(range(10), key=lambda i: (_bk_frac(i), i))[:3]
+    assert sorted(by_stratum[None]) == sorted(want_null)
+
+    # duplicate keys: each selected KEY carries all its rows
+    dup = spark.createDataFrame(
+        [(7, "x"), (7, "x"), (8, "x"), (9, "x")], "doc_id long, lang string"
+    )
+    picked = sampling.bottomk_sample(dup, "doc_id", k=2, strata_col="lang").collect()
+    keys = sorted(r["doc_id"] for r in picked)
+    want_keys = sorted([7, 8, 9], key=lambda i: (_bk_frac(i), i))[:2]
+    if 7 in want_keys:
+        assert keys.count(7) == 2  # both rows of the dup key ride
+    assert sorted(set(keys)) == sorted(want_keys)
+    # ranks are per-KEY: no rank exceeds k
+    assert all(r["sample_rank"] <= 2 for r in picked)
+
+
 def test_bottomk_rejects_nonpositive_k(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     try:
@@ -261,3 +296,44 @@ def test_dedup_keep_best_elects_highest_quality(spark):
         for r in dedup.dedup_keep_best(docs2, pairs2, "doc_id", "q").collect()
     }
     assert keep2 == {1: False, 2: True}
+
+
+def test_dedup_keep_best_string_ids_and_nan_quality(spark):
+    """Review-pass contracts: ids stay in their NATIVE orderable type
+    (string urls — the dedup_keep_list drop-in promise; the old
+    -id tiebreak only worked for numerics), and a NaN quality loses
+    to every real score AND to NULL (NaN sorts greatest in Spark's
+    double order, so it would have won under a max_by)."""
+    docs = spark.createDataFrame(
+        [
+            ("http://a/1", 0.2),
+            ("http://a/2", 0.2),  # tie with a/1 -> lexicographically lowest
+            ("http://b/9", 0.9),
+        ],
+        "url string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [("http://a/1", "http://a/2"), ("http://a/2", "http://b/9")],
+        "id_a string, id_b string",
+    )
+    keep = {
+        r["url"]: r["keep"]
+        for r in dedup.dedup_keep_best(docs, pairs, "url", "q").collect()
+    }
+    assert keep == {"http://a/1": False, "http://a/2": False, "http://b/9": True}
+
+    nan = float("nan")
+    docs2 = spark.createDataFrame(
+        [(1, nan), (2, 0.01), (3, None), (4, nan), (5, None)],
+        "doc_id long, q double",
+    )
+    pairs2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    keep2 = {
+        r["doc_id"]: r["keep"]
+        for r in dedup.dedup_keep_best(docs2, pairs2, "doc_id", "q").collect()
+    }
+    # cluster {1,2,3}: NaN and NULL lose to the real 0.01
+    # cluster {4,5}: NaN loses to NULL; ties resolved by lowest id
+    assert keep2 == {1: False, 2: True, 3: False, 4: False, 5: True}

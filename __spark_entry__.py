@@ -919,6 +919,12 @@ SKETCH_HH_THRESHOLD = 920
 #: langs), interior buckets, and the exact-max walk (q=1.0).
 SKETCH_DD_ALPHA = 0.02
 SKETCH_DD_QS = (0.05, 0.25, 0.5, 0.75, 0.95, 1.0)
+#: jacc arm (session 10): HLL inclusion-exclusion corpus overlap at
+#: p=8 — A = even docs' shingles, B = the %3==0 docs' (true overlap
+#: = the %6==0 docs' plus cross-doc shingle repeats), so every
+#: derived quantity (union, intersection, jaccard, containments) is
+#: non-degenerate at both gate sfs.
+SKETCH_JACC_P = 8
 
 
 def _dd_lbl(q: float) -> str:
@@ -1012,10 +1018,86 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get("_vs", (rank - 1).cast("int")).cast("long").alias("exact_cnt"),
         F.lit(None).cast("long").alias("is_hh"),
     )
+    # jacc arm (session 10): corpus-overlap from the sketches ALONE
+    # (hll_overlap inclusion-exclusion). grp carries the measure name
+    # ('jacc:a' .. 'jacc:contain_b'), est6 the sketch-derived value,
+    # exact_cnt the exact truth (raw distinct counts for the set
+    # sizes; floor-round6 microunit ratios for jacc/containments).
+    d3 = _docs(spark, sf_dir).select("doc_id", F.lower(F.col("text")).alias("text"))
+    jsh = d3.select(
+        "doc_id", F.explode(dedup.word_shingles("text", 3)).alias("s")
+    ).localCheckpoint()  # four consumers: two register builds + two exact sets
+    ja = jsh.filter(F.col("doc_id") % 2 == 0).select("s")
+    jb = jsh.filter(F.col("doc_id") % 3 == 0).select("s")
+    ov = sk.hll_overlap(
+        sk.hll_registers(ja, "s", (), SKETCH_JACC_P),
+        sk.hll_registers(jb, "s", (), SKETCH_JACC_P),
+        (),
+        SKETCH_JACC_P,
+    )
+    ex = (
+        ja.distinct()
+        .withColumn("_a", F.lit(1))
+        .join(jb.distinct().withColumn("_b", F.lit(1)), "s", "outer")
+        .agg(
+            F.sum("_a").alias("xa"),
+            F.sum("_b").alias("xb"),
+            F.coalesce(F.sum(F.col("_a") * F.col("_b")), F.lit(0)).alias("xi"),
+        )
+    )
+
+    def jx(name: str, est, exact):
+        return F.struct(
+            F.lit(name).alias("g"),
+            est.cast("long").alias("e"),
+            exact.cast("long").alias("x"),
+        )
+
+    xratio = lambda n, dnm: F.floor(
+        n.cast("double") / dnm.cast("double") * 1e6 + F.lit(0.5)
+    )
+    xu = F.col("xa") + F.col("xb") - F.col("xi")
+    # join-free 1-row combine (a literal-key equi join constant-folds
+    # back into a nested-loop — the plan_audit gate): union the two
+    # 1-row frames with null padding and fold with one aggregate
+    jcols = [
+        "a_est6", "b_est6", "union_est6", "inter6",
+        "jacc6", "contain_a6", "contain_b6", "xa", "xb", "xi",
+    ]
+    jrow = ov.unionByName(ex, allowMissingColumns=True).agg(
+        *[F.max(c).alias(c) for c in jcols]
+    )
+    jac = (
+        jrow
+        .select(
+            F.explode(
+                F.array(
+                    jx("a", F.col("a_est6"), F.col("xa")),
+                    jx("b", F.col("b_est6"), F.col("xb")),
+                    jx("union", F.col("union_est6"), xu),
+                    jx("inter", F.col("inter6"), F.col("xi")),
+                    jx("jacc", F.col("jacc6"), xratio(F.col("xi"), xu)),
+                    jx("contain_a", F.col("contain_a6"), xratio(F.col("xi"), F.col("xa"))),
+                    jx("contain_b", F.col("contain_b6"), xratio(F.col("xi"), F.col("xb"))),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.lit("jacc").alias("kind"),
+            F.concat(F.lit("jacc:"), F.col("m.g")).alias("grp"),
+            F.lit(None).cast("long").alias("n_present"),
+            F.lit(None).cast("long").alias("v_zero"),
+            F.col("m.e").alias("est6"),
+            F.lit(None).cast("long").alias("exact_distinct"),
+            F.lit(None).cast("long").alias("est_cnt"),
+            F.col("m.x").alias("exact_cnt"),
+            F.lit(None).cast("long").alias("is_hh"),
+        )
+    )
     out = hll_arm(SKETCH_HLL_PS[0])
     for p in SKETCH_HLL_PS[1:]:
         out = out.unionByName(hll_arm(p))
-    return out.unionByName(cms).unionByName(dd)
+    return out.unionByName(cms).unionByName(dd).unionByName(jac)
 
 
 def _sketch_oracle() -> str:
@@ -1081,6 +1163,56 @@ def _sketch_oracle() -> str:
               ) x USING (grp)
             )""")
     hll_sql = "\nUNION ALL\n".join(arms)
+    # jacc arm pieces: registers at p=SKETCH_JACC_P per side + the
+    # merged (max) table, est6 via the same branch formula, then the
+    # inclusion-exclusion/ratio arithmetic exactly as hll_overlap
+    jm = 1 << SKETCH_JACC_P
+    ja_m2 = hll_alpha_m2(SKETCH_JACC_P)
+    reg_sql = lambda pred: f"""
+          SELECT idx, max(rho) AS m_j FROM (
+            SELECT ('0x' || substr(md5(s), 1, 8))::BIGINT % {jm} AS idx,
+                   CASE WHEN ('0x' || substr(md5(s), 9, 8))::BIGINT = 0
+                        THEN 33
+                        ELSE 33 - length(format('{{:b}}',
+                             ('0x' || substr(md5(s), 9, 8))::BIGINT))
+                   END AS rho
+            FROM jsh WHERE {pred}
+          ) GROUP BY idx"""
+    est_sql = lambda tbl: f"""
+          SELECT CAST(floor(
+            CASE WHEN {ja_m2!r} / (s_terms + ({jm} - n_present)) <= {2.5 * jm!r}
+                  AND n_present < {jm}
+                 THEN {float(jm)!r} * ln({float(jm)!r} / ({jm} - n_present))
+                 ELSE {ja_m2!r} / (s_terms + ({jm} - n_present))
+            END * 1e6 + 0.5) AS BIGINT) AS est6
+          FROM (
+            SELECT count(*) AS n_present,
+                   list_sum(list(1.0 / (1::BIGINT << m_j) ORDER BY idx)) AS s_terms
+            FROM {tbl}
+          )"""
+    jr6 = lambda num, den: (
+        f"CASE WHEN {den} > 0 THEN CAST(floor(CAST({num} AS DOUBLE)"
+        f" / CAST({den} AS DOUBLE) * 1e6 + 0.5) AS BIGINT) END"
+    )
+    jacc_sql = f"""
+        SELECT 'jacc' AS kind, 'jacc:' || g AS grp,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), e,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), x,
+               CAST(NULL AS BIGINT)
+        FROM (
+          SELECT * FROM (
+            SELECT 'a' AS g, a6 AS e, xa AS x FROM jcalc
+            UNION ALL SELECT 'b', b6, xb FROM jcalc
+            UNION ALL SELECT 'union', u6, xa + xb - xi FROM jcalc
+            UNION ALL SELECT 'inter', i6, xi FROM jcalc
+            UNION ALL SELECT 'jacc', {jr6("i6", "u6")},
+                             {jr6("xi", "xa + xb - xi")} FROM jcalc
+            UNION ALL SELECT 'contain_a', {jr6("i6", "a6")},
+                             {jr6("xi", "xa")} FROM jcalc
+            UNION ALL SELECT 'contain_b', {jr6("i6", "b6")},
+                             {jr6("xi", "xb")} FROM jcalc
+          )
+        )"""
     return f"""
         WITH tok AS (
           SELECT lang AS grp, string_split_regex(lower(text), '\\s+') AS t
@@ -1142,6 +1274,27 @@ def _sketch_oracle() -> str:
                              END) * 1e6 + 0.5) AS BIGINT) AS est6,
                  x.v AS exact_q
           FROM ddsel s JOIN ddx x ON x.lang = s.lang AND x.rn = s.rnk
+        ), jd AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+          FROM documents
+        ), jsh AS (
+          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+          FROM jd, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+        ), jra AS ({reg_sql("doc_id % 2 = 0")}
+        ), jrb AS ({reg_sql("doc_id % 3 = 0")}
+        ), jru AS (
+          SELECT idx, max(m_j) AS m_j
+          FROM (SELECT * FROM jra UNION ALL SELECT * FROM jrb) GROUP BY idx
+        ), jxa AS (SELECT DISTINCT s FROM jsh WHERE doc_id % 2 = 0
+        ), jxb AS (SELECT DISTINCT s FROM jsh WHERE doc_id % 3 = 0
+        ), jcalc AS (
+          SELECT a6, b6, u6, greatest(a6 + b6 - u6, 0) AS i6, xa, xb, xi
+          FROM (SELECT ({est_sql("jra")}) AS a6,
+                       ({est_sql("jrb")}) AS b6,
+                       ({est_sql("jru")}) AS u6,
+                       (SELECT count(*) FROM jxa) AS xa,
+                       (SELECT count(*) FROM jxb) AS xb,
+                       (SELECT count(*) FROM jxa JOIN jxb USING (s)) AS xi)
         )
         {hll_sql}
         UNION ALL
@@ -1152,6 +1305,8 @@ def _sketch_oracle() -> str:
         UNION ALL
         SELECT 'dd', lang || ':' || lbl, n_buckets, n, est6, NULL, NULL, exact_q, NULL
         FROM dde
+        UNION ALL
+        {jacc_sql}
     """
 
 

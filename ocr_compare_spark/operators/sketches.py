@@ -189,6 +189,86 @@ def hll_count_distinct(
     )
 
 
+def hll_overlap(
+    reg_a: DataFrame,
+    reg_b: DataFrame,
+    group_cols: Sequence[str] = (),
+    p: int = 12,
+) -> DataFrame:
+    """Set-overlap estimation from two HLL sketches ALONE — the
+    corpus-overlap question ("how much of crawl B is already in
+    crawl A?", "how many distinct shingles do these corpora share?")
+    answered without re-reading a single key: by inclusion-exclusion
+    |A∩B| ≈ |A| + |B| − |A∪B|, where |A∪B| comes free from
+    hll_merge's register max (the sketch of the union IS the merged
+    sketch — the HLL property that makes this sound).
+
+    Per group, returns (group_cols..., a_est6, b_est6, union_est6,
+    inter6, jacc6, contain_a6, contain_b6):
+
+    - inter6 = greatest(a_est6 + b_est6 − union_est6, 0) — int64
+      arithmetic on the already-round6'd estimates, clamped (the
+      estimator can go slightly negative on near-disjoint sets).
+    - jacc6 = floor(inter6/union_est6 · 1e6 + 0.5) (NULL when the
+      union estimate is 0), contain_a6/contain_b6 likewise over the
+      side estimates ("what fraction of A is shared").
+
+    A group absent from one side is an empty set on that side
+    (estimate 0 → intersection 0). Error: each est6 carries HLL's
+    ~1.04/sqrt(m) relative error and the subtraction COMPOUNDS them —
+    the intersection estimate is only meaningful when |A∩B| is not
+    tiny relative to the set sizes (the standard HLL
+    inclusion-exclusion caveat; for tiny overlaps use the exact
+    decontaminate/cross-batch joins instead).
+
+    Scale: three bounded estimates + one join keyed by group — no
+    key stream is ever touched; sketches can come from load_sketch
+    over different crawls' persisted registers."""
+    gc = list(group_cols)
+    # JOIN-FREE pivot: tag each side's estimate rows, union, and fold
+    # with one map-side-combined groupBy (max-of-singleton per tag) —
+    # an outer join here would be a nested-loop on the global (no
+    # group) path once Catalyst folds a literal join key, and absent
+    # groups fall out of the union for free
+    tag = lambda d, t: hll_estimate(d, gc, p).select(
+        *gc, F.lit(t).alias("_t"), "est6"
+    )
+    u = (
+        tag(reg_a, "a")
+        .unionByName(tag(reg_b, "b"))
+        .unionByName(tag(hll_merge(reg_a, reg_b), "u"))
+    )
+    pick = lambda t: F.max(F.when(F.col("_t") == t, F.col("est6")))
+    j = u.groupBy(*gc).agg(
+        pick("a").alias("a_est6"),
+        pick("b").alias("b_est6"),
+        pick("u").alias("union_est6"),
+    )
+    a6 = F.coalesce(F.col("a_est6"), F.lit(0).cast("long"))
+    b6 = F.coalesce(F.col("b_est6"), F.lit(0).cast("long"))
+    u6 = F.coalesce(F.col("union_est6"), F.lit(0).cast("long"))
+    inter6 = F.greatest(a6 + b6 - u6, F.lit(0).cast("long"))
+
+    def ratio6(num: Column, den: Column) -> Column:
+        return F.when(
+            den > 0,
+            F.floor(num.cast("double") / den.cast("double") * 1e6 + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+
+    return j.select(
+        *gc,
+        a6.alias("a_est6"),
+        b6.alias("b_est6"),
+        u6.alias("union_est6"),
+        inter6.alias("inter6"),
+        ratio6(inter6, u6).alias("jacc6"),
+        ratio6(inter6, a6).alias("contain_a6"),
+        ratio6(inter6, b6).alias("contain_b6"),
+    )
+
+
 def py_hll_estimate(keys, p: int) -> float:
     """Pure-python mirror of the full estimator (pytest ground truth
     for the Spark and SQL twins — same fold order, same constants)."""

@@ -96,6 +96,72 @@ def test_hll_merge_equals_union_build(spark):
     assert merged.est6 == union.est6  # exact: max of maxes
 
 
+def test_hll_overlap_matches_python_mirror_bitwise(spark):
+    """hll_overlap == the py_hll_estimate mirror pushed through the
+    same round6/inclusion-exclusion/ratio arithmetic — every column
+    exact, including the clamp and the NULL-when-zero ratios."""
+    na, nb, shared = 400, 300, 150  # A = 0..399, B = 250..549
+    a = _keys(spark, na, "ov")
+    b = spark.createDataFrame(
+        [(i, f"ov{i}") for i in range(na - shared, na - shared + nb)],
+        "id long, key string",
+    ).repartition(3)
+    out = sk.hll_overlap(
+        sk.hll_registers(a, "key", (), P), sk.hll_registers(b, "key", (), P), (), P
+    ).first()
+
+    keys_a = [f"ov{i}" for i in range(na)]
+    keys_b = [f"ov{i}" for i in range(na - shared, na - shared + nb)]
+    e = lambda ks: int(sk.py_hll_estimate(ks, P) * 1e6 + 0.5)
+    a6, b6 = e(keys_a), e(keys_b)
+    u6 = e(sorted(set(keys_a) | set(keys_b)))
+    inter6 = max(a6 + b6 - u6, 0)
+    assert (out.a_est6, out.b_est6, out.union_est6, out.inter6) == (a6, b6, u6, inter6)
+    assert out.jacc6 == int(inter6 / u6 * 1e6 + 0.5)
+    assert out.contain_a6 == int(inter6 / a6 * 1e6 + 0.5)
+    # accuracy sanity: true J = 150/550 ≈ 0.2727 — the compounded
+    # estimate stays in a generous band at m=2^{P}
+    assert 0.15 < out.jacc6 / 1e6 < 0.40
+
+
+def test_hll_overlap_grouped_disjoint_and_absent_side(spark):
+    g = spark.createDataFrame(
+        [("en", f"k{i}") for i in range(200)]
+        + [("fr", f"q{i}") for i in range(100)],
+        "lang string, key string",
+    )
+    h = spark.createDataFrame(
+        [("en", f"k{i}") for i in range(100, 300)]  # en overlaps 100
+        + [("de", f"z{i}") for i in range(50)],  # de absent from g
+        "lang string, key string",
+    )
+    rows = {
+        r.lang: r
+        for r in sk.hll_overlap(
+            sk.hll_registers(g, "key", ("lang",), P),
+            sk.hll_registers(h, "key", ("lang",), P),
+            ("lang",),
+            P,
+        ).collect()
+    }
+    # en: real overlap -> nontrivial intersection estimate
+    assert rows["en"].inter6 > 0 and 0 < rows["en"].jacc6 < 1_000_000
+    # fr: absent from h -> empty B side, intersection exactly 0,
+    # union == A's estimate
+    assert rows["fr"].b_est6 == 0 and rows["fr"].inter6 == 0
+    assert rows["fr"].union_est6 == rows["fr"].a_est6
+    assert rows["fr"].jacc6 == 0 and rows["fr"].contain_b6 is None
+    # de: absent from g (outer join keeps it) — mirror case
+    assert rows["de"].a_est6 == 0 and rows["de"].inter6 == 0
+    # disjoint-sets clamp: inter6 never negative
+    x = _keys(spark, 250, "xx")
+    y = _keys(spark, 250, "yy")
+    d = sk.hll_overlap(
+        sk.hll_registers(x, "key", (), P), sk.hll_registers(y, "key", (), P), (), P
+    ).first()
+    assert d.inter6 >= 0
+
+
 def test_hll_partition_invariant(spark):
     df = _keys(spark, 1000, "pi")
     a = sk.hll_count_distinct(df.repartition(2), "key", (), P).first().est6

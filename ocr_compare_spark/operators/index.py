@@ -47,7 +47,7 @@ and eval-set mining.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # the ONE tokenizer this module shares with keywords.py (BM25 scores
 # must see the same token stream TF-IDF does)
@@ -337,8 +337,6 @@ def rrf_fuse(
     agg = u.groupBy("query_id", "id").agg(
         F.sum("w6").alias("rrf6"), F.count(F.lit(1)).alias("n_rankers")
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(
         F.col("rrf6").desc(), F.col("id").asc()
     )

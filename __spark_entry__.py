@@ -769,16 +769,71 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: LR gate config (quality_topk 'logreg' arm, session 10): the %10==2
+#: nested docs play the reference corpus, %10==5 the negatives; the
+#: DISTRIBUTED trainer runs in the query, the oracle generator runs
+#: the bit-identical python mirror over the same slices (lloyd_kmeans
+#: convention) and embeds the weight literals.
+LOGREG_DIM = 32
+LOGREG_ITERS = 8
+LOGREG_LR = 2.0
+
+
 def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang quality rankings, TWO arms (kind column; 'logreg'
+    added session 10):
+
+    - 'stats': the original heuristic quality_score top-5.
+    - 'logreg': top-5 by the ENGINE-TRAINED logistic-regression
+      quality classifier (classifier.train_logreg — the GPT-3
+      filter): reference slice vs negative slice, full-batch GD with
+      round6-to-int64 gradients, then per-lang ranking on the ROUND6
+      p6 (ranking on the rounded int64 keeps the cross-engine order
+      total — the hardneg lesson). The twin scores with the mirror-
+      trained weight literals; equality gates the distributed
+      trainer end-to-end (Spark wb == mirror wb is also pytest-pinned
+      bitwise)."""
     d = textstats.with_text_stats(_docs(spark, sf_dir), "text")
     w = Window.partitionBy("lang").orderBy(
         F.col("quality_score").desc(), F.col("word_count").desc(), F.col("doc_id").asc()
     )
-    return (
+    stats = (
         d.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
-        .select("lang", F.col("rnk").cast("long").alias("rnk"), "doc_id")
+        .select(
+            F.lit("stats").alias("kind"),
+            "lang",
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id",
+            F.lit(None).cast("long").alias("p6"),
+        )
     )
+    from ocr_compare_spark.operators import classifier
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    model = classifier.train_logreg(
+        docs.filter(F.col("doc_id") % 10 == 2),
+        docs.filter(F.col("doc_id") % 10 == 5),
+        dim=LOGREG_DIM,
+        iters=LOGREG_ITERS,
+        lr=LOGREG_LR,
+    )
+    scored = classifier.logreg_scores(docs, model, "doc_id", "text")
+    wl = Window.partitionBy("lang").orderBy(F.col("p6").desc(), F.col("doc_id").asc())
+    lr_arm = (
+        docs.select("doc_id", "lang")
+        .join(scored.select("doc_id", "p6"), "doc_id")
+        .withColumn("rnk", F.row_number().over(wl))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.lit("logreg").alias("kind"),
+            "lang",
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id",
+            "p6",
+        )
+    )
+    return stats.unionByName(lr_arm)
 
 
 def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2295,6 +2350,73 @@ def _embed_ivf_trained_oracle() -> str:
         # mismatch instead of all 53 erroring)
         return _embed_ivf_oracle()
     return _embed_ivf_oracle(cents=cents)
+
+
+def _logreg_arm_oracle() -> str:
+    """Twin of the quality_topk 'logreg' arm (trained-oracle family,
+    ivf_trained/unimax convention): the generator runs the
+    bit-identical python trainer (classifier.train_logreg_py — the
+    Spark trainer is pytest-pinned equal) over the SAME corpus slices
+    at $SPARK_GRAFT_ORACLE_SF and embeds the weight literals; the SQL
+    rebuilds the unsigned hashed vectors relationally, folds the dot
+    in j ORDER (zero components add exactly 0.0, so skipping absent
+    buckets is bit-exact), z = b + dot/n, sigmoid under floor-round6
+    (exp survives the round at the gate sfs — the recrawl ln/exp
+    precedent), and ranks per lang on the ROUND6 p6."""
+    import os
+
+    import duckdb
+
+    from ocr_compare_spark.operators import classifier
+
+    d = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01").rstrip("/")
+    try:
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{d}/documents.parquet')"
+            " WHERE doc_id % 10 IN (2, 5) ORDER BY doc_id"
+        ).fetchall()
+        wb = classifier.train_logreg_py(
+            [t for i, t in rows if i % 10 == 2],
+            [t for i, t in rows if i % 10 == 5],
+            dim=LOGREG_DIM,
+            iters=LOGREG_ITERS,
+            lr=LOGREG_LR,
+        )["wb"]
+    except Exception:
+        # unreadable sample must only mismatch THIS arm, not error
+        # the whole oracle dict (the ivf_trained fallback rule)
+        wb = [0.0] * (LOGREG_DIM + 1)
+    w_vals = ", ".join(f"({j}, CAST({float(w)!r} AS DOUBLE))" for j, w in enumerate(wb[1:]))
+    return f"""
+            SELECT 'logreg', lang, CAST(rnk AS BIGINT), doc_id, p6 FROM (
+              SELECT d.lang, p.doc_id, p.p6,
+                     row_number() OVER (PARTITION BY d.lang
+                                        ORDER BY p.p6 DESC, p.doc_id ASC) AS rnk
+              FROM (
+                SELECT doc_id,
+                       CAST(floor((1.0 / (1.0 + exp(-({float(wb[0])!r} + dot / n))))
+                                  * 1e6 + 0.5) AS BIGINT) AS p6
+                FROM (
+                  SELECT v.doc_id,
+                         list_sum(list(w.wt * v.v ORDER BY v.j)) AS dot,
+                         sum(v.v) AS n
+                  FROM (
+                    SELECT doc_id,
+                           ('0x' || substr(md5(t), 1, 8))::BIGINT % {LOGREG_DIM} AS j,
+                           CAST(count(*) AS DOUBLE) AS v
+                    FROM (
+                      SELECT doc_id,
+                             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                                x -> x <> '')) AS t
+                      FROM documents
+                    ) GROUP BY doc_id, j
+                  ) v JOIN (SELECT * FROM (VALUES {w_vals}) AS w(j, wt)) w
+                    ON v.j = w.j
+                  GROUP BY v.doc_id
+                )
+              ) p JOIN documents d USING (doc_id)
+            ) WHERE rnk <= 5
+    """
 
 
 def _unimax_budget_values() -> str:
@@ -3992,7 +4114,11 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, word_count DESC, doc_id ASC) AS rnk
               FROM s
             )
-            SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id FROM r WHERE rnk <= 5
+            SELECT 'stats' AS kind, lang, CAST(rnk AS BIGINT) AS rnk, doc_id,
+                   CAST(NULL AS BIGINT) AS p6
+            FROM r WHERE rnk <= 5
+            UNION ALL
+            {_logreg_arm_oracle()}
         """,
         "text_signals": """
             WITH fp AS (

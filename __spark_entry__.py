@@ -1108,8 +1108,12 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact.cast("long").alias("x"),
         )
 
-    xratio = lambda n, dnm: F.floor(
-        n.cast("double") / dnm.cast("double") * 1e6 + F.lit(0.5)
+    # guarded like the twin's jr6 (NULL when the denominator is 0) —
+    # on an empty shingle-set corpus an unguarded 0/0 would be
+    # floor(NaN) on this side vs NULL on the oracle side
+    xratio = lambda n, dnm: F.when(
+        dnm > 0,
+        F.floor(n.cast("double") / dnm.cast("double") * 1e6 + F.lit(0.5)),
     )
     xu = F.col("xa") + F.col("xb") - F.col("xi")
     # join-free 1-row combine (a literal-key equi join constant-folds

@@ -221,17 +221,22 @@ def score_nb_py(text: str, model: dict) -> tuple[int, int, float, bool]:
 #   shared-loop convention.
 
 
-def _logreg_z(vec_col: str, wb: list[float]) -> Column:
+def _logreg_z(vec_col: str, wb: list[float], n_col: str | None = None) -> Column:
     """z = b + dot(w, v)/n with the dot folded in INDEX order and n =
-    sum(v) (exact integers) — one division AFTER the fold, so the
-    mirror's float op sequence matches exactly."""
+    sum(v) (exact integers; pass a precomputed ``n_col`` to skip the
+    fold — the training loop hoists it, review finding) — one
+    division AFTER the fold, so the mirror's float op sequence
+    matches exactly."""
     warr = F.array(*[F.lit(float(x)) for x in wb[1:]])
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), warr, lambda v, w: w * v),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    n = F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x)
+    if n_col is not None:
+        n = F.col(n_col)
+    else:
+        n = F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x)
     return F.lit(float(wb[0])) + dot / n
 
 
@@ -273,7 +278,17 @@ def train_logreg(
         hashed_tf(labeled, "_id", "text", dim=dim, signed=False,
                   num_partitions=num_partitions)
         .join(labeled.select("_id", "y"), "_id")
-        .select("y", "vector")
+        .select(
+            "y",
+            "vector",
+            # loop-invariant token count hoisted ONCE into the
+            # checkpointed frame (the loop used to re-fold it three
+            # times per row per iteration — review finding); exact
+            # integer sum, so the value is bit-identical to the fold
+            F.aggregate(
+                F.col("vector"), F.lit(0.0), lambda acc, x: acc + x
+            ).alias("_n"),
+        )
         .localCheckpoint()  # reused by EVERY iteration
     )
     n_docs = feats.count()
@@ -281,15 +296,16 @@ def train_logreg(
         raise ValueError("train_logreg: no non-empty documents")
     wb = [0.0] * (dim + 1)
     for _ in range(iters):
-        z = _logreg_z("vector", wb)
+        z = _logreg_z("vector", wb, "_n")
         err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
-        n = F.aggregate(F.col("vector"), F.lit(0.0), lambda acc, x: acc + x)
         # bias slot 0 carries v = n so (e*v)/n == the error term under
         # the one shared formula; slots 1.. are the hashed features
         staged = feats.select(
             err.alias("_e"),
-            n.alias("_n"),
-            F.posexplode(F.concat(F.array(n), F.col("vector"))).alias("slot", "v"),
+            "_n",
+            F.posexplode(
+                F.concat(F.array(F.col("_n")), F.col("vector"))
+            ).alias("slot", "v"),
         )
         g6 = F.floor(F.col("_e") * F.col("v") / F.col("_n") * 1e6 + F.lit(0.5)).cast(
             "long"

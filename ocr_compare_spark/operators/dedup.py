@@ -1378,19 +1378,27 @@ def dedup_keep_best(
         .withColumn("component", F.coalesce(F.col("component"), F.col("_kb_id")))
         .localCheckpoint()
     )
-    # min of (negated quality, id) == highest quality, ties to the
-    # LOWEST id — the id rides in its NATIVE orderable type (string
-    # urls work; only the quality is negated, and it is already
-    # double by contract). NULL quality -> +inf never beats a real
-    # score; a NaN quality sorts GREATEST in Spark's double order, so
-    # under the MIN it loses to every real score AND to NULL's +inf —
-    # NaN can only be elected in an all-NaN/NULL cluster (then the id
-    # tiebreak still makes the winner deterministic).
+    # min of (quality-class, negated quality, id) == highest quality,
+    # ties to the LOWEST id — the id rides in its NATIVE orderable
+    # type (string urls work; only the quality is negated, and it is
+    # already double by contract). The leading EXPLICIT class rank
+    # (0 = real score incl. ±inf, 1 = NULL, 2 = NaN) replaces the old
+    # +inf sentinel, which COLLIDED with a real -inf score (review
+    # finding) — real always beats NULL, NULL beats NaN (the pinned
+    # contract), and degenerate clusters still elect via the id
+    # tiebreak (NaN == NaN under Spark's struct total order).
+    qd = F.col("_q").cast("double")
+    qclass = (
+        F.when(F.col("_q").isNull(), F.lit(1))
+        .when(F.isnan(qd), F.lit(2))
+        .otherwise(F.lit(0))
+    )
     best = labeled.groupBy("component").agg(
         F.min_by(
             F.col("_kb_id"),
             F.struct(
-                F.coalesce(-F.col("_q").cast("double"), F.lit(float("inf"))).alias("nq"),
+                qclass.alias("qc"),
+                F.coalesce(-qd, F.lit(0.0)).alias("nq"),
                 F.col("_kb_id").alias("i"),
             ),
         ).alias("_best_id")

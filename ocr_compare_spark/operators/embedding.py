@@ -121,7 +121,10 @@ def py_hashed_tf(text: str, dim: int, signed: bool = True, lowercase: bool = Tru
     no-row contract)."""
     if lowercase:
         text = text.lower()
-    toks = [t for t in re.split(r"\s+", text) if t != ""]
+    # re.ASCII: Java \s is ASCII-only (the CLAUDE.md mirror-parity
+    # rule — bpe py_words precedent); a unicode \s here would split
+    # NBSP-joined words the engine keeps whole
+    toks = [t for t in re.split(r"\s+", text, flags=re.ASCII) if t != ""]
     if not toks:
         return None
     v = [0] * dim

@@ -225,6 +225,12 @@ def hll_overlap(
     key stream is ever touched; sketches can come from load_sketch
     over different crawls' persisted registers."""
     gc = list(group_cols)
+    # each register table feeds TWO consumers (its own estimate and
+    # the merge) — cut the lineage so the upstream register build
+    # (md5 pass over the full key stream) runs once, not twice; the
+    # tables are slim by construction (<= 2^p rows per group)
+    reg_a = reg_a.localCheckpoint()
+    reg_b = reg_b.localCheckpoint()
     # JOIN-FREE pivot: tag each side's estimate rows, union, and fold
     # with one map-side-combined groupBy (max-of-singleton per tag) —
     # an outer join here would be a nested-loop on the global (no

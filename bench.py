@@ -379,6 +379,21 @@ def main() -> int:
             vecs, vecs.filter(F.col("doc_id") < 8), k=10
         ).write.format("noop").mode("overwrite").save()
 
+    def q_logreg_train():
+        # the GPT-3 quality filter trained IN the engine: 5 full-batch
+        # GD rounds over hashed-TF features (reference %10==2 vs
+        # negatives %10==5, ~4k docs at sf0.1) — per-round cost is one
+        # scan of the checkpointed feature frame + a (dim+1)-row
+        # collect; the row tracks the ML-training stage's job overhead
+        from ocr_compare_spark.operators import classifier
+
+        d = docs.select("doc_id", "text")
+        classifier.train_logreg(
+            d.filter(F.col("doc_id") % 10 == 2),
+            d.filter(F.col("doc_id") % 10 == 5),
+            dim=64, iters=5, num_partitions=cores,
+        )
+
     def q_rrf_hybrid():
         # hybrid retrieval end-to-end: BM25 lexical ranking + hashed-
         # TF cosine ranking over the SAME corpus-derived query set,
@@ -446,6 +461,7 @@ def main() -> int:
         "ann_ivfpq": q_ann_ivfpq,
         "hashed_embed": q_hashed_embed,
         "rrf_hybrid": q_rrf_hybrid,
+        "logreg_train": q_logreg_train,
         "sketches": q_sketches,
         "tpch_q1": q_tpch_q1,
     }

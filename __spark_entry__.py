@@ -3178,6 +3178,12 @@ SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 #: min(k, n) edge rides pytest, not the gate).
 BOTTOMK_K = 25
 
+#: Weighted-priority gate config for the lang_mix 'wpri' arm
+#: (session 11): 25 docs per language, weight = token_count —
+#: Efraimidis-Spirakis sampling without replacement, inclusion
+#: probability proportional to document length.
+WPRI_K = 25
+
 
 def _split_case_sql(frac_expr: str = "frac") -> str:
     """CASE chain for the lang_mix 'split' arm — the same cumulative
@@ -3192,9 +3198,11 @@ def _split_case_sql(frac_expr: str = "frac") -> str:
 
 
 def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-mix suite, FOUR arms (null-padded union; 'split'
+    """Language-mix suite, FIVE arms (null-padded union; 'split'
     added session 9 — deterministic train/val/test assignment;
-    'bottomk' added session 10 — exact-size per-stratum sampling):
+    'bottomk' added session 10 — exact-size per-stratum sampling;
+    'wpri' added session 11 — Efraimidis-Spirakis weighted sampling
+    without replacement, weight = token_count):
 
     - 'temperature': mC4 / XLM-R alpha sampling
       (sampling.temperature_mix) — per-language keep rates
@@ -3271,7 +3279,27 @@ def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sample_rank").cast("long").alias("cum_tokens"),
         F.lit(None).cast("long").alias("budget"),
     )
-    return temp.unionByName(uni).unionByName(spl).unionByName(bk)
+    # 'wpri' arm (session 11): weighted sampling WITHOUT replacement
+    # (sampling.priority_sample, Efraimidis-Spirakis exponential
+    # ranks) — inclusion probability proportional to token_count.
+    # rate carries the round6'd uniform u, cum_tokens the 1-based
+    # (pri6, id) rank, budget the int64 microunit priority itself
+    # (the ranking key is an INTEGER, so the twin's ordering is
+    # exact; only the round6'd ln feeds it — lm/recrawl convention).
+    wp = sampling.priority_sample(
+        docs, "doc_id", "token_count", k=WPRI_K, strata_col="lang"
+    ).select(
+        F.lit("wpri").alias("kind"),
+        "lang",
+        "doc_id",
+        "token_count",
+        F.col("frac").alias("rate"),
+        F.col("sample_rank").cast("long").alias("cum_tokens"),
+        F.col("priority6").alias("budget"),
+    )
+    return (
+        temp.unionByName(uni).unionByName(spl).unionByName(bk).unionByName(wp)
+    )
 
 
 def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4839,5 +4867,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
               )
             ) WHERE brank <= {BOTTOMK_K}
+            UNION ALL
+            -- wpri: Efraimidis-Spirakis weighted sample without
+            -- replacement (weight = token_count). u = (prefix+0.5)/2^32
+            -- exact rational; ln floor-round6'd to int64 microunits at
+            -- production; the divide-by-weight runs AFTER the rounding
+            -- (IEEE division of identical inputs is bit-identical) and
+            -- the final floor lands pri6 back on int64 — an INTEGER
+            -- ranking key, so the window order is exact cross-engine.
+            SELECT 'wpri', lang, doc_id, token_count,
+                   floor(u * 1e6 + 0.5) / 1e6,
+                   CAST(wrank AS BIGINT), CAST(pri6 AS BIGINT)
+            FROM (
+              SELECT lang, doc_id, token_count, u, pri6,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY pri6 ASC, doc_id ASC) AS wrank
+              FROM (
+                SELECT lang, doc_id, token_count, u,
+                       floor((0 - floor(ln(u) * 1e6 + 0.5))
+                             / CAST(token_count AS DOUBLE) + 0.5) AS pri6
+                FROM (
+                  SELECT lang, doc_id, token_count,
+                         (('0x' || substr(md5('wpri:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                           / 4294967296.0 AS u
+                  FROM t WHERE token_count > 0
+                )
+              )
+            ) WHERE wrank <= {WPRI_K}
         """,
     }

@@ -773,3 +773,130 @@ def bottomk_sample(
         .drop("_bk_key", *[f"_bk_{c}" for c in strata])
         .withColumn(frac_col, frac6)
     )
+
+
+#: Domain-separation prefix for the weighted-priority draw (same
+#: argument as SPLIT/BOTTOMK_HASH_DOMAIN: each independent sampler
+#: needs its own hash stream).
+WPRI_HASH_DOMAIN = "wpri:"
+
+
+def wpri_priority(key: str | Column, weight: str | Column) -> Column:
+    """The Efraimidis-Spirakis exponential rank as an EXACT int64
+    microunit key: pri6 = floor((-ln6(u)) / w + 0.5) where
+
+    - u = (md5_prefix + 0.5) / 2^32 with the 'wpri:'-prefixed key —
+      an exact binary64 rational in (0, 1): the +0.5 keeps ln away
+      from the u=0 pole (md5 prefix 0 is a real 2^-32 event at web
+      scale) and every intermediate is exact, so both engines see
+      the bit-identical argument;
+    - ln6(u) = floor(ln(u) * 1e6 + 0.5) — the ONE transcendental,
+      floor-round6'd to int64 microunits at production (the repo's
+      lm/recrawl convention, so libm-vs-JVM ulps cannot reorder);
+    - the divide by w runs AFTER the rounding on the int64 (cast
+      exact below 2^53): IEEE division of identical inputs is
+      bit-identical across engines, and the final floor lands the
+      priority back on int64 microunits.
+
+    Keeping the k SMALLEST pri6 per stratum == keeping the k largest
+    u^(1/w): weighted sampling without replacement with inclusion
+    probability proportional to weight (Efraimidis & Spirakis 2006).
+    Because the ranking key is an INTEGER, cross-engine ordering is
+    exact; ties (real after round6) break on the key column."""
+    c = F.col(key) if isinstance(key, str) else key
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    prefix = F.conv(
+        F.substring(F.md5(F.concat(F.lit(WPRI_HASH_DOMAIN), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = (prefix + F.lit(0.5)) / F.lit(_TWO_32)
+    ln6 = F.floor(F.log(u) * 1e6 + F.lit(0.5)).cast("long")
+    return F.floor((-ln6).cast("double") / w + F.lit(0.5)).cast("long")
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+    frac_col: str = "frac",
+    rank_col: str = "sample_rank",
+    pri_col: str = "priority6",
+) -> DataFrame:
+    """EXACT-size deterministic WEIGHTED sample without replacement:
+    keep the rows whose key is among the k smallest Efraimidis-
+    Spirakis exponential ranks (see wpri_priority) per stratum —
+    inclusion probability proportional to ``weight_col`` (quality
+    score, token count, ...), the weighted counterpart to
+    bottomk_sample's uniform draw, with the same run/layout/
+    cluster-size determinism df.sample cannot give.
+
+    Weight rules: rows whose key is NULL, or whose weight is NULL,
+    NaN or <= 0, take no draw and never sample (a non-positive mass
+    cannot win a proportional race; the explicit isnan guard matters
+    because Spark AND DuckDB both order NaN ABOVE all reals, so a
+    bare w > 0 filter would let NaN through). A key value repeated
+    within its stratum holds ONE slot with its MAX weight — max, not
+    sum, because a float-weight sum is partition-order-dependent
+    while max is order-free (the determinism contract).
+
+    Output adds ``frac_col`` (the round6'd uniform u the rank was
+    drawn from), ``pri_col`` (the int64 microunit priority) and
+    ``rank_col`` (1-based (pri6, key) position): like bottomk_sample
+    the sample is ORDERED, so the bottom-j of a materialized
+    bottom-k is its prefix for the SAME weights. Scale shape is
+    bottomk_sample's: the window sees a slim per-key aggregate —
+    full rows never shuffle — and winners join back null-safely. At
+    100 TB pre-filter with wpri_priority(key, w) < cutoff to shrink
+    the window input (safe whenever the prefix keeps >= k keys per
+    stratum)."""
+    if k <= 0:
+        raise ValueError(f"priority_sample: k must be positive, got {k!r}")
+    strata = [strata_col] if strata_col else []
+    w_d = F.col(weight_col).cast("double")
+    slim = (
+        df.select(*strata, key_col, w_d.alias("_wp_w"))
+        .filter(
+            F.col(key_col).isNotNull()
+            & F.col("_wp_w").isNotNull()
+            & ~F.isnan("_wp_w")
+            & (F.col("_wp_w") > 0)
+        )
+        .groupBy(*strata, key_col)
+        .agg(F.max("_wp_w").alias("_wp_w"))
+        .select(
+            *strata,
+            key_col,
+            wpri_priority(key_col, F.col("_wp_w")).alias(pri_col),
+        )
+    )
+    w = Window.partitionBy(*[F.col(c) for c in strata] or [F.lit(1)]).orderBy(
+        F.col(pri_col).asc(), F.col(key_col).asc()
+    )
+    winners = (
+        slim.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .select(
+            *[F.col(c).alias(f"_wp_{c}") for c in strata],
+            F.col(key_col).alias("_wp_key"),
+            pri_col,
+            rank_col,
+        )
+    )
+    cond = df[key_col].eqNullSafe(winners["_wp_key"])
+    for c in strata:
+        cond = cond & df[c].eqNullSafe(winners[f"_wp_{c}"])
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    prefix = F.conv(
+        F.substring(F.md5(F.concat(F.lit(WPRI_HASH_DOMAIN), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u6 = F.floor((prefix + F.lit(0.5)) / F.lit(_TWO_32) * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    return (
+        df.join(winners, cond, "inner")
+        .drop("_wp_key", *[f"_wp_{c}" for c in strata])
+        .withColumn(frac_col, u6)
+    )

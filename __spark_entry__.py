@@ -1902,7 +1902,9 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lit_.unionByName(data)
 
 
-def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embed_topk_ivf(
+    spark: SparkSession, sf_dir: str, seeded_rank: DataFrame | None = None
+) -> DataFrame:
     """IVF-cell approximate ANN (corpus assigned to max-dot centroid
     cells, queries probe nprobe cells, exact cosine within) — BOTH
     quantizer variants as one gated row set: 'seeded' uses the
@@ -1915,7 +1917,9 @@ def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap."""
     emb = _tbl(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    seeded = similarity.ivf_topk(emb, q, k=3, nprobe=4).select(
+    if seeded_rank is None:
+        seeded_rank = similarity.ivf_topk(emb, q, k=3, nprobe=4)
+    seeded = seeded_rank.select(
         F.lit("seeded").alias("variant"), "query_id", "rank", "neighbor_id"
     )
     cents = similarity.train_centroids(emb, n_centroids=16, iters=5)
@@ -2035,12 +2039,33 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the (variant, query_id, rank, neighbor_id) schema; a
     family column tells them apart). All TEN ANN variants (bf, lsh
     literal/data, ivf seeded/trained/data, pq literal/data, hardneg,
-    hashedtf) stay gated."""
-    bf = q_embed_topk(spark, sf_dir).select(
+    hashedtf) stay gated, plus the 'recall' EVALUATION arm (session
+    11): similarity.recall_at_k of the seeded-IVF ranking against
+    the brute-force truth — the FAISS tuning metric computed fully
+    in-engine (rank carries n_hits, neighbor_id the int64 recall
+    microunits; nprobe=4 of 16 cells makes misses real). The bf and
+    seeded-IVF rank frames are localCheckpoint'd: each feeds two
+    consumers (its union arm + the recall join — the hll_overlap
+    rule), and the checkpoint is 24 tiny rows."""
+    bf_rank = q_embed_topk(spark, sf_dir).localCheckpoint()
+    bf = bf_rank.select(
         F.lit("bf").alias("family"), F.lit("literal").alias("variant"), "*"
     )
     lsh = q_embed_topk_lsh(spark, sf_dir).select(F.lit("lsh").alias("family"), "*")
-    ivf = q_embed_topk_ivf(spark, sf_dir).select(F.lit("ivf").alias("family"), "*")
+    emb_ivf = _tbl(spark, sf_dir, "embeddings")
+    seeded_rank = similarity.ivf_topk(
+        emb_ivf, emb_ivf.filter(F.col("vec_id") < 8), k=3, nprobe=4
+    ).localCheckpoint()
+    ivf = q_embed_topk_ivf(spark, sf_dir, seeded_rank=seeded_rank).select(
+        F.lit("ivf").alias("family"), "*"
+    )
+    rec = similarity.recall_at_k(seeded_rank, bf_rank).select(
+        F.lit("recall").alias("family"),
+        F.lit("ivf_seeded").alias("variant"),
+        "query_id",
+        F.col("n_hits").alias("rank"),
+        F.col("recall6").alias("neighbor_id"),
+    )
     pq = q_embed_topk_pq(spark, sf_dir).select(F.lit("pq").alias("family"), "*")
     # hardneg (session 8): DPR-style mining — bf top-k AFTER excluding
     # each query's closed-form positives {q+1, q+2, q+3} and itself;
@@ -2087,6 +2112,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pq)
         .unionByName(hn)
         .unionByName(ht)
+        .unionByName(rec)
     )
 
 
@@ -4386,6 +4412,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'hardneg', 'literal', * FROM ({_EMBED_HARDNEG_ORACLE})
             UNION ALL
             SELECT 'hashedtf', 'data', * FROM ({_hashed_tf_oracle()})
+            UNION ALL
+            -- recall@k evaluation arm (session 11): seeded-IVF vs
+            -- brute-force truth; rank carries n_hits, neighbor_id
+            -- the int64 recall microunits (n_hits/n_truth is a
+            -- division of two small exact integers — the same IEEE
+            -- double everywhere)
+            SELECT 'recall', 'ivf_seeded', t.query_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT),
+                   CAST(floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+                              / CAST(t.n_truth AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+            FROM (
+              SELECT query_id, count(*) AS n_truth
+              FROM ({_EMBED_BF_ORACLE}) GROUP BY query_id
+            ) t
+            LEFT JOIN (
+              SELECT a.query_id, count(*) AS n_hits
+              FROM ({_embed_ivf_oracle()}) a
+              JOIN ({_EMBED_BF_ORACLE}) b
+                ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+              GROUP BY a.query_id
+            ) h ON t.query_id = h.query_id
         """,
         "retrieval_suite": _retrieval_suite_oracle(),
         "graph_suite": _graph_suite_oracle(),

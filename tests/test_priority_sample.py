@@ -134,3 +134,70 @@ def test_priority_sample_global_no_strata(spark):
     got = {r["doc_id"]: (r["priority6"], r["sample_rank"]) for r in out.collect()}
     mirror = py_priority_sample([(None, i, w) for _, i, w in rows], 5)
     assert got == {kk: v for (_s, kk), v in mirror.items()}
+
+
+# --------------------------------------------- recall@k (session 11)
+
+
+def test_recall_at_k_mirror_and_edges(spark):
+    from ocr_compare_spark.operators import similarity
+
+    truth = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 3, 30), (2, 1, 10), (2, 2, 40)],
+        "query_id long, rank long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: 2/3 hit; q2: 0 hits (left-join zero row); q3 absent
+        # from truth -> contributes no row (0/0 undefined)
+        [(1, 1, 10), (1, 2, 99), (1, 3, 30), (2, 1, 77), (3, 1, 10)],
+        "query_id long, rank long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_hits"], r["n_truth"], r["recall6"])
+        for r in similarity.recall_at_k(approx, truth).collect()
+    }
+    assert got == {1: (2, 3, 666667), 2: (0, 2, 0)}
+    # k cut: at k=1 q1 keeps only its rank-1 hit
+    got1 = {
+        r["query_id"]: (r["n_hits"], r["n_truth"], r["recall6"])
+        for r in similarity.recall_at_k(approx, truth, k=1).collect()
+    }
+    assert got1 == {1: (1, 1, 1000000), 2: (0, 1, 0)}
+
+
+def test_recall_at_k_ivf_vs_bf_composition(spark, sf_dir):
+    """End-to-end: seeded-IVF recall against brute force on the real
+    embeddings table — exact when nprobe = n_cells, <= 1 otherwise,
+    and equal to the driver-side set arithmetic."""
+    from ocr_compare_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 8")
+    bf = similarity.brute_force_topk_df(emb, q, k=3).select(
+        "query_id", "rank", "neighbor_id"
+    ).localCheckpoint()
+    ivf = similarity.ivf_topk(emb, q, k=3, nprobe=4).localCheckpoint()
+    rec = {
+        r["query_id"]: (r["n_hits"], r["recall6"])
+        for r in similarity.recall_at_k(ivf, bf).collect()
+    }
+    t_sets: dict = {}
+    a_sets: dict = {}
+    for r in bf.collect():
+        t_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ivf.collect():
+        a_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    import math
+
+    expect = {
+        qid: (
+            len(t & a_sets.get(qid, set())),
+            math.floor(len(t & a_sets.get(qid, set())) / len(t) * 1e6 + 0.5),
+        )
+        for qid, t in t_sets.items()
+    }
+    assert rec == expect
+    # probing ALL cells makes IVF exact -> recall 1.0 everywhere
+    full = similarity.ivf_topk(emb, q, k=3, nprobe=16)
+    rec_full = similarity.recall_at_k(full, bf).collect()
+    assert all(r["recall6"] == 1000000 for r in rec_full)

@@ -2936,10 +2936,37 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events_window + sessionize folded into ONE gated row set
-    (normalized (q, k1, n, v)) — the driver gate caps at 50 rows and
-    the two freed slots gate snapshot_suite / token_budget; both
-    sub-queries stay importable and individually oracle-checkable."""
+    """events_window + sessionize + the temporal-join family folded
+    into ONE gated row set (normalized (q, k1, n, v)) — the driver
+    gate caps at 50 rows; every sub-query stays importable and
+    individually oracle-checkable.
+
+    Temporal arms (operators/temporal.py — the "operators Spark
+    lacks" set: kdb aj / merge_asof / DuckDB ASOF JOIN / TimescaleDB
+    continuous aggregates):
+
+    - 'asof': every click joined to the LATEST error of the same user
+      at-or-before it within 1h (backward as-of, tiebreak = max
+      event_id at equal ts). Spark = union + ordered carry-forward
+      window (ONE shuffle, no inequality join); DuckDB twin = the
+      row_number()-over-candidates formulation. v is the matched raw
+      value (no arithmetic — exact), n the matched event_id.
+    - 'range': 10-minute incident window [ts, ts+600s) after each
+      error; same-user clicks inside it counted via bucketized
+      interval replication + ONE equi-join (never a nested-loop
+      join). v = exact int cents sum (floor(value*100+0.5) — IEEE
+      identical both engines), empty windows emit n=0/v=0.
+    - 'rollup': hypertable-style 5m/1h/1d continuous aggregate — one
+      raw scan, coarser levels re-aggregated from the finer partials
+      (exact: counts + int cents compose); the twin recomputes every
+      resolution directly from raw, so the hierarchical re-aggregation
+      is proven equal to the direct group-by."""
+    from ocr_compare_spark.operators.temporal import (
+        asof_join,
+        point_in_interval_join,
+        rollup_timeseries,
+    )
+
     win = q_events_window(spark, sf_dir)
     ses = q_sessionize(spark, sf_dir)
     a = win.select(
@@ -2954,7 +2981,68 @@ def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("n"),
         F.col("n_sessions").cast("double").alias("v"),
     )
-    return a.unionByName(b)
+
+    e = _tbl(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    errors = e.filter(F.col("event_type") == "error")
+
+    am = asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        payload=["event_id", "value"],
+        direction="backward",
+        tolerance_us=3_600_000_000,
+        tiebreak="event_id",
+    )
+    c = am.select(
+        F.lit("asof").alias("q"),
+        F.col("event_id").cast("string").alias("k1"),
+        F.col("event_id_r").alias("n"),
+        F.col("value_r").alias("v"),
+    )
+
+    ivs = errors.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.timestamp_micros(F.unix_micros(F.col("ts").cast("timestamp")) + 600_000_000).alias(
+            "end_ts"
+        ),
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    pairs = point_in_interval_join(
+        clicks, ivs, on="user_id", point_ts="ts", start_col="ts",
+        end_col="end_ts", bucket_us=600_000_000,
+    )
+    hits = pairs.groupBy("event_id").agg(
+        F.count("*").alias("_n"), F.sum(cents).alias("_c")
+    )
+    d = (
+        ivs.select("event_id")
+        .join(hits, "event_id", "left")
+        .select(
+            F.lit("range").alias("q"),
+            F.col("event_id").cast("string").alias("k1"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.col("_c"), F.lit(0)).cast("double").alias("v"),
+        )
+    )
+
+    ru = rollup_timeseries(
+        e.withColumn("cents", cents), "ts", ["event_type"], ["cents"],
+        resolutions=(300, 3600, 86400),
+    )
+    g = ru.select(
+        F.lit("rollup").alias("q"),
+        F.concat_ws(
+            ":", F.col("res_s").cast("string"), F.col("bucket_start").cast("string"),
+            F.col("event_type"),
+        ).alias("k1"),
+        F.col("n"),
+        F.col("sum_cents").cast("double").alias("v"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(g)
 
 
 def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4707,6 +4795,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'sessions', CAST(user_id AS VARCHAR), count(*),
                    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS DOUBLE)
             FROM g GROUP BY user_id
+            UNION ALL
+            -- asof: latest same-user error at-or-before each click,
+            -- within 1h; tiebreak (ts DESC, event_id DESC) == the
+            -- carry-forward window's max-(ts, id) pick
+            SELECT 'asof', CAST(l.event_id AS VARCHAR), c.rid, c.rv
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            LEFT JOIN (
+              SELECT l2.event_id AS lid, r.event_id AS rid, r.value AS rv,
+                     row_number() OVER (PARTITION BY l2.event_id
+                                        ORDER BY r.ts DESC, r.event_id DESC) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'click') l2
+              JOIN (SELECT * FROM events WHERE event_type = 'error') r
+                ON l2.user_id = r.user_id AND r.ts <= l2.ts
+               AND epoch_us(l2.ts) - epoch_us(r.ts) <= 3600000000
+            ) c ON c.lid = l.event_id AND c.rn = 1
+            UNION ALL
+            -- range: clicks inside each error's [ts, ts+600s) incident
+            -- window, exact int cents
+            SELECT 'range', CAST(iv.event_id AS VARCHAR), count(p.event_id),
+                   CAST(coalesce(sum(CAST(floor(p.value * 100 + 0.5) AS BIGINT)), 0) AS DOUBLE)
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') iv
+            LEFT JOIN (SELECT user_id, ts, value, event_id FROM events
+                       WHERE event_type = 'click') p
+              ON p.user_id = iv.user_id AND p.ts >= iv.ts
+             AND epoch_us(p.ts) < epoch_us(iv.ts) + 600000000
+            GROUP BY iv.event_id
+            UNION ALL
+            -- rollup: every resolution recomputed DIRECTLY from raw —
+            -- proving Spark's hierarchical re-aggregation exact
+            SELECT 'rollup',
+                   CAST(r.res AS VARCHAR) || ':' ||
+                   CAST(CAST(floor(epoch_us(ts) / (CAST(r.res AS BIGINT) * 1000000)) * r.res AS BIGINT) AS VARCHAR)
+                   || ':' || event_type,
+                   count(*),
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+            FROM events CROSS JOIN (SELECT unnest([300, 3600, 86400]) AS res) r
+            GROUP BY r.res, CAST(floor(epoch_us(ts) / (CAST(r.res AS BIGINT) * 1000000)) * r.res AS BIGINT),
+                     event_type
         """,
         "snapshot_suite": f"""
             -- deterministic multi-crawl expansion (doc_id%3+1

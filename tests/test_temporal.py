@@ -1,0 +1,174 @@
+"""Temporal join family: as-of join vs the pandas merge_asof mirror,
+range join vs the naive inequality join, hierarchical rollup vs
+direct per-resolution aggregation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_compare_spark.operators.temporal import (
+    asof_join,
+    point_in_interval_join,
+    rollup_timeseries,
+)
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: float) -> dt.datetime:
+    return EPOCH + dt.timedelta(seconds=s)
+
+
+def _mk_events(spark, rows, cols=("key", "ts", "eid", "val")):
+    return spark.createDataFrame([tuple(r) for r in rows], list(cols))
+
+
+# deterministic pseudo-random fixture: ~120 left rows, ~80 right rows,
+# 3 keys, engineered ts collisions (both right-right and left-right)
+def _fixture():
+    left, right = [], []
+    for i in range(120):
+        k = f"k{i % 3}"
+        t = (i * 37) % 500 + (i % 7) * 0.25
+        left.append((k, _ts(t), 1000 + i, float(i)))
+    for j in range(80):
+        k = f"k{j % 3}"
+        t = (j * 53) % 500 + (j % 5) * 0.25
+        right.append((k, _ts(t), 2000 + j, 10.0 + j))
+    # duplicate right ts within a key (tiebreak coverage) and a right
+    # row exactly at a left ts (equal-ts inclusion coverage)
+    right.append(("k0", right[0][1], 9000, 99.0))
+    right.append(("k1", left[1][1], 9001, 77.0))
+    return left, right
+
+
+def _pandas_asof(left, right, direction, tol_s=None):
+    lp = pd.DataFrame(left, columns=["key", "ts", "eid", "val"])
+    rp = pd.DataFrame(right, columns=["key", "ts", "reid", "rval"])
+    lp = lp.sort_values(["ts", "eid"]).reset_index(drop=True)
+    # merge_asof keeps the LAST right row among equal ts for backward
+    # and the FIRST for forward — sorting by (ts, reid) makes that the
+    # max/min tiebreak, matching asof_join's documented contract
+    rp = rp.sort_values(["ts", "reid"]).reset_index(drop=True)
+    kw = {}
+    if tol_s is not None:
+        kw["tolerance"] = pd.Timedelta(seconds=tol_s)
+    m = pd.merge_asof(lp, rp, on="ts", by="key", direction=direction, **kw)
+    return {
+        int(r.eid): (None if pd.isna(r.reid) else int(r.reid),
+                     None if pd.isna(r.rval) else float(r.rval))
+        for r in m.itertuples()
+    }
+
+
+@pytest.mark.parametrize("direction,tol", [("backward", None), ("forward", None),
+                                           ("backward", 40), ("forward", 40)])
+def test_asof_matches_merge_asof(spark, direction, tol):
+    left, right = _fixture()
+    l = _mk_events(spark, left)
+    r = _mk_events(spark, right, cols=("key", "ts", "reid", "rval"))
+    out = asof_join(
+        l, r, on="key", payload=["reid", "rval"], direction=direction,
+        tolerance_us=None if tol is None else tol * 1_000_000, tiebreak="reid",
+    ).collect()
+    expect = _pandas_asof(left, right, direction, tol)
+    assert len(out) == len(left)
+    for row in out:
+        er, ev = expect[row.eid]
+        assert row.reid == er, (row.eid, direction, tol)
+        assert row.rval == ev
+        if er is None:
+            assert row.ts_r is None
+
+
+def test_asof_payload_collision_and_match_ts(spark):
+    left, right = _fixture()
+    l = _mk_events(spark, left)
+    r = _mk_events(spark, right, cols=("key", "ts", "eid", "val"))
+    out = asof_join(l, r, on="key", payload=["eid", "val"], tiebreak="eid")
+    # colliding payload names gain the suffix; matched ts always emitted
+    assert {"eid_r", "val_r", "ts_r"} <= set(out.columns)
+    got = {row.eid: row for row in out.collect()}
+    expect = _pandas_asof(left, right, "backward")
+    rts = {rj: t for _, t, rj, _ in right}
+    for eid, (er, _) in expect.items():
+        m = got[eid]
+        assert m.eid_r == er
+        if er is not None:
+            assert m.ts_r == rts[er]  # matched ts is the right row's ts
+    # spot-check one concrete equal-ts inclusion: right 9001 sits
+    # exactly at left eid 1001's ts on k1 and must be eligible backward
+    k1_left = got[1001]
+    assert k1_left.eid_r is not None
+
+
+def _pandas_range(points, ivs):
+    out = set()
+    for ik, s, e, iid in ivs:
+        for pk, t, pid, _ in points:
+            if pk == ik and s <= t < e:
+                out.add((iid, pid))
+    return out
+
+
+def test_point_in_interval_matches_naive(spark):
+    left, _ = _fixture()
+    ivs = []
+    for j in range(40):
+        k = f"k{j % 3}"
+        s = (j * 29) % 480
+        ln = [0, 7, 45, 130][j % 4]  # incl. zero-length (matches nothing)
+        ivs.append((k, _ts(s), _ts(s + ln), 500 + j))
+    p = _mk_events(spark, left, cols=("key", "ts", "pid", "val"))
+    iv = spark.createDataFrame(ivs, ["key", "start_ts", "end_ts", "iv_id"])
+    out = point_in_interval_join(
+        p, iv, on="key", point_ts="ts", bucket_us=30_000_000
+    )
+    # point key column is suffixed on collision
+    assert "key_p" in out.columns
+    got = {(r.iv_id, r.pid) for r in out.collect()}
+    assert got == _pandas_range(left, ivs)
+
+
+def test_point_in_interval_boundary_and_guard(spark):
+    p = spark.createDataFrame(
+        [("a", _ts(0), 1), ("a", _ts(10), 2), ("a", _ts(9.999999), 3)],
+        ["key", "ts", "pid"],
+    )
+    iv = spark.createDataFrame([("a", _ts(0), _ts(10), 7)], ["key", "start_ts", "end_ts", "iv_id"])
+    got = {r.pid for r in point_in_interval_join(p, iv, on="key", bucket_us=1_000_000).collect()}
+    assert got == {1, 3}  # start inclusive, end exclusive
+    # guard: interval spanning > max_buckets buckets fails loudly
+    with pytest.raises(Exception):
+        point_in_interval_join(p, iv, on="key", bucket_us=1_000_000, max_buckets=5).collect()
+
+
+def test_rollup_equals_direct(spark):
+    left, _ = _fixture()
+    df = _mk_events(spark, left).withColumn(
+        "cents", F.floor(F.col("val") * 100 + 0.5).cast("long")
+    )
+    out = rollup_timeseries(df, "ts", ["key"], ["cents"], resolutions=(60, 300, 900))
+    rows = {(r.res_s, r.bucket_start, r.key): (r.n, r.sum_cents) for r in out.collect()}
+    for res in (60, 300, 900):
+        direct = (
+            df.groupBy(
+                (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / (res * 1_000_000)) * res)
+                .cast("long").alias("b"),
+                "key",
+            )
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+            .collect()
+        )
+        dd = {(res, r.b, r.key): (r.n, r.s) for r in direct}
+        assert {k: v for k, v in rows.items() if k[0] == res} == dd
+
+
+def test_rollup_validates_resolutions(spark):
+    df = _mk_events(spark, _fixture()[0])
+    with pytest.raises(ValueError):
+        rollup_timeseries(df, "ts", [], ["val"], resolutions=(60, 90))

@@ -588,6 +588,41 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keywords.tfidf_topk(d, "doc_id", "text", k=TFIDF_K)
 
 
+#: phrase-mining gate sizing: 900 of 916 distinct corpus bigrams clear
+#: min_count=5, so the k=100 global cut is a REAL ranking decision
+PHRASES_MIN_COUNT = 5
+PHRASES_K = 100
+
+
+def q_terms_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry refold #11: tfidf -> terms_suite — the per-doc TF-IDF
+    keyword arm verbatim plus a 'phrases' arm gating PMI collocation
+    mining (operators/phrases.py, word2phrase/Mikolov 2013): corpus
+    bigram counts >= min_count scored by floor-round6'd PMI (the four
+    ln terms in ONE shared operand order — lm.py precedent), global
+    top-k by (pmi6 desc, w1, w2). The DuckDB twin rebuilds the token
+    arrays, the adjacent-pair expansion (1-based list index +
+    generate_series — empty for <2-token docs), both count tables and
+    the identical ln chain bit-for-bit."""
+    from ocr_compare_spark.operators import phrases
+
+    t = q_tfidf(spark, sf_dir)
+    a = t.select(F.lit("tfidf").alias("q"), "doc_id", "rank", "term", "tf", "score6")
+    ph = phrases.pmi_phrases(
+        _docs(spark, sf_dir).select("text"), "text",
+        min_count=PHRASES_MIN_COUNT, k=PHRASES_K,
+    )
+    b = ph.select(
+        F.lit("phrases").alias("q"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "rank",
+        F.concat_ws(" ", "w1", "w2").alias("term"),
+        F.col("c_ab").alias("tf"),
+        F.col("pmi6").alias("score6"),
+    )
+    return a.unionByName(b)
+
+
 def q_cache_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cache_misses + cache_roundtrip gated as ONE wide union row set
     (null-padded per kind) — frees a 50-cap registry slot for the
@@ -3482,7 +3517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mime_route + pages_meta gate as ONE suite row set; the
         # freed slot gates the tf-idf keyword extractor
         "meta_suite": q_meta_suite,
-        "tfidf": q_tfidf,
+        "terms_suite": q_terms_suite,
         # cache_misses + cache_roundtrip gate as ONE suite row set;
         # the freed slot gates the Bloom-filter dedup
         "cache_suite": q_cache_suite,
@@ -3972,7 +4007,7 @@ def oracle_sql() -> dict[str, str]:
                    lang
             FROM documents
         """,
-        "tfidf": f"""
+        "terms_suite": f"""
             WITH words AS (
               SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
               FROM documents
@@ -3993,9 +4028,40 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, term, tf, score6,
                      row_number() OVER (PARTITION BY doc_id ORDER BY score6 DESC, term ASC) AS rank
               FROM scored
+            ),
+            -- phrases arm: adjacent bigrams via 1-based list index
+            -- (generate_series is empty for <2-token docs), PMI with
+            -- the four ln terms in the SAME operand order as Spark
+            toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+            uc AS (
+              SELECT term, count(*) AS c
+              FROM (SELECT unnest(ws) AS term FROM toks) GROUP BY 1
+            ),
+            nt AS (SELECT sum(c) AS n_tok FROM uc),
+            bc AS (
+              SELECT w1, w2, count(*) AS c_ab
+              FROM (
+                SELECT ws[i] AS w1, ws[i + 1] AS w2
+                FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM toks)
+              )
+              GROUP BY 1, 2 HAVING count(*) >= {PHRASES_MIN_COUNT}
+            ),
+            psc AS (
+              SELECT w1, w2, c_ab,
+                     CAST(floor((ln(CAST(c_ab AS DOUBLE)) + ln(CAST(nt.n_tok AS DOUBLE))
+                                 - ln(CAST(a.c AS DOUBLE)) - ln(CAST(b.c AS DOUBLE)))
+                                * 1e6 + 0.5) AS BIGINT) AS pmi6
+              FROM bc JOIN uc a ON bc.w1 = a.term JOIN uc b ON bc.w2 = b.term, nt
+            ),
+            pr AS (
+              SELECT row_number() OVER (ORDER BY pmi6 DESC, w1 ASC, w2 ASC) AS rank, *
+              FROM psc
             )
-            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score6
+            SELECT 'tfidf' AS q, doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score6
             FROM ranked WHERE rank <= {TFIDF_K}
+            UNION ALL
+            SELECT 'phrases', NULL, CAST(rank AS BIGINT), w1 || ' ' || w2, c_ab, pmi6
+            FROM pr WHERE rank <= {PHRASES_K}
         """,
 
         "chunk_suite": f"""

@@ -230,6 +230,44 @@ def main() -> int:
             docs.select("doc_id", "text"), "doc_id", "text", k=5, n_docs=n_docs_raw
         ).write.format("noop").mode("overwrite").save()
 
+    def q_temporal():
+        from ocr_compare_spark.operators import temporal
+
+        # the temporal-join family over the full events table: as-of
+        # (ONE carry-forward window shuffle), range (bucketized
+        # interval replication + equi-join), multi-resolution rollup
+        # (one raw scan, coarser levels from finer partials)
+        ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click")
+        errors = ev.filter(F.col("event_type") == "error")
+        temporal.asof_join(
+            clicks, errors, on="user_id", payload=["event_id", "value"],
+            tolerance_us=3_600_000_000, tiebreak="event_id",
+        ).write.format("noop").mode("overwrite").save()
+        ivs = errors.select(
+            "event_id", "user_id", "ts",
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts").cast("timestamp")) + 600_000_000
+            ).alias("end_ts"),
+        )
+        temporal.point_in_interval_join(
+            clicks, ivs, on="user_id", point_ts="ts", start_col="ts",
+            end_col="end_ts", bucket_us=600_000_000,
+        ).write.format("noop").mode("overwrite").save()
+        temporal.rollup_timeseries(
+            ev.withColumn("cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")),
+            "ts", ["event_type"], ["cents"],
+        ).write.format("noop").mode("overwrite").save()
+
+    def q_pmi_phrases():
+        from ocr_compare_spark.operators import phrases
+
+        # corpus collocations: two explode->map-side-combined counts,
+        # min_count filter BEFORE the unigram joins, global top-k
+        phrases.pmi_phrases(
+            docs.select("text"), "text", min_count=5, k=100
+        ).write.format("noop").mode("overwrite").save()
+
     def q_bloom():
         from ocr_compare_spark.operators import bloom
 
@@ -456,6 +494,8 @@ def main() -> int:
         "pagerank": q_pagerank,
         "bloom_dedup": q_bloom,
         "tfidf": q_tfidf,
+        "temporal": q_temporal,
+        "pmi_phrases": q_pmi_phrases,
         "recrawl": q_recrawl,
         "simhash_pairs": q_simhash_pairs,
         "ann_ivfpq": q_ann_ivfpq,

@@ -172,3 +172,40 @@ def test_rollup_validates_resolutions(spark):
     df = _mk_events(spark, _fixture()[0])
     with pytest.raises(ValueError):
         rollup_timeseries(df, "ts", [], ["val"], resolutions=(60, 90))
+
+
+def test_asof_enrich_stream_equals_batch(spark, tmp_path):
+    """streaming==batch: the union of per-micro-batch as-of outputs
+    equals one batch asof_join over the full stream (the dimension is
+    static, so batching cannot change any match)."""
+    from ocr_compare_spark.streaming.jobs import asof_enrich_stream
+
+    left, right = _fixture()
+    l = _mk_events(spark, left)
+    r = _mk_events(spark, right, cols=("key", "ts", "reid", "rval"))
+    inp = str(tmp_path / "in")
+    # several files so AvailableNow + maxFilesPerTrigger-free run still
+    # sees a real multi-file source
+    for i in range(3):
+        _mk_events(spark, left[i::3]).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(inp)
+    q = asof_enrich_stream(
+        spark, inp, r, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        "key string, ts timestamp, eid long, val double",
+        on="key", payload=["reid", "rval"], tolerance_us=40_000_000,
+        tiebreak="reid",
+    )
+    q.awaitTermination()
+    got = {
+        (row.eid, row.reid, row.rval)
+        for row in spark.read.parquet(str(tmp_path / "out") + "/batch=*").collect()
+    }
+    batch = {
+        (row.eid, row.reid, row.rval)
+        for row in asof_join(
+            l, r, on="key", payload=["reid", "rval"],
+            tolerance_us=40_000_000, tiebreak="reid",
+        ).collect()
+    }
+    assert got == batch and len(got) == len(left)

@@ -593,6 +593,22 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHRASES_MIN_COUNT = 5
 PHRASES_K = 100
 
+#: RBO gate params (ann_suite 'rbo' arm): p=0.5 makes every p^(d-1) an
+#: exact power of two; k=3 matches the gated top-3 rank frames
+RBO_P = 0.5
+RBO_K = 3
+
+
+def _rbo_values_sql() -> str:
+    """(d, w_d) VALUES rows for the DuckDB twin — literals produced by
+    the SAME rbo_weights the Spark operator embeds (repr round-trips
+    to the identical double)."""
+    from ocr_compare_spark.operators.similarity import rbo_weights
+
+    return ", ".join(
+        f"({d}, {w!r})" for d, w in enumerate(rbo_weights(RBO_P, RBO_K), 1)
+    )
+
 
 def q_terms_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry refold #11: tfidf -> terms_suite — the per-doc TF-IDF
@@ -2101,6 +2117,19 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").alias("rank"),
         F.col("recall6").alias("neighbor_id"),
     )
+    # 'rbo' arm (session 11): rank-biased overlap of the same two
+    # rankings (Webber 2010) — the top-weighted ranking-similarity
+    # metric; per-depth terms floor-round6'd BEFORE the per-query sum,
+    # weights from the SHARED rbo_weights helper (both engines embed
+    # bit-identical literals). rank carries n_common, neighbor_id the
+    # int64 rbo microunits.
+    rb = similarity.rbo(seeded_rank, bf_rank, p=RBO_P, k=RBO_K).select(
+        F.lit("rbo").alias("family"),
+        F.lit("ivf_seeded").alias("variant"),
+        "query_id",
+        F.col("n_common").alias("rank"),
+        F.col("rbo6").alias("neighbor_id"),
+    )
     pq = q_embed_topk_pq(spark, sf_dir).select(F.lit("pq").alias("family"), "*")
     # hardneg (session 8): DPR-style mining — bf top-k AFTER excluding
     # each query's closed-form positives {q+1, q+2, q+3} and itself;
@@ -2148,6 +2177,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hn)
         .unionByName(ht)
         .unionByName(rec)
+        .unionByName(rb)
     )
 
 
@@ -4587,6 +4617,43 @@ def oracle_sql() -> dict[str, str]:
                 ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
               GROUP BY a.query_id
             ) h ON t.query_id = h.query_id
+            UNION ALL
+            -- rbo arm (session 11): rank-biased overlap of the same
+            -- two rankings; a common pair enters the prefix
+            -- intersection at depth max(rank_a, rank_b), terms
+            -- floor-round6'd BEFORE the per-query sum, weights from
+            -- the shared rbo_weights literals
+            SELECT 'rbo', 'ivf_seeded', u.query_id,
+                   CAST(coalesce(nc.n_common, 0) AS BIGINT),
+                   CAST(coalesce(s.rbo6, 0) AS BIGINT)
+            FROM (
+              SELECT DISTINCT query_id FROM (
+                SELECT query_id FROM ({_embed_ivf_oracle()})
+                UNION ALL SELECT query_id FROM ({_EMBED_BF_ORACLE})
+              )
+            ) u
+            LEFT JOIN (
+              SELECT a.query_id, count(*) AS n_common
+              FROM ({_embed_ivf_oracle()}) a
+              JOIN ({_EMBED_BF_ORACLE}) b USING (query_id, neighbor_id)
+              GROUP BY a.query_id
+            ) nc ON u.query_id = nc.query_id
+            LEFT JOIN (
+              SELECT query_id,
+                     sum(CAST(floor(wt * xc * 1e6 + 0.5) AS BIGINT)) AS rbo6
+              FROM (
+                SELECT query_id, d, count(*) AS xc
+                FROM (
+                  SELECT a.query_id AS query_id,
+                         unnest(generate_series(greatest(a.rank, b.rank), {RBO_K})) AS d
+                  FROM ({_embed_ivf_oracle()}) a
+                  JOIN ({_EMBED_BF_ORACLE}) b USING (query_id, neighbor_id)
+                ) dd
+                GROUP BY query_id, d
+              ) xs
+              JOIN (VALUES {_rbo_values_sql()}) w(d, wt) ON xs.d = w.d
+              GROUP BY query_id
+            ) s ON u.query_id = s.query_id
         """,
         "retrieval_suite": _retrieval_suite_oracle(),
         "graph_suite": _graph_suite_oracle(),

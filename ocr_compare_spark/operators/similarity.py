@@ -994,3 +994,84 @@ def recall_at_k(
             .alias("recall6"),
         )
     )
+
+
+def rbo_weights(p: float, k: int) -> list[float]:
+    """Per-depth RBO weights w_d = (1-p) * p^(d-1) / d for d=1..k —
+    ONE shared implementation consumed by both the Spark operator and
+    the DuckDB oracle generator (the lloyd_kmeans convention), so the
+    embedded literals are bit-identical on both sides. At p=0.5 every
+    p^(d-1) is an exact power of two, so w_d is a correctly-rounded
+    single division — the same double everywhere."""
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"rbo: p must be in (0,1), got {p!r}")
+    if k <= 0:
+        raise ValueError(f"rbo: k must be positive, got {k!r}")
+    return [(1.0 - p) * p ** (d - 1) / d for d in range(1, int(k) + 1)]
+
+
+def rbo(
+    a: DataFrame,
+    b: DataFrame,
+    p: float = 0.5,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) — the
+    top-weighted ranking-similarity metric search teams use to compare
+    two rankers (here: an ANN variant vs the exact ranking, or two
+    retrieval configurations). Truncated prefix form:
+
+        RBO@k = sum_{d=1..k} w_d * X_d,   w_d = (1-p) p^(d-1) / d
+
+    where X_d = |A[:d] ∩ B[:d]|. A pair common to both rankings enters
+    the intersection at depth d0 = max(rank_a, rank_b), so X_d is the
+    count of pairs with d0 <= d — computed by exploding each common
+    pair to depths d0..k (fan-out <= k per pair, k^2 rows per query at
+    worst) and counting per (query, d). Per-depth terms are
+    floor-round6'd to int64 BEFORE the per-query sum (the house
+    round6-before-sum contract), so the result is layout-invariant
+    and bit-exact cross-engine. Queries present in either ranking but
+    sharing no ids emit rbo6 = 0 (unlike recall there is no 0/0).
+
+    Output: (query_col, n_common, rbo6). Identical rankings score
+    round6-sum ~= 1e6 * (1 - p^k).
+
+    Scale shape: slim 3-column rank tables only (vectors never move);
+    one equi-join on (query, id), a bounded explode, two map-side
+    groupBys, and a distinct-query universe left-joined back."""
+    wts = rbo_weights(p, k)
+    aa = a.select(query_col, id_col, F.col(rank_col).alias("_ra")).filter(
+        F.col(rank_col) <= k
+    )
+    bb = b.select(query_col, id_col, F.col(rank_col).alias("_rb")).filter(
+        F.col(rank_col) <= k
+    )
+    pairs = aa.join(bb, [query_col, id_col]).select(
+        query_col, F.greatest("_ra", "_rb").cast("int").alias("_d0")
+    )
+    xd = (
+        pairs.select(query_col, F.explode(F.sequence(F.col("_d0"), F.lit(int(k)))).alias("_d"))
+        .groupBy(query_col, "_d")
+        .agg(F.count("*").alias("_x"))
+    )
+    warr = F.array(*[F.lit(w) for w in wts])
+    term6 = F.floor(
+        F.get(warr, F.col("_d").cast("int") - 1) * F.col("_x") * 1e6 + F.lit(0.5)
+    ).cast("long")
+    per_q = xd.select(query_col, term6.alias("_t6")).groupBy(query_col).agg(
+        F.sum("_t6").alias("rbo6")
+    )
+    n_common = pairs.groupBy(query_col).agg(F.count("*").alias("n_common"))
+    universe = a.select(query_col).unionByName(b.select(query_col)).distinct()
+    return (
+        universe.join(n_common, [query_col], "left")
+        .join(per_q, [query_col], "left")
+        .select(
+            query_col,
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+            F.coalesce(F.col("rbo6"), F.lit(0)).cast("long").alias("rbo6"),
+        )
+    )

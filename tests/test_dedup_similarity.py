@@ -1239,3 +1239,48 @@ def test_tune_lsh_properties_and_composition(spark):
     pairs = lsh_candidates(df, "doc_id", "text", bands=b, verify_threshold=0.5)
     got = {(p.id_a, p.id_b) for p in pairs.collect()}
     assert got == {(0, 1)}
+
+
+def test_rbo_matches_mirror_and_edges(spark):
+    """RBO vs the textbook prefix-overlap mirror, bit-for-bit incl.
+    the round6-before-sum terms; identical/disjoint edges."""
+    import math
+
+    from ocr_compare_spark.operators.similarity import rbo, rbo_weights
+
+    P, K = 0.5, 4
+    # rankings over 6 queries: q0 identical, q1 disjoint, q2 partial
+    # with rank disagreement, q3 only in a, q4 only in b, q5 shorter
+    # lists than k
+    a_rows, b_rows = [], []
+    rank_of = {}
+    def add(rows, q, ids):
+        for i, n in enumerate(ids):
+            rows.append((q, i + 1, n))
+    add(a_rows, 0, [10, 11, 12, 13]); add(b_rows, 0, [10, 11, 12, 13])
+    add(a_rows, 1, [20, 21, 22, 23]); add(b_rows, 1, [30, 31, 32, 33])
+    add(a_rows, 2, [40, 41, 42, 43]); add(b_rows, 2, [41, 44, 40, 45])
+    add(a_rows, 3, [50, 51, 52, 53])
+    add(b_rows, 4, [60, 61, 62, 63])
+    add(a_rows, 5, [70]); add(b_rows, 5, [70, 71])
+
+    def mirror(q):
+        al = [n for qq, r, n in sorted(a_rows) if qq == q]
+        bl = [n for qq, r, n in sorted(b_rows) if qq == q]
+        w = rbo_weights(P, K)
+        total, ncom = 0, len(set(al[:K]) & set(bl[:K]))
+        for d in range(1, K + 1):
+            x = len(set(al[:d]) & set(bl[:d]))
+            if x:
+                total += math.floor(w[d - 1] * x * 1e6 + 0.5)
+        return ncom, total
+
+    A = spark.createDataFrame(a_rows, ["query_id", "rank", "neighbor_id"])
+    B = spark.createDataFrame(b_rows, ["query_id", "rank", "neighbor_id"])
+    got = {r.query_id: (r.n_common, r.rbo6) for r in rbo(A, B, p=P, k=K).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    for q in got:
+        assert got[q] == mirror(q), q
+    # identical rankings: sum of round6'd terms ~= 1e6*(1 - p^k)
+    assert abs(got[0][1] - 1e6 * (1 - P ** K)) <= K
+    assert got[1] == (0, 0) and got[3] == (0, 0) and got[4] == (0, 0)

@@ -227,40 +227,59 @@ def point_in_interval_join(
     return pairs
 
 
-def rollup_timeseries(
-    df: DataFrame,
-    ts_col: str,
-    dims: list[str],
-    value_cols: list[str],
-    resolutions: tuple[int, ...] = (300, 3600, 86400),
-) -> DataFrame:
-    """Multi-resolution rollup (continuous-aggregate shape): ONE raw
-    scan at the finest resolution, every coarser level re-aggregated
-    from the previous level's partials.  Output:
-    ``(res_s, bucket_start, *dims, n, sum_<c>...)`` with
-    ``bucket_start`` in epoch seconds.  Each coarser resolution must be
-    a multiple of the previous (asserted).  Counts and sums compose
-    exactly; pass exact integer value columns (e.g. cents microunits)
-    for a bit-exact cross-engine result.  Each level is
-    localCheckpoint'd — it feeds the output union AND the next level.
-    """
+def _check_resolutions(resolutions) -> list[int]:
     res = [int(r) for r in resolutions]
     if not res or any(r <= 0 for r in res):
         raise ValueError("resolutions must be positive")
     for a, c in zip(res, res[1:]):
         if c % a != 0:
             raise ValueError(f"resolution {c} is not a multiple of {a}")
+    return res
 
+
+def finest_buckets(
+    df: DataFrame,
+    ts_col: str,
+    dims: list[str],
+    value_cols: list[str],
+    finest_s: int,
+) -> DataFrame:
+    """The finest-resolution partial-aggregate table
+    ``(bucket_start, *dims, n, sum_<c>...)`` — the materialization a
+    streaming continuous aggregate maintains (see
+    streaming/jobs.rollup_stream) and rollup_from_finest reads."""
     sums = [F.sum(c).alias(f"sum_{c}") for c in value_cols]
-    finest = (
-        df.groupBy(
-            (F.floor(_micros(ts_col) / (res[0] * 1_000_000)) * res[0])
-            .cast("long")
-            .alias("bucket_start"),
-            *[F.col(d) for d in dims],
-        )
-        .agg(F.count("*").alias("n"), *sums)
-    )
+    return df.groupBy(
+        (F.floor(_micros(ts_col) / (int(finest_s) * 1_000_000)) * int(finest_s))
+        .cast("long")
+        .alias("bucket_start"),
+        *[F.col(d) for d in dims],
+    ).agg(F.count("*").alias("n"), *sums)
+
+
+def merge_finest_buckets(prior: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold two finest-bucket tables: counts and sums ADD (the
+    additive-sketch merge shape — streaming folds are epoch-guarded
+    for exactly this reason)."""
+    u = prior.unionByName(delta)
+    keys = [c for c in u.columns if c != "n" and not c.startswith("sum_")]
+    aggs = [F.sum("n").alias("n")] + [
+        F.sum(c).alias(c) for c in u.columns if c.startswith("sum_")
+    ]
+    return u.groupBy(*keys).agg(*aggs)
+
+
+def rollup_from_finest(
+    finest: DataFrame,
+    dims: list[str],
+    value_cols: list[str],
+    resolutions,
+) -> DataFrame:
+    """Coarsen a finest-bucket table through every resolution —
+    counts and sums compose exactly, so level r equals a direct
+    group-by of the raw events at r.  Each level is localCheckpoint'd
+    (it feeds the output union AND the next level)."""
+    res = _check_resolutions(resolutions)
     levels = [finest.localCheckpoint(eager=False) if len(res) > 1 else finest]
     for r in res[1:]:
         resums = [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in value_cols]
@@ -282,6 +301,88 @@ def rollup_timeseries(
             *dims,
             "n",
             *[f"sum_{c}" for c in value_cols],
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def rollup_timeseries(
+    df: DataFrame,
+    ts_col: str,
+    dims: list[str],
+    value_cols: list[str],
+    resolutions: tuple[int, ...] = (300, 3600, 86400),
+) -> DataFrame:
+    """Multi-resolution rollup (continuous-aggregate shape): ONE raw
+    scan at the finest resolution, every coarser level re-aggregated
+    from the previous level's partials.  Output:
+    ``(res_s, bucket_start, *dims, n, sum_<c>...)`` with
+    ``bucket_start`` in epoch seconds.  Each coarser resolution must be
+    a multiple of the previous (asserted).  Counts and sums compose
+    exactly; pass exact integer value columns (e.g. cents microunits)
+    for a bit-exact cross-engine result."""
+    res = _check_resolutions(resolutions)
+    return rollup_from_finest(
+        finest_buckets(df, ts_col, dims, value_cols, res[0]),
+        dims,
+        value_cols,
+        res,
+    )
+
+
+def rollup_distinct(
+    df: DataFrame,
+    ts_col: str,
+    dims: list[str],
+    key_col: str,
+    resolutions: tuple[int, ...] = (300, 3600, 86400),
+    p: int = 12,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-resolution DISTINCT-count rollup ("distinct users per
+    5m/1h/1d" — the crawl-dashboard question exact counts cannot
+    answer at 100 TB because distinct does not compose across
+    buckets).  HLL registers DO compose: register max over finer
+    buckets IS the sketch of the coarser bucket, so one register
+    build at the finest resolution serves every level — the sketch
+    analog of the continuous aggregate, and the coarsening is EXACT
+    (merge == build-on-union is the pinned HLL invariant, so every
+    level equals a direct register build at that resolution).
+
+    Output: ``(res_s, bucket_start, *dims, n_present, v_zero, est6)``
+    per bucket.  Each register level is localCheckpoint'd (output
+    estimate + next level)."""
+    from ocr_compare_spark.operators import sketches
+
+    res = _check_resolutions(resolutions)
+    group0 = ["bucket_start", *dims]
+    finest = sketches.hll_registers(
+        df.withColumn(
+            "bucket_start",
+            (F.floor(_micros(ts_col) / (res[0] * 1_000_000)) * res[0]).cast("long"),
+        ),
+        key_col,
+        group0,
+        p,
+        num_partitions,
+    )
+    levels = [finest.localCheckpoint(eager=False) if len(res) > 1 else finest]
+    for r in res[1:]:
+        nxt = (
+            levels[-1]
+            .groupBy(
+                (F.floor(F.col("bucket_start") / r) * r).cast("long").alias("bucket_start"),
+                *[F.col(d) for d in dims],
+                "idx",
+            )
+            .agg(F.max("m_j").alias("m_j"))
+        )
+        levels.append(nxt.localCheckpoint(eager=False))
+
+    out = None
+    for r, lv in zip(res, levels):
+        part = sketches.hll_estimate(lv, group0, p).select(
+            F.lit(r).cast("long").alias("res_s"), *group0, "n_present", "v_zero", "est6"
         )
         out = part if out is None else out.unionByName(part)
     return out

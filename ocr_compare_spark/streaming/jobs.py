@@ -350,3 +350,49 @@ def asof_enrich_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def rollup_stream(
+    spark: SparkSession,
+    input_path: str,
+    table_path: str,
+    checkpoint_path: str,
+    schema: str,
+    ts_col: str,
+    dims: list[str],
+    value_cols: list[str],
+    finest_s: int = 300,
+):
+    """Streaming continuous aggregate (the TimescaleDB idea, fed by a
+    stream): maintain the FINEST-resolution bucket table
+    ``(bucket_start, *dims, n, sum_<c>...)`` as an epoch-guarded
+    additive fold — per-bucket counts/sums ADD across micro-batches,
+    and adds are not replay-idempotent, so this rides
+    make_additive_sketch_fold's epoch commit exactly like cms_stream
+    (the bucket table IS an additive sketch whose cells are buckets).
+    Coarser resolutions are derived at READ time from the maintained
+    table via temporal.rollup_from_finest — no raw-event reprocessing
+    ever, which at 100 TB is the whole point: the standing table is
+    bounded by (time buckets x dims), not by events.
+
+    Read the current rollup with::
+
+        finest = sketches.load_sketch(spark, table_path)
+        rollup_from_finest(finest, dims, value_cols, (finest_s, 3600, 86400))
+    """
+    from ocr_compare_spark.operators import temporal
+
+    fold = make_additive_sketch_fold(
+        table_path,
+        lambda batch_df: temporal.finest_buckets(
+            batch_df, ts_col, dims, value_cols, finest_s
+        ),
+        temporal.merge_finest_buckets,
+    )
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

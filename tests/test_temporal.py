@@ -209,3 +209,70 @@ def test_asof_enrich_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch and len(got) == len(left)
+
+
+def test_rollup_distinct_merge_equals_direct(spark):
+    """The register coarsening invariant: every rolled-up level's
+    ESTIMATE rows equal a direct hll build at that resolution (merge
+    == build-on-union, per bucket)."""
+    from ocr_compare_spark.operators import sketches
+    from ocr_compare_spark.operators.temporal import rollup_distinct
+
+    left, _ = _fixture()
+    df = _mk_events(spark, left)  # key col doubles as the distinct key
+    P = 6
+    out = rollup_distinct(df, "ts", [], "key", resolutions=(60, 300), p=P)
+    rows = {(r.res_s, r.bucket_start): (r.n_present, r.v_zero, r.est6) for r in out.collect()}
+    for res in (60, 300):
+        direct = sketches.hll_estimate(
+            sketches.hll_registers(
+                df.withColumn(
+                    "bucket_start",
+                    (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / (res * 1_000_000)) * res).cast("long"),
+                ),
+                "key",
+                ["bucket_start"],
+                P,
+            ),
+            ["bucket_start"],
+            P,
+        ).collect()
+        dd = {(res, r.bucket_start): (r.n_present, r.v_zero, r.est6) for r in direct}
+        assert {k: v for k, v in rows.items() if k[0] == res} == dd
+    # at tiny cardinalities the small-range estimate is near-exact:
+    # sanity that the 300s level sees >= the 60s level's max distinct
+    assert max(v[2] for k, v in rows.items() if k[0] == 300) >= max(
+        v[2] for k, v in rows.items() if k[0] == 60
+    )
+
+
+def test_rollup_stream_equals_batch(spark, tmp_path):
+    """Streaming continuous aggregate == batch rollup over the same
+    events; a second NEW-files-only run folds increments correctly."""
+    from ocr_compare_spark.operators import sketches
+    from ocr_compare_spark.operators.temporal import rollup_from_finest, rollup_timeseries
+    from ocr_compare_spark.streaming.jobs import rollup_stream
+
+    left, _ = _fixture()
+    df = _mk_events(spark, left).withColumn(
+        "cents", F.floor(F.col("val") * 100 + 0.5).cast("long")
+    )
+    inp, tbl, ckpt = str(tmp_path / "in"), str(tmp_path / "tbl"), str(tmp_path / "ck")
+    schema = "key string, ts timestamp, eid long, val double, cents long"
+    half1 = df.filter(F.col("eid") % 2 == 0)
+    half2 = df.filter(F.col("eid") % 2 == 1)
+    half1.write.mode("overwrite").parquet(inp)
+    rollup_stream(spark, inp, tbl, ckpt, schema, "ts", ["key"], ["cents"], 60).awaitTermination()
+    half2.write.mode("append").parquet(inp)
+    rollup_stream(spark, inp, tbl, ckpt, schema, "ts", ["key"], ["cents"], 60).awaitTermination()
+
+    finest = sketches.load_sketch(spark, tbl)
+    got = {
+        (r.res_s, r.bucket_start, r.key): (r.n, r.sum_cents)
+        for r in rollup_from_finest(finest, ["key"], ["cents"], (60, 300, 900)).collect()
+    }
+    want = {
+        (r.res_s, r.bucket_start, r.key): (r.n, r.sum_cents)
+        for r in rollup_timeseries(df, "ts", ["key"], ["cents"], (60, 300, 900)).collect()
+    }
+    assert got == want

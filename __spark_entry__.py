@@ -605,8 +605,12 @@ def _rbo_values_sql() -> str:
     to the identical double)."""
     from ocr_compare_spark.operators.similarity import rbo_weights
 
+    # CAST AS DOUBLE: a bare decimal literal parses as DECIMAL in
+    # DuckDB, so wt * xc would run in exact decimal — not the
+    # bit-identical double chain Spark runs (the logreg-weight
+    # convention)
     return ", ".join(
-        f"({d}, {w!r})" for d, w in enumerate(rbo_weights(RBO_P, RBO_K), 1)
+        f"({d}, CAST({w!r} AS DOUBLE))" for d, w in enumerate(rbo_weights(RBO_P, RBO_K), 1)
     )
 
 

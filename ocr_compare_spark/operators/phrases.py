@@ -79,7 +79,10 @@ def pmi_phrases(
     (pmi6 desc, w1 asc, w2 asc). Bigrams below ``min_count`` are
     dropped BEFORE the unigram joins. ``pmi6`` is the floor-round6'd
     PMI; exact int64 thereafter."""
-    uni = unigram_counts(df, text_col)
+    # THREE consumers (n_tokens collect + the ua/ub join sides —
+    # ReuseExchange does NOT fire across differently-aliased sides):
+    # checkpoint or the corpus tokenization runs three times
+    uni = unigram_counts(df, text_col).localCheckpoint()
     if n_tokens is None:
         n_tokens = uni.agg(F.sum("c")).collect()[0][0] or 0
     big = bigram_counts(df, text_col).filter(F.col("c_ab") >= int(min_count))

@@ -1049,8 +1049,12 @@ def rbo(
     bb = b.select(query_col, id_col, F.col(rank_col).alias("_rb")).filter(
         F.col(rank_col) <= k
     )
-    pairs = aa.join(bb, [query_col, id_col]).select(
-        query_col, F.greatest("_ra", "_rb").cast("int").alias("_d0")
+    # TWO aggregate consumers (xd and n_common) — checkpoint or the
+    # rank-table join runs twice (the hll_overlap rule)
+    pairs = (
+        aa.join(bb, [query_col, id_col])
+        .select(query_col, F.greatest("_ra", "_rb").cast("int").alias("_d0"))
+        .localCheckpoint()
     )
     xd = (
         pairs.select(query_col, F.explode(F.sequence(F.col("_d0"), F.lit(int(k)))).alias("_d"))

@@ -106,7 +106,11 @@ def asof_join(
     sign = 1 if direction == "backward" else -1
 
     # right side: slim (keys, sort cols, payload struct) — the only
-    # extra width the shuffle pays beyond the left table itself
+    # extra width the shuffle pays beyond the left table itself.
+    # NULL-ts right rows are dropped: NULL sorts FIRST ascending, so
+    # an un-filtered one would carry-forward into every left row with
+    # no real predecessor (a spurious match merge_asof never makes)
+    right = right.filter(F.col(right_ts).isNotNull())
     r_struct = F.struct(
         *[F.col(c).alias(c) for c in payload],
         _micros(right_ts).alias("_match_us"),
@@ -280,8 +284,12 @@ def rollup_from_finest(
     group-by of the raw events at r.  Each level is localCheckpoint'd
     (it feeds the output union AND the next level)."""
     res = _check_resolutions(resolutions)
-    levels = [finest.localCheckpoint(eager=False) if len(res) > 1 else finest]
+    # checkpoint every level EXCEPT the last — non-final levels feed
+    # two consumers (output union + the next coarsening), the final
+    # one only the union
+    levels = [finest]
     for r in res[1:]:
+        levels[-1] = levels[-1].localCheckpoint(eager=False)
         resums = [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in value_cols]
         nxt = (
             levels[-1]
@@ -291,7 +299,7 @@ def rollup_from_finest(
             )
             .agg(F.sum("n").alias("n"), *resums)
         )
-        levels.append(nxt.localCheckpoint(eager=False))
+        levels.append(nxt)
 
     out = None
     for r, lv in zip(res, levels):
@@ -366,8 +374,10 @@ def rollup_distinct(
         p,
         num_partitions,
     )
-    levels = [finest.localCheckpoint(eager=False) if len(res) > 1 else finest]
+    # same non-final-levels-only checkpoint rule as rollup_from_finest
+    levels = [finest]
     for r in res[1:]:
+        levels[-1] = levels[-1].localCheckpoint(eager=False)
         nxt = (
             levels[-1]
             .groupBy(
@@ -377,7 +387,7 @@ def rollup_distinct(
             )
             .agg(F.max("m_j").alias("m_j"))
         )
-        levels.append(nxt.localCheckpoint(eager=False))
+        levels.append(nxt)
 
     out = None
     for r, lv in zip(res, levels):

@@ -276,3 +276,26 @@ def test_rollup_stream_equals_batch(spark, tmp_path):
         for r in rollup_timeseries(df, "ts", ["key"], ["cents"], (60, 300, 900)).collect()
     }
     assert got == want
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """Regression (review finding): a NULL-ts right row sorts FIRST
+    ascending and would carry-forward into every left row with no
+    real predecessor — it must be dropped, not matched."""
+    l = _mk_events(spark, [("a", _ts(5), 1, 0.0)])
+    r = _mk_events(
+        spark,
+        [("a", None, 900, 99.0), ("a", _ts(3), 901, 1.0)],
+        cols=("key", "ts", "reid", "rval"),
+    )
+    out = {x.eid: (x.reid, x.rval) for x in asof_join(
+        l, r, on="key", payload=["reid", "rval"], tiebreak="reid"
+    ).collect()}
+    assert out == {1: (901, 1.0)}
+    # with the only right row NULL-ts: no match at all
+    r2 = spark.createDataFrame(
+        [("a", None, 900, 99.0)],
+        "key string, ts timestamp, reid long, rval double",
+    )
+    out2 = asof_join(l, r2, on="key", payload=["reid", "rval"], tiebreak="reid").collect()
+    assert out2[0].reid is None and out2[0].rval is None and out2[0].ts_r is None

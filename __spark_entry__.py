@@ -3098,6 +3098,41 @@ def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # 'ivl' arm: interval x interval overlap (errors' vs purchases'
+    # 1h windows per user) — bucket replication with the count-once
+    # canonical bucket (the overlap start's), never a distinct;
+    # overlap_us is exact int64, v carries the user
+    def _win(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts").cast("timestamp")) + 3_600_000_000
+            ).alias("end_ts"),
+        )
+
+    from ocr_compare_spark.operators.temporal import interval_overlap_join
+
+    pairs_iv = interval_overlap_join(
+        _win(errors),
+        _win(e.filter(F.col("event_type") == "purchase")),
+        on="user_id",
+        left_start="ts",
+        left_end="end_ts",
+        right_start="ts",
+        right_end="end_ts",
+        bucket_us=3_600_000_000,
+    )
+    h = pairs_iv.select(
+        F.lit("ivl").alias("q"),
+        F.concat_ws(
+            ":", F.col("event_id").cast("string"), F.col("event_id_r").cast("string")
+        ).alias("k1"),
+        F.col("overlap_us").alias("n"),
+        F.col("user_id").cast("double").alias("v"),
+    )
+
     ru = rollup_timeseries(
         e.withColumn("cents", cents), "ts", ["event_type"], ["cents"],
         resolutions=(300, 3600, 86400),
@@ -3111,7 +3146,13 @@ def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         F.col("sum_cents").cast("double").alias("v"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(g)
+    return (
+        a.unionByName(b)
+        .unionByName(c)
+        .unionByName(d)
+        .unionByName(h)
+        .unionByName(g)
+    )
 
 
 def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4958,6 +4999,20 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = iv.user_id AND p.ts >= iv.ts
              AND epoch_us(p.ts) < epoch_us(iv.ts) + 600000000
             GROUP BY iv.event_id
+            UNION ALL
+            -- ivl: interval x interval overlap (errors' vs purchases'
+            -- 1h windows per user) — the naive inequality join IS the
+            -- oracle; Spark's bucketized count-once join must agree
+            SELECT 'ivl',
+                   CAST(a.event_id AS VARCHAR) || ':' || CAST(b.event_id AS VARCHAR),
+                   least(epoch_us(a.ts), epoch_us(b.ts)) + 3600000000
+                     - greatest(epoch_us(a.ts), epoch_us(b.ts)),
+                   CAST(a.user_id AS DOUBLE)
+            FROM (SELECT * FROM events WHERE event_type = 'error') a
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+              ON a.user_id = b.user_id
+             AND epoch_us(a.ts) < epoch_us(b.ts) + 3600000000
+             AND epoch_us(b.ts) < epoch_us(a.ts) + 3600000000
             UNION ALL
             -- rollup: every resolution recomputed DIRECTLY from raw —
             -- proving Spark's hierarchical re-aggregation exact

@@ -396,3 +396,130 @@ def rollup_distinct(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_start: str = "start_ts",
+    left_end: str = "end_ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    bucket_us: int = 3_600_000_000,
+    max_buckets: int = DEFAULT_MAX_BUCKETS,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval x interval overlap join: (left, right) pairs whose
+    half-open spans intersect (``ls < re AND rs < le``) and whose key
+    columns match — both sides bucket-replicated, ONE equi-join on
+    (keys, bucket), exact predicate after.  A pair meeting in several
+    buckets is emitted EXACTLY ONCE without any distinct shuffle: the
+    canonical bucket is the one containing the overlap START
+    (``floor(greatest(ls, rs) / b)`` — inside both replica ranges
+    whenever the intervals truly overlap), so every other meeting
+    bucket is filtered by a cheap row-local predicate.  Adds an
+    ``overlap_us`` column (exact int64 microseconds).  Empty/inverted
+    intervals match nothing; the per-interval replica guard is the
+    point_in_interval_join one."""
+    keys = [on] if isinstance(on, str) else list(on)
+    b = int(bucket_us)
+
+    def prep(df: DataFrame, s_col: str, e_col: str, s_out: str, e_out: str) -> DataFrame:
+        s_us, e_us = _micros(s_col), _micros(e_col)
+        lo, hi = F.floor(s_us / b), F.floor((e_us - 1) / b)
+        guard = F.coalesce(
+            F.assert_true(
+                hi - lo < F.lit(int(max_buckets)),
+                F.lit("interval_overlap_join: interval spans too many buckets; raise bucket_us"),
+            ).cast("long"),
+            F.lit(0),
+        )
+        return (
+            df.withColumn(s_out, s_us)
+            .withColumn(e_out, e_us)
+            .filter(F.col(e_out) > F.col(s_out))
+            .withColumn("_bucket", F.explode(F.sequence(lo + guard, hi)))
+        )
+
+    l = prep(left, left_start, left_end, "_ls", "_le")
+    r0 = prep(right, right_start, right_end, "_rs", "_re")
+    l_cols = set(left.columns)
+    renames = {c: (c + suffix if c in l_cols else c) for c in right.columns}
+    r = r0.select(
+        *[F.col(c).alias(renames[c]) for c in right.columns], "_rs", "_re", "_bucket"
+    )
+    cond = [l["_bucket"] == r["_bucket"]] + [l[k] == r[renames[k]] for k in keys]
+    start = F.greatest(F.col("_ls"), F.col("_rs"))
+    pairs = (
+        l.join(r, cond, "inner")
+        .filter(
+            (F.col("_ls") < F.col("_re"))
+            & (F.col("_rs") < F.col("_le"))
+            # count-once: only the bucket containing the overlap start
+            & (F.floor(start / b) == l["_bucket"])
+        )
+        .withColumn(
+            "overlap_us", F.least(F.col("_le"), F.col("_re")) - start
+        )
+        .drop("_ls", "_le", "_rs", "_re")
+        .drop(l["_bucket"])
+        .drop(r["_bucket"])
+    )
+    return pairs
+
+
+def rollup_quantiles(
+    df: DataFrame,
+    ts_col: str,
+    dims: list[str],
+    value_col: str,
+    qs=(0.5, 0.95, 0.99),
+    resolutions: tuple[int, ...] = (300, 3600, 86400),
+    alpha: float = 0.01,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-resolution QUANTILE rollup ("p99 latency per 5m/1h/1d")
+    — exact percentiles do not compose across buckets, DDSketch
+    bucket counters DO (merge is a SUM), so one dd_build at the
+    finest resolution serves every level and each coarsening is EXACT
+    (merge == build-on-union is the pinned DD invariant).  The third
+    member of the continuous-aggregate family: counts/sums
+    (rollup_timeseries), distincts (rollup_distinct), quantiles
+    (this).  Output: ``(res_s, bucket_start, *dims, q, n, n_buckets,
+    est6)``."""
+    from ocr_compare_spark.operators import sketches
+
+    res = _check_resolutions(resolutions)
+    group0 = ["bucket_start", *dims]
+    finest = sketches.dd_build(
+        df.withColumn(
+            "bucket_start",
+            (F.floor(_micros(ts_col) / (res[0] * 1_000_000)) * res[0]).cast("long"),
+        ),
+        value_col,
+        group0,
+        alpha,
+        num_partitions,
+    )
+    levels = [finest]
+    for r in res[1:]:
+        levels[-1] = levels[-1].localCheckpoint(eager=False)
+        nxt = (
+            levels[-1]
+            .groupBy(
+                (F.floor(F.col("bucket_start") / r) * r).cast("long").alias("bucket_start"),
+                *[F.col(d) for d in dims],
+                "bkt",
+            )
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        levels.append(nxt)
+
+    out = None
+    for r, lv in zip(res, levels):
+        part = sketches.dd_quantiles(lv, qs, group0, alpha).select(
+            F.lit(r).cast("long").alias("res_s"), *group0, "q", "n", "n_buckets", "est6"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -299,3 +299,67 @@ def test_asof_null_right_ts_never_matches(spark):
     )
     out2 = asof_join(l, r2, on="key", payload=["reid", "rval"], tiebreak="reid").collect()
     assert out2[0].reid is None and out2[0].rval is None and out2[0].ts_r is None
+
+
+def test_interval_overlap_matches_naive(spark):
+    """interval x interval overlap == the naive quadratic join,
+    emitted exactly once per pair (multi-bucket meetings filtered by
+    the overlap-start canonical bucket, no distinct)."""
+    from ocr_compare_spark.operators.temporal import interval_overlap_join
+
+    lv, rv = [], []
+    for j in range(30):
+        k = f"k{j % 3}"
+        s = (j * 31) % 400
+        lv.append((k, _ts(s), _ts(s + [5, 40, 95][j % 3]), 100 + j))
+    for j in range(25):
+        k = f"k{j % 3}"
+        s = (j * 47) % 400
+        rv.append((k, _ts(s), _ts(s + [9, 70, 0][j % 3]), 700 + j))
+    L = spark.createDataFrame(lv, ["key", "start_ts", "end_ts", "lid"])
+    R = spark.createDataFrame(rv, ["key", "start_ts", "end_ts", "rid"])
+    out = interval_overlap_join(L, R, on="key", bucket_us=20_000_000)
+    assert "key_r" in out.columns and "start_ts_r" in out.columns
+    got = {(r.lid, r.rid): r.overlap_us for r in out.collect()}
+    want = {}
+    for lk, ls, le, lid in lv:
+        for rk, rs, re_, rid in rv:
+            # empty intervals ([s, s)) intersect nothing
+            if lk == rk and ls < le and rs < re_ and ls < re_ and rs < le:
+                want[(lid, rid)] = int(
+                    (min(le, re_) - max(ls, rs)).total_seconds() * 1e6
+                )
+    assert got == want and want  # non-trivial
+
+
+def test_rollup_quantiles_equals_direct(spark):
+    """DD bucket coarsening invariant: every rolled-up level's
+    quantile rows equal a direct dd_build at that resolution."""
+    from ocr_compare_spark.operators import sketches
+    from ocr_compare_spark.operators.temporal import rollup_quantiles
+
+    left, _ = _fixture()
+    df = _mk_events(spark, left).withColumn("v", F.col("val") + 1.0)
+    QS, A = (0.5, 0.99), 0.02
+    out = rollup_quantiles(df, "ts", ["key"], "v", qs=QS, resolutions=(60, 300), alpha=A)
+    rows = {
+        (r.res_s, r.bucket_start, r.key, r.q): (r.n, r.n_buckets, r.est6)
+        for r in out.collect()
+    }
+    for res in (60, 300):
+        direct = sketches.dd_quantiles(
+            sketches.dd_build(
+                df.withColumn(
+                    "bucket_start",
+                    (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / (res * 1_000_000)) * res).cast("long"),
+                ),
+                "v",
+                ["bucket_start", "key"],
+                A,
+            ),
+            QS,
+            ["bucket_start", "key"],
+            A,
+        ).collect()
+        dd = {(res, r.bucket_start, r.key, r.q): (r.n, r.n_buckets, r.est6) for r in direct}
+        assert {k: v for k, v in rows.items() if k[0] == res} == dd

@@ -2926,15 +2926,57 @@ def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per region — lineitem chained through
+    THREE broadcast joins (supplier -> nation -> region dims are tiny
+    by construction; the fact table never shuffles until the final
+    6-group aggregate's map-side combine)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    s = _tbl(spark, sf_dir, "supplier")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: revenue per part type — one broadcast dim
+    join + grouped aggregate."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    p = _tbl(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
 def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five relational demo queries (window top-k, anti join, semi
-    join + agg, 3-way join top-10, ROLLUP) folded into ONE gated row
-    set: the driver's correctness gate records at most 50 rows, and
-    gating these individually pushed three registry entries past the
-    cap in round 3 (they were green in the r1/r2 gates and still pass
-    check_oracles — this keeps every entry gated). Each sub-result is
-    normalized to (q, k1, k2, v1, v2) and unioned; the oracle is the
-    same UNION ALL over the five SQL twins."""
+    """Seven relational demo queries (window top-k, anti join, semi
+    join + agg, 3-way join top-10, ROLLUP, and — session 11 — a Q5-ish
+    4-way broadcast-join region revenue and a Q14-ish part-type
+    revenue, completing coverage of ALL TEN test tables: region/
+    supplier/part were previously unexercised) folded into ONE gated
+    row set: the driver's correctness gate records at most 50 rows,
+    and gating these individually pushed registry entries past the
+    cap in round 3. Each sub-result is normalized to (q, k1, k2, v1,
+    v2) and unioned; the oracle is the same UNION ALL over the SQL
+    twins."""
 
     def norm(df: DataFrame, tag: str, k1, k2, v1, v2) -> DataFrame:
         null_s = F.lit(None).cast("string")
@@ -2958,6 +3000,10 @@ def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("l_orderkey"), None, F.col("revenue"), None),
         norm(q_rollup_lineitem(spark, sf_dir), "rollup",
              F.col("l_returnflag"), F.col("l_linestatus"), F.col("n"), F.col("sum_qty")),
+        norm(q_region_revenue(spark, sf_dir), "region_rev",
+             F.col("r_name"), None, F.col("n"), F.col("revenue")),
+        norm(q_part_type_revenue(spark, sf_dir), "part_type",
+             F.col("p_type"), None, F.col("n"), F.col("revenue")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -5164,6 +5210,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'q3_top10', CAST(l_orderkey AS VARCHAR), NULL, revenue, NULL FROM q3
             UNION ALL
             SELECT 'rollup', l_returnflag, l_linestatus, CAST(n AS DOUBLE), sum_qty FROM ru
+            UNION ALL
+            SELECT 'region_rev', r.r_name, NULL, CAST(count(*) AS DOUBLE),
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+            UNION ALL
+            SELECT 'part_type', p.p_type, NULL, CAST(count(*) AS DOUBLE),
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_type
         """,
         "lang_mix": f"""
             WITH t AS (

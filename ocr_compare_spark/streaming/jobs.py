@@ -396,3 +396,79 @@ def rollup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def asof_log_enrich_stream(
+    tagged: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    side_col: str = "side",
+    left_cols: tuple[str, ...] = ("event_id",),
+    payload_cols: tuple[str, ...] = ("r_id", "r_value"),
+):
+    """Stateful STREAM-STREAM backward as-of over an ordered log —
+    the CDC-enrichment shape: one keyed stream carries both sides
+    (``side_col`` = 'L' event rows to enrich, 'R' dimension-change
+    rows), and every L row is matched to the latest R row at-or-
+    before it on the same key.  Custom stateful operator via
+    applyInPandasWithState (no built-in expresses this): per-key
+    GroupState holds the latest R (ts, payload) seen so far; each
+    micro-batch's group rows are sorted by (ts, side) with R before
+    L at equal ts (the batch asof_join's carry-forward order), then
+    walked once.
+
+    ORDERING CONTRACT: exact only when each key's rows arrive in
+    event-time order ACROSS micro-batches (an ordered log / CDC
+    topic; in-batch disorder is handled by the sort).  A late R row
+    in a LATER batch cannot retro-match already-emitted L rows —
+    that's inherent to single-pass streaming enrichment; use the
+    batch asof_join for reprocessing.  State is one slim tuple per
+    key, O(keys) total — no per-row growth.
+
+    Returns the enriched L rows: (key, ts, *left_cols,
+    *payload_cols) with NULL payload before the first R."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_fields = ", ".join(
+        [f"{on} string", f"{ts_col} timestamp"]
+        + [f"{c} string" for c in left_cols]
+        + [f"{c} string" for c in payload_cols]
+    )
+    state_fields = "r_ts double, " + ", ".join(f"{c} string" for c in payload_cols)
+    n_pay = len(payload_cols)
+
+    def fn(key, pdfs, state: GroupState):
+        cur = state.get if state.exists else None  # (r_ts_epoch, *payload)
+        outs = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # R before L at equal ts == the batch carry-forward order
+            pdf = pdf.sort_values(
+                [ts_col, side_col], ascending=[True, False], kind="mergesort"
+            )
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                if d[side_col] == "R":
+                    cur = (d[ts_col].timestamp(), *(d[c] for c in payload_cols))
+                else:
+                    pay = cur[1:] if cur is not None else (None,) * n_pay
+                    outs.append(
+                        (key[0], d[ts_col], *(d[c] for c in left_cols), *pay)
+                    )
+        if cur is not None:
+            state.update(cur)
+        if outs:
+            yield pd.DataFrame(
+                outs,
+                columns=[on, ts_col, *left_cols, *payload_cols],
+            )
+
+    return tagged.groupBy(on).applyInPandasWithState(
+        fn,
+        out_fields,
+        state_fields,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -3075,7 +3075,15 @@ def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       raw scan, coarser levels re-aggregated from the finer partials
       (exact: counts + int cents compose); the twin recomputes every
       resolution directly from raw, so the hierarchical re-aggregation
-      is proven equal to the direct group-by."""
+      is proven equal to the direct group-by.
+    - 'funnel': signup -> click -> purchase within 12h of the earliest
+      signup (value-based strictly-increasing min-after-min chain; K-1
+      slim equi-joins, never a per-user collect); n = depth, v = epoch
+      micros of the deepest match.  Twin = the same min chain as
+      correlated GROUP BYs.
+    - 'retention': first-event-day cohorts x distinct purchase-day
+      activity buckets; n = cohort keys active at that offset, v =
+      sum(user_id) (exact membership pin)."""
     from ocr_compare_spark.operators.temporal import (
         asof_join,
         point_in_interval_join,
@@ -3179,6 +3187,43 @@ def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("double").alias("v"),
     )
 
+    # 'funnel' arm: signup -> click -> purchase, 12h window anchored
+    # at the earliest signup — K-1 slim equi-joins + map-side min, no
+    # per-user collect; n = depth reached, v = epoch micros of the
+    # deepest matched step (exact int < 2^53 as double)
+    from ocr_compare_spark.operators.temporal import funnel, retention_cohorts
+
+    fu = funnel(
+        e, ["signup", "click", "purchase"], on="user_id",
+        window_us=43_200_000_000,
+    )
+    i_ = fu.select(
+        F.lit("funnel").alias("q"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("step_reached").cast("long").alias("n"),
+        F.unix_micros(F.coalesce("ts_3", "ts_2", "ts_1")).cast("double").alias("v"),
+    )
+
+    # 'retention' arm: first-event-day cohorts x distinct purchase-day
+    # activity; v = sum(user_id) pins the exact membership of every
+    # cell, not just its size
+    ret = retention_cohorts(
+        e, activity_filter=F.col("event_type") == "purchase", return_users=True
+    )
+    j_ = (
+        ret.groupBy("cohort_start", "offset_n")
+        .agg(F.count("*").alias("n"), F.sum("user_id").cast("double").alias("v"))
+        .select(
+            F.lit("retention").alias("q"),
+            F.concat_ws(
+                ":", F.col("cohort_start").cast("string"),
+                F.col("offset_n").cast("string"),
+            ).alias("k1"),
+            "n",
+            "v",
+        )
+    )
+
     ru = rollup_timeseries(
         e.withColumn("cents", cents), "ts", ["event_type"], ["cents"],
         resolutions=(300, 3600, 86400),
@@ -3197,6 +3242,8 @@ def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(c)
         .unionByName(d)
         .unionByName(h)
+        .unionByName(i_)
+        .unionByName(j_)
         .unionByName(g)
     )
 
@@ -5059,6 +5106,61 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND epoch_us(a.ts) < epoch_us(b.ts) + 3600000000
              AND epoch_us(b.ts) < epoch_us(a.ts) + 3600000000
+            UNION ALL
+            -- funnel: signup -> click -> purchase, 12h window anchored
+            -- at the earliest signup; strictly-increasing min-after-min
+            -- chain == the K-join Spark shape
+            SELECT 'funnel', CAST(f1.user_id AS VARCHAR),
+                   CAST(1 + CASE WHEN f2.user_id IS NOT NULL THEN 1 ELSE 0 END
+                          + CASE WHEN f3.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT),
+                   CAST(coalesce(f3.t3, f2.t2, f1.t1) AS DOUBLE)
+            FROM (SELECT user_id, min(epoch_us(ts)) AS t1
+                  FROM events WHERE event_type = 'signup' GROUP BY user_id) f1
+            LEFT JOIN (
+              SELECT e2.user_id, min(epoch_us(e2.ts)) AS t2
+              FROM events e2
+              JOIN (SELECT user_id, min(epoch_us(ts)) AS t1
+                    FROM events WHERE event_type = 'signup' GROUP BY user_id) g1
+                ON e2.user_id = g1.user_id
+              WHERE e2.event_type = 'click' AND epoch_us(e2.ts) > g1.t1
+                AND epoch_us(e2.ts) <= g1.t1 + 43200000000
+              GROUP BY e2.user_id
+            ) f2 ON f1.user_id = f2.user_id
+            LEFT JOIN (
+              SELECT e3.user_id, min(epoch_us(e3.ts)) AS t3
+              FROM events e3
+              JOIN (SELECT user_id, min(epoch_us(ts)) AS t1
+                    FROM events WHERE event_type = 'signup' GROUP BY user_id) g1b
+                ON e3.user_id = g1b.user_id
+              JOIN (
+                SELECT e2.user_id, min(epoch_us(e2.ts)) AS t2
+                FROM events e2
+                JOIN (SELECT user_id, min(epoch_us(ts)) AS t1
+                      FROM events WHERE event_type = 'signup' GROUP BY user_id) g1c
+                  ON e2.user_id = g1c.user_id
+                WHERE e2.event_type = 'click' AND epoch_us(e2.ts) > g1c.t1
+                  AND epoch_us(e2.ts) <= g1c.t1 + 43200000000
+                GROUP BY e2.user_id
+              ) g2 ON e3.user_id = g2.user_id
+              WHERE e3.event_type = 'purchase' AND epoch_us(e3.ts) > g2.t2
+                AND epoch_us(e3.ts) <= g1b.t1 + 43200000000
+              GROUP BY e3.user_id
+            ) f3 ON f1.user_id = f3.user_id
+            UNION ALL
+            -- retention: first-event-day cohorts x distinct
+            -- purchase-day activity; v = sum(user_id) membership pin
+            SELECT 'retention',
+                   CAST(cohort_s AS VARCHAR) || ':' ||
+                   CAST((act_s - cohort_s) // 86400 AS VARCHAR),
+                   count(*), CAST(sum(user_id) AS DOUBLE)
+            FROM (SELECT user_id,
+                         CAST(floor(min(epoch_us(ts)) / 86400000000) * 86400 AS BIGINT) AS cohort_s
+                  FROM events GROUP BY user_id) fr
+            JOIN (SELECT DISTINCT user_id,
+                         CAST(floor(epoch_us(ts) / 86400000000) * 86400 AS BIGINT) AS act_s
+                  FROM events WHERE event_type = 'purchase') ac
+              USING (user_id)
+            GROUP BY cohort_s, (act_s - cohort_s) // 86400
             UNION ALL
             -- rollup: every resolution recomputed DIRECTLY from raw —
             -- proving Spark's hierarchical re-aggregation exact

@@ -523,3 +523,143 @@ def rollup_quantiles(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    on: str | list[str] = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    window_us: int | None = None,
+) -> DataFrame:
+    """Funnel analysis (the Amplitude / ClickHouse ``windowFunnel``
+    shape): for every key that performed ``steps[0]``, how deep into
+    the ordered step list did it get, and when?
+
+    Semantics (value-based, fully deterministic): the step-1 match is
+    the key's EARLIEST ``steps[0]`` timestamp; the step-k match is the
+    earliest ``steps[k-1]`` timestamp STRICTLY after the step-(k-1)
+    match, optionally within ``window_us`` of the step-1 anchor
+    (``ts_k - ts_1 <= window_us`` — the window is anchored at the
+    funnel entry, the common product-analytics definition).  Matching
+    on timestamp VALUES (min-after-min) rather than row identity means
+    ties need no tiebreak: equal-ts duplicates yield the identical
+    match timestamp.  Note the earliest anchor is the contract, not a
+    step-count maximizer — a later step-1 event could in principle
+    complete more steps inside the window (same trade ClickHouse's
+    default mode makes).
+
+    Spark shape — deliberately NOT a per-key ``collect_list`` fold (a
+    hot key with 10^8 events would materialize one giant array):
+    K-1 slim equi-joins, each joining the step-k event stream
+    (projected to key + int64 micros) against the 1-row-per-key match
+    frame, then a map-side-combinable ``min`` — every frame is
+    O(keys), every aggregate partial.  The match frame is
+    localCheckpoint'd per round (two consumers: the step join and the
+    left-join stitch; the repo's iterative-loop rule).
+
+    Returns one row per key that entered the funnel:
+    ``(*keys, step_reached, ts_1..ts_K)`` with ``ts_k`` the matched
+    event time (NULL past ``step_reached``).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    keys = [on] if isinstance(on, str) else list(on)
+    us = _micros(ts_col)
+
+    out = (
+        events.filter(F.col(step_col) == steps[0])
+        .groupBy(*keys)
+        .agg(F.min(us).alias("_t1"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        out = out.localCheckpoint(eager=False)
+        ev = events.filter(F.col(step_col) == s).select(
+            *[F.col(k) for k in keys], us.alias("_eus")
+        )
+        cond = F.col("_eus") > F.col(f"_t{i - 1}")
+        if window_us is not None:
+            cond = cond & (F.col("_eus") <= F.col("_t1") + F.lit(int(window_us)))
+        nxt = (
+            ev.join(out.select(*keys, "_t1", f"_t{i - 1}"), keys)
+            .filter(cond)
+            .groupBy(*keys)
+            .agg(F.min("_eus").alias(f"_t{i}"))
+        )
+        out = out.join(nxt, keys, "left")
+
+    reached = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        reached = reached + F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0)
+    return out.select(
+        *[F.col(k) for k in keys],
+        reached.cast("int").alias("step_reached"),
+        *[
+            F.timestamp_micros(F.col(f"_t{i}")).alias(f"ts_{i}")
+            for i in range(1, len(steps) + 1)
+        ],
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    on: str | list[str] = "user_id",
+    ts_col: str = "ts",
+    cohort_bucket_s: int = 86400,
+    activity_bucket_s: int = 86400,
+    activity_filter: Column | None = None,
+    return_users: bool = False,
+) -> DataFrame:
+    """Cohort retention (the classic triangle): keys are cohorted by
+    the bucket of their FIRST event (any event — the acquisition
+    moment), activity is the distinct set of ``activity_bucket_s``
+    buckets in which the key produced a row passing
+    ``activity_filter`` (e.g. ``F.col("event_type") == "purchase"``
+    for purchase retention; default: any event), and each output cell
+    counts the keys of cohort c active at bucket offset o.
+
+    Exact-integer arithmetic throughout (bucket starts in epoch
+    seconds via the repo's floor-of-micros convention; ``offset_n`` =
+    whole activity buckets between the activity bucket start and the
+    cohort bucket start) so the result is bit-exact cross-engine.
+
+    Spark shape: two map-side-combinable aggregates (min-ts per key;
+    distinct (key, bucket) — a groupBy, not a window) and ONE
+    key-equi-join whose right side is 1 row per key.  Nothing is
+    quadratic, nothing collects.
+
+    ``return_users=True`` returns the pre-count membership table
+    ``(*keys, cohort_start, offset_n)`` — one row per (key, cell) —
+    for callers that need membership-level pins or further joins;
+    default returns ``(cohort_start, offset_n, n_keys)``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    cb_us = int(cohort_bucket_s) * 1_000_000
+    ab_us = int(activity_bucket_s) * 1_000_000
+    us = _micros(ts_col)
+
+    first = events.groupBy(*keys).agg(
+        (F.floor(F.min(us) / cb_us) * int(cohort_bucket_s))
+        .cast("long")
+        .alias("cohort_start")
+    )
+    act_src = events if activity_filter is None else events.filter(activity_filter)
+    act = act_src.select(
+        *[F.col(k) for k in keys],
+        (F.floor(us / ab_us) * int(activity_bucket_s)).cast("long").alias("_act_start"),
+    ).distinct()
+    cells = first.join(act, keys).select(
+        *[F.col(k) for k in keys],
+        F.col("cohort_start"),
+        F.floor(
+            (F.col("_act_start") - F.col("cohort_start")) / int(activity_bucket_s)
+        )
+        .cast("long")
+        .alias("offset_n"),
+    )
+    if return_users:
+        return cells
+    return cells.groupBy("cohort_start", "offset_n").agg(
+        F.count("*").alias("n_keys")
+    )

@@ -424,3 +424,157 @@ def test_asof_log_enrich_stream_equals_batch(spark, tmp_path):
         v[0] is not None for v in got.values()
     )
     assert sum(v[0] is not None for v in got.values()) > 50
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def _funnel_fixture():
+    # 6 users, engineered coverage: full completion inside the window,
+    # completion only OUTSIDE the window, step-2 stall, equal-ts tie
+    # (step-2 event at exactly the step-1 ts must NOT match — strictly
+    # after), repeated step events (earliest-after-earliest), and a
+    # user with no step-1 event at all (absent from output)
+    rows = []
+
+    def ev(u, s, typ, eid):
+        rows.append((u, _ts(s), typ, eid))
+
+    # u1: A@10 B@20 C@30 — full funnel, window 100
+    ev(1, 10, "A", 1), ev(1, 20, "B", 2), ev(1, 30, "C", 3)
+    # u2: A@10 B@200 — B outside window(100) => step 1 only
+    ev(2, 10, "A", 4), ev(2, 200, "B", 5)
+    # u3: A@10 B@5 (before A) B@50 C@40 (before B-match) C@90
+    ev(3, 10, "A", 6), ev(3, 5, "B", 7), ev(3, 50, "B", 8)
+    ev(3, 40, "C", 9), ev(3, 90, "C", 10)
+    # u4: B@10 C@20, no A => not in funnel
+    ev(4, 10, "B", 11), ev(4, 20, "C", 12)
+    # u5: A@10, B@10 (equal ts — strictly-after excludes), B@15, C@15
+    # (equal to B-match — excluded), C@16
+    ev(5, 10, "A", 13), ev(5, 10, "B", 14), ev(5, 15, "B", 15)
+    ev(5, 15, "C", 16), ev(5, 16, "C", 17)
+    # u6: A@90 A@10 (earliest anchor = 10) B@105 (within 100 of 10) C@111
+    ev(6, 90, "A", 18), ev(6, 10, "A", 19), ev(6, 105, "B", 20)
+    ev(6, 111, "C", 21)
+    return rows
+
+
+def _py_funnel(rows, steps, window_s=None):
+    by_user = {}
+    for u, ts, typ, _ in rows:
+        by_user.setdefault(u, []).append((ts, typ))
+    out = {}
+    for u, evs in by_user.items():
+        t = [None] * len(steps)
+        firsts = [e[0] for e in evs if e[1] == steps[0]]
+        if not firsts:
+            continue
+        t[0] = min(firsts)
+        for k in range(1, len(steps)):
+            cand = [
+                e[0]
+                for e in evs
+                if e[1] == steps[k]
+                and e[0] > t[k - 1]
+                and (window_s is None or (e[0] - t[0]).total_seconds() <= window_s)
+            ]
+            if not cand:
+                break
+            t[k] = min(cand)
+        out[u] = (sum(1 for x in t if x is not None), tuple(t))
+    return out
+
+
+@pytest.mark.parametrize("window_s", [None, 100])
+def test_funnel_matches_mirror(spark, window_s):
+    from ocr_compare_spark.operators.temporal import funnel
+
+    rows = _funnel_fixture()
+    df = _mk_events(spark, rows, cols=("user_id", "ts", "event_type", "eid"))
+    got = funnel(
+        df,
+        ["A", "B", "C"],
+        on="user_id",
+        window_us=None if window_s is None else window_s * 1_000_000,
+    ).collect()
+    exp = _py_funnel(rows, ["A", "B", "C"], window_s)
+    assert {r.user_id for r in got} == set(exp)
+    for r in got:
+        er, ets = exp[r.user_id]
+        assert r.step_reached == er, (r.user_id, window_s)
+        assert (r.ts_1, r.ts_2, r.ts_3) == ets, (r.user_id, window_s)
+
+
+def test_funnel_layout_invariant(spark):
+    from ocr_compare_spark.operators.temporal import funnel
+
+    rows = _funnel_fixture()
+    df = _mk_events(spark, rows, cols=("user_id", "ts", "event_type", "eid"))
+    a = sorted(map(tuple, funnel(df, ["A", "B", "C"], window_us=10**8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            funnel(
+                df.repartition(7, "eid"), ["A", "B", "C"], window_us=10**8
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_funnel_validates_steps(spark):
+    from ocr_compare_spark.operators.temporal import funnel
+
+    df = _mk_events(spark, [(1, _ts(0), "A", 1)], cols=("user_id", "ts", "event_type", "eid"))
+    with pytest.raises(ValueError):
+        funnel(df, ["A"])
+
+
+# ------------------------------------------------------------- retention
+
+
+def test_retention_matches_mirror(spark):
+    from ocr_compare_spark.operators.temporal import retention_cohorts
+
+    # users acquired across 3 days; activity = 'buy' events only;
+    # one user whose first event is NOT a buy (cohort from any event,
+    # activity filtered); one user never buying (no cells at all)
+    rows = []
+    day = 86400.0
+
+    def ev(u, s, typ, eid):
+        rows.append((u, _ts(s), typ, eid))
+
+    ev(1, 0.5 * day, "view", 1), ev(1, 0.6 * day, "buy", 2)
+    ev(1, 2.1 * day, "buy", 3), ev(1, 2.2 * day, "buy", 4)  # dup-day distinct
+    ev(2, 1.9 * day, "buy", 5), ev(2, 4.0 * day, "buy", 6)
+    ev(3, 0.1 * day, "view", 7), ev(3, 3.5 * day, "view", 8)  # never buys
+    df = _mk_events(spark, rows, cols=("user_id", "ts", "event_type", "eid"))
+
+    got = retention_cohorts(
+        df, activity_filter=F.col("event_type") == "buy"
+    ).collect()
+    # mirror (absolute epoch seconds; EPOCH = 2024-01-01 UTC is
+    # day-aligned so the bucket grid matches Spark's)
+    epoch_s = int(EPOCH.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert epoch_s % 86400 == 0
+    first = {}
+    for u, ts, _, _ in rows:
+        first[u] = min(first.get(u, ts), ts)
+    cells = set()
+    for u, ts, typ, _ in rows:
+        if typ != "buy":
+            continue
+        co = epoch_s + int((first[u] - EPOCH).total_seconds() // 86400) * 86400
+        ab = epoch_s + int((ts - EPOCH).total_seconds() // 86400) * 86400
+        cells.add((u, co, (ab - co) // 86400))
+    exp = {}
+    for _, co, off in cells:
+        exp[(co, off)] = exp.get((co, off), 0) + 1
+    assert {(r.cohort_start, r.offset_n): r.n_keys for r in got} == exp
+
+    # membership-level view agrees with the counted view
+    users = retention_cohorts(
+        df, activity_filter=F.col("event_type") == "buy", return_users=True
+    ).collect()
+    assert {(r.user_id, r.cohort_start, r.offset_n) for r in users} == cells

@@ -3083,7 +3083,10 @@ def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       correlated GROUP BYs.
     - 'retention': first-event-day cohorts x distinct purchase-day
       activity buckets; n = cohort keys active at that offset, v =
-      sum(user_id) (exact membership pin)."""
+      sum(user_id) (exact membership pin).
+    - 'paths': first-order transition matrix (Sankey / Markov input)
+      via lead over the per-user (ts, event_id) total order; v =
+      exact int64 gap sums as double."""
     from ocr_compare_spark.operators.temporal import (
         asof_join,
         point_in_interval_join,
@@ -3191,7 +3194,11 @@ def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at the earliest signup — K-1 slim equi-joins + map-side min, no
     # per-user collect; n = depth reached, v = epoch micros of the
     # deepest matched step (exact int < 2^53 as double)
-    from ocr_compare_spark.operators.temporal import funnel, retention_cohorts
+    from ocr_compare_spark.operators.temporal import (
+        funnel,
+        retention_cohorts,
+        transitions,
+    )
 
     fu = funnel(
         e, ["signup", "click", "purchase"], on="user_id",
@@ -3224,6 +3231,16 @@ def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # 'paths' arm: first-order transition matrix (Sankey input) —
+    # ONE per-key window ordered by (ts, event_id) (total order =>
+    # layout-invariant), gap sums exact int64 micros
+    k_ = transitions(e, on="user_id", tiebreak="event_id").select(
+        F.lit("paths").alias("q"),
+        F.concat_ws(":", "from_step", "to_step").alias("k1"),
+        F.col("n"),
+        F.col("sum_gap_us").cast("double").alias("v"),
+    )
+
     ru = rollup_timeseries(
         e.withColumn("cents", cents), "ts", ["event_type"], ["cents"],
         resolutions=(300, 3600, 86400),
@@ -3244,6 +3261,7 @@ def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(h)
         .unionByName(i_)
         .unionByName(j_)
+        .unionByName(k_)
         .unionByName(g)
     )
 
@@ -5161,6 +5179,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM events WHERE event_type = 'purchase') ac
               USING (user_id)
             GROUP BY cohort_s, (act_s - cohort_s) // 86400
+            UNION ALL
+            -- paths: first-order transition matrix; lead over the
+            -- identical (ts, event_id) total order, exact gap sums
+            SELECT 'paths', from_step || ':' || to_step,
+                   count(*), CAST(sum(gap) AS DOUBLE)
+            FROM (
+              SELECT event_type AS from_step,
+                     lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_step,
+                     lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       - epoch_us(ts) AS gap
+              FROM events
+            ) WHERE to_step IS NOT NULL
+            GROUP BY from_step, to_step
             UNION ALL
             -- rollup: every resolution recomputed DIRECTLY from raw —
             -- proving Spark's hierarchical re-aggregation exact

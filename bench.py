@@ -259,6 +259,22 @@ def main() -> int:
             "ts", ["event_type"], ["cents"],
         ).write.format("noop").mode("overwrite").save()
 
+    def q_funnel_retention():
+        from ocr_compare_spark.operators import temporal
+
+        # product analytics over the full events table: funnel depth
+        # (K-1 slim equi-joins + map-side mins — no per-user collect)
+        # and the retention triangle (two map-side aggregates + one
+        # key join)
+        ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+        temporal.funnel(
+            ev, ["signup", "click", "purchase"], on="user_id",
+            window_us=43_200_000_000,
+        ).write.format("noop").mode("overwrite").save()
+        temporal.retention_cohorts(
+            ev, activity_filter=F.col("event_type") == "purchase"
+        ).write.format("noop").mode("overwrite").save()
+
     def q_pmi_phrases():
         from ocr_compare_spark.operators import phrases
 
@@ -495,6 +511,7 @@ def main() -> int:
         "bloom_dedup": q_bloom,
         "tfidf": q_tfidf,
         "temporal": q_temporal,
+        "funnel_retention": q_funnel_retention,
         "pmi_phrases": q_pmi_phrases,
         "recrawl": q_recrawl,
         "simhash_pairs": q_simhash_pairs,

@@ -663,3 +663,48 @@ def retention_cohorts(
     return cells.groupBy("cohort_start", "offset_n").agg(
         F.count("*").alias("n_keys")
     )
+
+
+def transitions(
+    events: DataFrame,
+    on: str | list[str] = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Path analysis: the first-order transition matrix over each
+    key's event sequence (the Sankey / Markov-chain input every
+    product-analytics engine exposes).  Each key's events are ordered
+    by ``(ts, tiebreak)`` and every adjacent pair contributes one
+    ``(from_step, to_step)`` transition; the output aggregates
+    ``(from_step, to_step, n, sum_gap_us)`` — gap sums are exact
+    int64 micros so the mean gap is derivable without float drift.
+
+    Determinism: pass a ``tiebreak`` column that makes the per-key
+    ordering total (e.g. a unique event id) — equal-ts events would
+    otherwise make ``lead`` arrival-order-dependent.  With a total
+    order the result is partition-layout invariant and bit-exact
+    cross-engine.
+
+    ONE shuffle (the per-key window); the aggregate is a map-side
+    combinable groupBy over the slim (from, to, gap) stream.  Hot-key
+    caveat matches asof_join's: a single giant key serializes its own
+    window partition.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    order = [F.col("_us")] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    pairs = (
+        events.select(
+            *[F.col(k) for k in keys],
+            _micros(ts_col).alias("_us"),
+            F.col(step_col).alias("from_step"),
+            *([F.col(tiebreak)] if tiebreak else []),
+        )
+        .withColumn("to_step", F.lead("from_step").over(w))
+        .withColumn("_gap", F.lead("_us").over(w) - F.col("_us"))
+        .filter(F.col("to_step").isNotNull())
+    )
+    return pairs.groupBy("from_step", "to_step").agg(
+        F.count("*").alias("n"), F.sum("_gap").alias("sum_gap_us")
+    )

@@ -472,3 +472,104 @@ def asof_log_enrich_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    on: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    window_us: int | None = None,
+    key_field: str | None = None,
+):
+    """Stateful streaming funnel over an ordered log — the live
+    counterpart of temporal.funnel (same value-based strictly-
+    increasing min-after-min semantics, window anchored at the
+    step-1 match).  Custom stateful operator via
+    applyInPandasWithState: per-key GroupState holds
+    ``(depth, t_1..t_K)`` — one slim tuple per key, O(keys) total —
+    and each micro-batch's group rows are walked once in ts order.
+    On an ordered log the first qualifying event IS the min, so the
+    greedy scan equals the batch K-join exactly; equal-ts rows can
+    never advance the chain (strictly-after), so in-batch sort order
+    among ties is immaterial.
+
+    ORDERING CONTRACT (same as asof_log_enrich_stream): exact when
+    each key's rows arrive in event-time order ACROSS micro-batches;
+    in-batch disorder is sorted away.  A late-arriving earlier event
+    cannot retro-shift an already-advanced chain — use the batch
+    funnel to reprocess.
+
+    Emits an upsert stream: whenever a key's chain advances in a
+    micro-batch, one row ``(key, step_reached, ts_1..ts_K)`` with the
+    CURRENT state; the latest row per key equals temporal.funnel's
+    output row for that key.  Keys that never perform ``steps[0]``
+    hold no state and emit nothing.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    k_steps = len(steps)
+    key_field = key_field or f"{on} string"
+    out_fields = (
+        key_field
+        + ", step_reached integer, "
+        + ", ".join(f"ts_{i} timestamp" for i in range(1, k_steps + 1))
+    )
+    state_fields = "depth integer, " + ", ".join(
+        f"t_{i} long" for i in range(1, k_steps + 1)
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            cur = state.get
+            depth, ts = cur[0], list(cur[1:])
+        else:
+            depth, ts = 0, [None] * k_steps
+        changed = False
+        for pdf in pdfs:
+            if not len(pdf) or depth >= k_steps:
+                continue
+            pdf = pdf.sort_values([ts_col], kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                if depth >= k_steps:
+                    break
+                d = row._asdict()
+                if d[step_col] != steps[depth]:
+                    continue
+                t_us = d[ts_col].value // 1000
+                if depth > 0:
+                    if not t_us > ts[depth - 1]:
+                        continue
+                    if window_us is not None and t_us > ts[0] + window_us:
+                        continue
+                ts[depth] = t_us
+                depth += 1
+                changed = True
+        if changed:
+            state.update((depth, *ts))
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        depth,
+                        *(
+                            pd.Timestamp(t, unit="us") if t is not None else pd.NaT
+                            for t in ts
+                        ),
+                    )
+                ],
+                columns=[on, "step_reached"]
+                + [f"ts_{i}" for i in range(1, k_steps + 1)],
+            )
+
+    return events.groupBy(on).applyInPandasWithState(
+        fn,
+        out_fields,
+        state_fields,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -578,3 +578,122 @@ def test_retention_matches_mirror(spark):
         df, activity_filter=F.col("event_type") == "buy", return_users=True
     ).collect()
     assert {(r.user_id, r.cohort_start, r.offset_n) for r in users} == cells
+
+
+# ----------------------------------------------------------- transitions
+
+
+def test_transitions_matches_mirror(spark):
+    from ocr_compare_spark.operators.temporal import transitions
+
+    # includes an equal-ts pair (tiebreak decides adjacency) and a
+    # single-event user (contributes nothing)
+    rows = [
+        (1, _ts(10), "A", 1),
+        (1, _ts(20), "B", 2),
+        (1, _ts(20), "C", 3),  # equal ts: order (B,2) -> (C,3)
+        (1, _ts(30), "A", 4),
+        (2, _ts(5), "B", 5),
+        (2, _ts(8), "B", 6),
+        (3, _ts(1), "C", 7),  # lone event
+    ]
+    df = _mk_events(spark, rows, cols=("user_id", "ts", "event_type", "eid"))
+    got = {
+        (r.from_step, r.to_step): (r.n, r.sum_gap_us)
+        for r in transitions(df, tiebreak="eid").collect()
+    }
+    by_user = {}
+    for u, ts, typ, eid in rows:
+        by_user.setdefault(u, []).append((ts, eid, typ))
+    exp = {}
+    for evs in by_user.values():
+        evs.sort()
+        for (t0, _, a), (t1, _, b) in zip(evs, evs[1:]):
+            n, g = exp.get((a, b), (0, 0))
+            exp[(a, b)] = (n + 1, g + int((t1 - t0).total_seconds() * 1_000_000))
+    assert got == exp
+
+    # layout invariance under the total order
+    got2 = {
+        (r.from_step, r.to_step): (r.n, r.sum_gap_us)
+        for r in transitions(df.repartition(5, "eid"), tiebreak="eid").collect()
+    }
+    assert got2 == exp
+
+
+def test_funnel_stream_equals_batch(spark, tmp_path):
+    """Streaming funnel over an ordered log == batch funnel, across
+    THREE micro-batches with the chain carried between them (a user
+    entering in batch 1 completes in batch 3); the latest upsert row
+    per key equals the batch row."""
+    from ocr_compare_spark.operators.temporal import funnel
+    from ocr_compare_spark.streaming.jobs import funnel_stream
+
+    rows = []
+
+    def ev(u, s, typ, eid):
+        rows.append((u, _ts(s), typ, eid))
+
+    # u1 completes across batches: A in b1, B in b2, C in b3
+    ev("u1", 10, "A", 1)
+    # u2 stalls at depth 1 (B arrives outside the 100s window in b3)
+    ev("u2", 20, "A", 2)
+    # u3 never enters (no A) — must emit nothing
+    ev("u3", 30, "B", 3)
+    b1 = rows[:]
+    rows = []
+    ev("u1", 60, "B", 4)
+    ev("u2", 115, "C", 5)  # wrong step for depth 1 — ignored
+    b2 = rows[:]
+    rows = []
+    ev("u1", 105, "C", 6)  # 95s after the anchor: inside the window
+    ev("u2", 200, "B", 7)  # 180s after anchor: outside window
+    b3 = rows[:]
+
+    cols = ["user_id", "ts", "event_type", "eid"]
+    inp = str(tmp_path / "in")
+    for j, chunk in enumerate((b1, b2, b3)):
+        spark.createDataFrame(chunk, cols).coalesce(1).write.mode(
+            "append" if j else "overwrite"
+        ).parquet(inp)
+    stream = (
+        spark.readStream.schema(
+            "user_id string, ts timestamp, event_type string, eid long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        funnel_stream(stream, ["A", "B", "C"], window_us=100 * 1_000_000)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out_path).collect()
+    # upserts are monotone in depth: latest == max step_reached
+    latest = {}
+    for r in emitted:
+        if r.user_id not in latest or r.step_reached > latest[r.user_id].step_reached:
+            latest[r.user_id] = r
+
+    all_rows = spark.createDataFrame(b1 + b2 + b3, cols)
+    batch = {
+        r.user_id: r
+        for r in funnel(
+            all_rows, ["A", "B", "C"], window_us=100 * 1_000_000
+        ).collect()
+    }
+    assert set(latest) == set(batch) == {"u1", "u2"}
+    for u, b in batch.items():
+        s = latest[u]
+        assert (s.step_reached, s.ts_1, s.ts_2, s.ts_3) == (
+            b.step_reached, b.ts_1, b.ts_2, b.ts_3
+        ), u
+    assert batch["u1"].step_reached == 3 and batch["u2"].step_reached == 1
+    # u1 advanced in every batch -> three upsert rows
+    assert sum(1 for r in emitted if r.user_id == "u1") == 3

@@ -582,7 +582,7 @@ def funnel(
         if window_us is not None:
             cond = cond & (F.col("_eus") <= F.col("_t1") + F.lit(int(window_us)))
         nxt = (
-            ev.join(out.select(*keys, "_t1", f"_t{i - 1}"), keys)
+            ev.join(out.select(*dict.fromkeys([*keys, "_t1", f"_t{i - 1}"])), keys)
             .filter(cond)
             .groupBy(*keys)
             .agg(F.min("_eus").alias(f"_t{i}"))
@@ -621,8 +621,10 @@ def retention_cohorts(
 
     Exact-integer arithmetic throughout (bucket starts in epoch
     seconds via the repo's floor-of-micros convention; ``offset_n`` =
-    whole activity buckets between the activity bucket start and the
-    cohort bucket start) so the result is bit-exact cross-engine.
+    the activity-grid bucket index of the activity minus that of the
+    cohort moment — 0 for acquisition-bucket activity even when the
+    cohort bucket is finer than the activity bucket) so the result is
+    bit-exact cross-engine.  NULL timestamps are dropped.
 
     Spark shape: two map-side-combinable aggregates (min-ts per key;
     distinct (key, bucket) — a groupBy, not a window) and ONE
@@ -637,6 +639,10 @@ def retention_cohorts(
     keys = [on] if isinstance(on, str) else list(on)
     cb_us = int(cohort_bucket_s) * 1_000_000
     ab_us = int(activity_bucket_s) * 1_000_000
+    # NULL timestamps carry no position — drop them up front (a NULL
+    # min would cohort a key at NULL; a NULL activity bucket would
+    # emit a NULL-offset cell)
+    events = events.filter(F.col(ts_col).isNotNull())
     us = _micros(ts_col)
 
     first = events.groupBy(*keys).agg(
@@ -649,11 +655,18 @@ def retention_cohorts(
         *[F.col(k) for k in keys],
         (F.floor(us / ab_us) * int(activity_bucket_s)).cast("long").alias("_act_start"),
     ).distinct()
+    # offset on the ACTIVITY grid: activity bucket index minus the
+    # bucket index the cohort moment falls in.  With equal aligned
+    # grids this is (act - cohort) / bucket; with a finer cohort
+    # bucket (e.g. hourly cohorts, daily activity) it keeps
+    # acquisition-moment activity at offset 0 instead of -1 (the
+    # cohort's intra-bucket position must not shift the triangle)
     cells = first.join(act, keys).select(
         *[F.col(k) for k in keys],
         F.col("cohort_start"),
-        F.floor(
-            (F.col("_act_start") - F.col("cohort_start")) / int(activity_bucket_s)
+        (
+            F.floor(F.col("_act_start") / int(activity_bucket_s))
+            - F.floor(F.col("cohort_start") / int(activity_bucket_s))
         )
         .cast("long")
         .alias("offset_n"),
@@ -694,6 +707,10 @@ def transitions(
     keys = [on] if isinstance(on, str) else list(on)
     order = [F.col("_us")] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(*keys).orderBy(*order)
+    # NULL-ts rows have no position in the order and would diverge
+    # cross-engine (Spark sorts NULL FIRST ascending, DuckDB LAST) —
+    # same class as asof_join's NULL-right-row rule
+    events = events.filter(F.col(ts_col).isNotNull())
     pairs = (
         events.select(
             *[F.col(k) for k in keys],

@@ -505,15 +505,19 @@ def funnel_stream(
     micro-batch, one row ``(key, step_reached, ts_1..ts_K)`` with the
     CURRENT state; the latest row per key equals temporal.funnel's
     output row for that key.  Keys that never perform ``steps[0]``
-    hold no state and emit nothing.
+    hold no state and emit nothing.  NULL timestamps are skipped
+    (batch funnel's min/strictly-after conditions drop them too).
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
     k_steps = len(steps)
-    key_field = key_field or f"{on} string"
+    # derive the key's SQL type from the input (a hardcoded string
+    # default would crash Arrow conversion on e.g. a bigint user_id)
+    key_field = key_field or f"{on} {events.schema[on].dataType.simpleString()}"
     out_fields = (
         key_field
         + ", step_reached integer, "
@@ -530,21 +534,33 @@ def funnel_stream(
         else:
             depth, ts = 0, [None] * k_steps
         changed = False
-        for pdf in pdfs:
-            if not len(pdf) or depth >= k_steps:
-                continue
+        # the group may arrive as SEVERAL Arrow chunks: concatenate
+        # and sort ONCE — sorting chunks independently breaks the
+        # "in-batch disorder is sorted away" contract whenever a
+        # key's rows straddle a record-batch boundary
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks and depth < k_steps:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
             pdf = pdf.sort_values([ts_col], kind="mergesort")
-            for row in pdf.itertuples(index=False):
+            # local arrays, no per-row dict/closure lookups (the
+            # repo's per-row-Python doctrine)
+            nat = pd.isna(pdf[ts_col]).to_numpy()
+            ts_us = (
+                pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")
+                // 1000
+            )
+            step_arr = pdf[step_col].to_numpy()
+            _steps, _win = steps, window_us
+            for j in range(len(step_arr)):
                 if depth >= k_steps:
                     break
-                d = row._asdict()
-                if d[step_col] != steps[depth]:
+                if nat[j] or step_arr[j] != _steps[depth]:
                     continue
-                t_us = d[ts_col].value // 1000
+                t_us = int(ts_us[j])
                 if depth > 0:
                     if not t_us > ts[depth - 1]:
                         continue
-                    if window_us is not None and t_us > ts[0] + window_us:
+                    if _win is not None and t_us > ts[0] + _win:
                         continue
                 ts[depth] = t_us
                 depth += 1

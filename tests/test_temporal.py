@@ -697,3 +697,123 @@ def test_funnel_stream_equals_batch(spark, tmp_path):
     assert batch["u1"].step_reached == 3 and batch["u2"].step_reached == 1
     # u1 advanced in every batch -> three upsert rows
     assert sum(1 for r in emitted if r.user_id == "u1") == 3
+
+
+def test_transitions_null_ts_dropped(spark):
+    from ocr_compare_spark.operators.temporal import transitions
+
+    rows = [
+        (1, _ts(10), "A", 1),
+        (1, None, "X", 2),  # no position in the order — dropped
+        (1, _ts(20), "B", 3),
+    ]
+    df = _mk_events(spark, rows, cols=("user_id", "ts", "event_type", "eid"))
+    got = {
+        (r.from_step, r.to_step): (r.n, r.sum_gap_us)
+        for r in transitions(df, tiebreak="eid").collect()
+    }
+    assert got == {("A", "B"): (1, 10_000_000)}
+
+
+def test_retention_mixed_grids_and_null_ts(spark):
+    from ocr_compare_spark.operators.temporal import retention_cohorts
+
+    # hourly cohorts, daily activity: a user acquired at 05:00 whose
+    # same-day activity must land at offset 0 (not -1), next-day at 1;
+    # a NULL-ts activity row is dropped
+    rows = [
+        (1, _ts(5 * 3600), "buy", 1),
+        (1, _ts(20 * 3600), "buy", 2),      # same day -> offset 0 (dup cell)
+        (1, _ts(86400 + 3600), "buy", 3),   # next day -> offset 1
+        (2, None, "buy", 4),                # NULL ts only -> no cohort, no cells
+    ]
+    df = _mk_events(spark, rows, cols=("user_id", "ts", "event_type", "eid"))
+    got = {
+        (r.cohort_start, r.offset_n): r.n_keys
+        for r in retention_cohorts(
+            df, cohort_bucket_s=3600, activity_bucket_s=86400
+        ).collect()
+    }
+    epoch_s = int(EPOCH.replace(tzinfo=dt.timezone.utc).timestamp())
+    co = epoch_s + 5 * 3600
+    assert got == {(co, 0): 1, (co, 1): 1}
+
+
+def test_funnel_stream_chunked_group_and_null_ts(spark, tmp_path):
+    """A key's micro-batch rows split across SEVERAL Arrow record
+    batches must be sorted as ONE group (sorting chunks independently
+    loses an early anchor that arrives in a later chunk); NULL-ts
+    rows are skipped like batch funnel."""
+    from ocr_compare_spark.operators.temporal import funnel
+    from ocr_compare_spark.streaming.jobs import funnel_stream
+
+    # in-batch DISORDER: B and C precede A in arrival order, so with
+    # 2-row Arrow chunks the A anchor sits in a later chunk
+    rows = [
+        ("u1", _ts(60), "B", 1),
+        ("u1", _ts(70), "C", 2),
+        ("u1", None, "A", 3),  # NULL ts — must not anchor
+        ("u1", _ts(10), "A", 4),
+        ("u1", _ts(80), "B", 5),
+    ]
+    cols = ["user_id", "ts", "event_type", "eid"]
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(inp)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "user_id string, ts timestamp, event_type string, eid long"
+            ).parquet(inp)
+        )
+        out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+        q = (
+            funnel_stream(stream, ["A", "B", "C"])
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    emitted = spark.read.parquet(out_path).collect()
+    latest = max(emitted, key=lambda r: r.step_reached)
+    b = funnel(
+        spark.createDataFrame(rows, cols), ["A", "B", "C"]
+    ).collect()[0]
+    assert b.step_reached == 3  # A@10 -> B@60 -> C@70
+    assert (latest.step_reached, latest.ts_1, latest.ts_2, latest.ts_3) == (
+        b.step_reached, b.ts_1, b.ts_2, b.ts_3
+    )
+
+
+def test_funnel_stream_long_key_schema(spark, tmp_path):
+    """key_field derives from the input schema — a bigint user_id
+    must work without an explicit override."""
+    from ocr_compare_spark.streaming.jobs import funnel_stream
+
+    rows = [(7, _ts(10), "A", 1), (7, _ts(20), "B", 2)]
+    cols = ["user_id", "ts", "event_type", "eid"]
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(inp)
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, event_type string, eid long"
+    ).parquet(inp)
+    out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        funnel_stream(stream, ["A", "B"])
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_path).collect()
+    assert max(r.step_reached for r in got) == 2
+    assert all(isinstance(r.user_id, int) for r in got)

@@ -27,7 +27,6 @@ Prints one JSON line — copy into BENCH/R5_NOTES.md.
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import sys
@@ -113,13 +112,29 @@ def run_once(cores: int, replicate: int, sf_dir: str, with_hash: bool):
         if with_hash:
             clicks = ev.filter(F.col("event_type") == "click")
             errors = ev.filter(F.col("event_type") == "error")
-            rows = temporal.asof_join(
-                clicks, errors, on="user_id", payload=["event_id", "value"],
-                tolerance_us=3_600_000_000, tiebreak="event_id",
-            ).select("event_id", "event_id_r").collect()
-            h = hashlib.md5(
-                "\n".join(sorted(f"{r.event_id}:{r.event_id_r}" for r in rows)).encode()
-            ).hexdigest()
+            # determinism gate WITHOUT collecting millions of match
+            # rows to the driver: an order-free aggregate (sum of
+            # per-row xxhash64 + count) pins the match multiset
+            agg = (
+                temporal.asof_join(
+                    clicks, errors, on="user_id", payload=["event_id", "value"],
+                    tolerance_us=3_600_000_000, tiebreak="event_id",
+                )
+                .select(
+                    F.xxhash64(
+                        F.concat_ws(
+                            ":",
+                            F.col("event_id").cast("string"),
+                            F.coalesce(
+                                F.col("event_id_r").cast("string"), F.lit("-")
+                            ),
+                        )
+                    ).alias("h")
+                )
+                .agg(F.sum("h").alias("s"), F.count("*").alias("n"))
+                .collect()[0]
+            )
+            h = f"{agg.s}:{agg.n}"
     finally:
         spark.stop()
     return n, elapsed, h

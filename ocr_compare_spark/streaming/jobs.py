@@ -441,11 +441,15 @@ def asof_log_enrich_stream(
     def fn(key, pdfs, state: GroupState):
         cur = state.get if state.exists else None  # (r_ts_epoch, *payload)
         outs = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            # R before L at equal ts == the batch carry-forward order
-            pdf = pdf.sort_values(
+        # concatenate the group's Arrow chunks and sort ONCE — chunk-
+        # local sorts would replay in-batch disorder across chunk
+        # boundaries (the funnel_stream chunk-straddle bug class);
+        # NULL-ts rows are dropped like the batch asof_join's rule.
+        # R before L at equal ts == the batch carry-forward order
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            pdf = pdf[pdf[ts_col].notna()].sort_values(
                 [ts_col, side_col], ascending=[True, False], kind="mergesort"
             )
             for row in pdf.itertuples(index=False):

@@ -817,3 +817,51 @@ def test_funnel_stream_long_key_schema(spark, tmp_path):
     got = spark.read.parquet(out_path).collect()
     assert max(r.step_reached for r in got) == 2
     assert all(isinstance(r.user_id, int) for r in got)
+
+
+def test_asof_log_stream_chunked_group(spark, tmp_path):
+    """Same chunk-straddle class as funnel_stream: a micro-batch group
+    split across 2-row Arrow chunks with in-batch disorder must sort
+    as ONE group — an R that arrives in a later chunk but carries an
+    earlier ts must still enrich the later-ts L rows correctly."""
+    from ocr_compare_spark.streaming.jobs import asof_log_enrich_stream
+
+    # arrival order: L@30, L@40 first, then R@10 — chunk-local sorting
+    # would enrich neither L (R lands in chunk 2, walked after both)
+    rows = [
+        ("k1", _ts(30), "L", "e1", None, None),
+        ("k1", _ts(40), "L", "e2", None, None),
+        ("k1", _ts(10), "R", None, "r1", "v1"),
+        ("k1", _ts(50), "L", "e3", None, None),
+        ("k1", None, "R", None, "rbad", "vbad"),  # NULL ts — dropped
+    ]
+    cols = ["key", "ts", "side", "event_id", "r_id", "r_value"]
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(inp)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "key string, ts timestamp, side string, event_id string, "
+                "r_id string, r_value string"
+            ).parquet(inp)
+        )
+        out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+        q = (
+            asof_log_enrich_stream(stream, on="key")
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = {
+        r.event_id: (r.r_id, r.r_value)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got == {"e1": ("r1", "v1"), "e2": ("r1", "v1"), "e3": ("r1", "v1")}

@@ -103,6 +103,14 @@ def run_once(cores: int, replicate: int, sf_dir: str, with_hash: bool):
     # documented local-mode trap; A/B at local[8]: range join
     # 10.1s -> 6.9s with coalescing off)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    # localCheckpoint FREEZES the child plan's sizeInBytes, and
+    # explode-replication does not scale it — the x200 20M-row input
+    # reports 1.4 MiB (the source parquet estimate), so the planner
+    # BROADCASTS the 8M-row replicated-interval build side: a serial
+    # driver-side hash build that neither scales nor speeds (A/B:
+    # range join local[8] 6.5s broadcast -> 2.4s SMJ, 2->8 eff
+    # 0.48 -> 0.72).  Disable auto-broadcast for this workload.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         ev, n = _build(spark, replicate, sf_dir)
         t0 = time.time()
@@ -131,7 +139,12 @@ def run_once(cores: int, replicate: int, sf_dir: str, with_hash: bool):
                         )
                     ).alias("h")
                 )
-                .agg(F.sum("h").alias("s"), F.count("*").alias("n"))
+                # DECIMAL(38,0) sum: a long sum of millions of
+                # full-range int64 hashes overflows under ANSI mode
+                .agg(
+                    F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+                    F.count("*").alias("n"),
+                )
                 .collect()[0]
             )
             h = f"{agg.s}:{agg.n}"

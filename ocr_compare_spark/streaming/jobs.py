@@ -486,6 +486,7 @@ def funnel_stream(
     step_col: str = "event_type",
     window_us: int | None = None,
     key_field: str | None = None,
+    state_ttl_ms: int | None = None,
 ):
     """Stateful streaming funnel over an ordered log — the live
     counterpart of temporal.funnel (same value-based strictly-
@@ -511,6 +512,17 @@ def funnel_stream(
     output row for that key.  Keys that never perform ``steps[0]``
     hold no state and emit nothing.  NULL timestamps are skipped
     (batch funnel's min/strictly-after conditions drop them too).
+
+    ``state_ttl_ms`` bounds the standing state on an infinite stream
+    (processing-time TTL): a key that sees NO events for that long is
+    dropped and cannot advance later — the standard streaming-funnel
+    trade; size the TTL at (funnel window + max expected event lag).
+    The TTL refreshes on any activity for the key.  Default None
+    keeps state forever (exact, O(all keys ever)).  CAVEAT
+    (measured): use a TTL only with a processing-time trigger —
+    under Trigger.AvailableNow the batch clock does not advance, so
+    pending timers never fire and the query spins empty micro-batches
+    forever waiting for them.
     """
     import numpy as np
     import pandas as pd
@@ -532,6 +544,9 @@ def funnel_stream(
     )
 
     def fn(key, pdfs, state: GroupState):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             cur = state.get
             depth, ts = cur[0], list(cur[1:])
@@ -569,8 +584,15 @@ def funnel_stream(
                 ts[depth] = t_us
                 depth += 1
                 changed = True
-        if changed:
+        if state_ttl_ms is not None and (changed or state.exists):
+            # refresh the TTL on any activity (set AFTER update so a
+            # first-advance key has state to attach the timer to)
+            if changed:
+                state.update((depth, *ts))
+            state.setTimeoutDuration(state_ttl_ms)
+        elif changed:
             state.update((depth, *ts))
+        if changed:
             yield pd.DataFrame(
                 [
                     (
@@ -591,5 +613,7 @@ def funnel_stream(
         out_fields,
         state_fields,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -865,3 +865,49 @@ def test_asof_log_stream_chunked_group(spark, tmp_path):
         for r in spark.read.parquet(out_path).collect()
     }
     assert got == {"e1": ("r1", "v1"), "e2": ("r1", "v1"), "e3": ("r1", "v1")}
+
+
+def test_funnel_stream_state_ttl(spark, tmp_path):
+    """state_ttl_ms bounds standing state under a processing-time
+    trigger: a key idle past the TTL is dropped, so its later events
+    cannot advance the chain; the NoTimeout control completes.
+    (availableNow cannot drive timers — documented caveat — so this
+    test runs real processing-time triggers.)"""
+    import time as _time
+
+    from ocr_compare_spark.streaming.jobs import funnel_stream
+
+    cols = ["user_id", "ts", "event_type", "eid"]
+
+    def drive(ttl, name):
+        inp = str(tmp_path / f"in_{name}")
+        spark.createDataFrame(
+            [("u1", _ts(10), "A", 1)], cols
+        ).coalesce(1).write.mode("overwrite").parquet(inp)
+        stream = spark.readStream.schema(
+            "user_id string, ts timestamp, event_type string, eid long"
+        ).parquet(inp)
+        q = (
+            funnel_stream(stream, ["A", "B"], state_ttl_ms=ttl)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out_{name}"))
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .outputMode("append")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            _time.sleep(5)  # >> TTL; several batches pass, timer fires
+            spark.createDataFrame(
+                [("u1", _ts(20), "B", 2)], cols
+            ).coalesce(1).write.mode("append").parquet(inp)
+            _time.sleep(5)
+        finally:
+            q.stop()
+        return [
+            r.step_reached
+            for r in spark.read.parquet(str(tmp_path / f"out_{name}")).collect()
+        ]
+
+    assert max(drive(500, "ttl")) == 1  # expired: B cannot advance
+    assert max(drive(None, "exact")) == 2  # NoTimeout control completes

@@ -617,3 +617,95 @@ def funnel_stream(
         if state_ttl_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def retention_stream(
+    events: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    cohort_bucket_s: int = 86400,
+    activity_bucket_s: int = 86400,
+    is_activity_col: str | None = None,
+    key_field: str | None = None,
+):
+    """Streaming cohort retention — the live counterpart of
+    temporal.retention_cohorts(return_users=True): emits one row
+    ``(key, cohort_start, offset_n)`` the FIRST time a key is active
+    in a new activity bucket (exactly-once per cell within the
+    stream), so ``groupBy(cohort_start, offset_n).count()`` over the
+    emitted table IS the retention triangle, maintained
+    incrementally — raw events are never reprocessed.
+
+    Cohorting follows the batch contract: the key's FIRST event (any
+    event) fixes the cohort bucket; activity rows are those where
+    ``is_activity_col`` (a boolean column computed upstream, e.g.
+    ``F.col("event_type") == "purchase"``) is true — default every
+    event.  ``offset_n`` is computed on the ACTIVITY grid exactly
+    like the batch operator.
+
+    ORDERING CONTRACT (same as funnel_stream): the cohort is exact
+    when each key's FIRST-ever event is in its first micro-batch
+    seen (ordered log; in-batch disorder is sorted away).  State per
+    key = (cohort_start, seen activity buckets) — bounded by the
+    key's distinct active buckets (e.g. lifetime days), not events.
+    NULL timestamps are skipped.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cb_us = int(cohort_bucket_s) * 1_000_000
+    ab_us = int(activity_bucket_s) * 1_000_000
+    key_field = key_field or f"{on} {events.schema[on].dataType.simpleString()}"
+    out_fields = key_field + ", cohort_start long, offset_n long"
+    state_fields = "cohort_start long, seen array<long>"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            cohort_start, seen_list = state.get
+            seen = set(seen_list)
+        else:
+            cohort_start, seen = None, set()
+        outs = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            pdf = pdf[pdf[ts_col].notna()].sort_values([ts_col], kind="mergesort")
+            ts_us = (
+                pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")
+                // 1000
+            )
+            act = (
+                pdf[is_activity_col].to_numpy()
+                if is_activity_col is not None
+                else None
+            )
+            cohort_ab = (
+                None
+                if cohort_start is None
+                else cohort_start // int(activity_bucket_s)
+            )
+            for j in range(len(ts_us)):
+                t_us = int(ts_us[j])
+                if cohort_start is None:
+                    cohort_start = (t_us // cb_us) * int(cohort_bucket_s)
+                    cohort_ab = cohort_start // int(activity_bucket_s)
+                if act is not None and not act[j]:
+                    continue
+                b = (t_us // ab_us) * int(activity_bucket_s)
+                if b not in seen:
+                    seen.add(b)
+                    outs.append(
+                        (key[0], cohort_start, b // int(activity_bucket_s) - cohort_ab)
+                    )
+        if cohort_start is not None:
+            state.update((cohort_start, sorted(seen)))
+        if outs:
+            yield pd.DataFrame(outs, columns=[on, "cohort_start", "offset_n"])
+
+    return events.groupBy(on).applyInPandasWithState(
+        fn,
+        out_fields,
+        state_fields,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -911,3 +911,73 @@ def test_funnel_stream_state_ttl(spark, tmp_path):
 
     assert max(drive(500, "ttl")) == 1  # expired: B cannot advance
     assert max(drive(None, "exact")) == 2  # NoTimeout control completes
+
+
+def test_retention_stream_equals_batch(spark, tmp_path):
+    """Streaming retention over an ordered log == batch
+    retention_cohorts(return_users=True): the emitted (key, cohort,
+    offset) cell set matches, each cell exactly once, across THREE
+    micro-batches (a user acquired in batch 1 stays correctly
+    cohorted for batch-3 activity; non-activity first events cohort
+    but emit nothing; NULL ts skipped)."""
+    from ocr_compare_spark.operators.temporal import retention_cohorts
+    from ocr_compare_spark.streaming.jobs import retention_stream
+
+    day = 86400.0
+    rows = []
+
+    def ev(u, s, typ, eid):
+        rows.append((u, None if s is None else _ts(s), typ, eid))
+
+    ev("u1", 0.5 * day, "view", 1)   # cohort day 0, not activity
+    ev("u2", 0.2 * day, "buy", 2)    # cohort day 0 + activity offset 0
+    b1 = rows[:]; rows = []
+    ev("u1", 1.5 * day, "buy", 3)    # offset 1
+    ev("u1", 1.9 * day, "buy", 4)    # same cell — no second emission
+    ev("u3", None, "buy", 5)         # NULL ts — skipped entirely
+    b2 = rows[:]; rows = []
+    ev("u1", 3.5 * day, "buy", 6)    # offset 3
+    ev("u2", 2.5 * day, "buy", 7)    # offset 2
+    b3 = rows[:]
+
+    cols = ["user_id", "ts", "event_type", "eid"]
+    inp = str(tmp_path / "in")
+    for j, chunk in enumerate((b1, b2, b3)):
+        spark.createDataFrame(chunk, cols).coalesce(1).write.mode(
+            "append" if j else "overwrite"
+        ).parquet(inp)
+    stream = (
+        spark.readStream.schema(
+            "user_id string, ts timestamp, event_type string, eid long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+        .withColumn("is_act", F.col("event_type") == "buy")
+    )
+    out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        retention_stream(stream, is_activity_col="is_act")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out_path).collect()
+    got = [(r.user_id, r.cohort_start, r.offset_n) for r in emitted]
+    assert len(got) == len(set(got))  # exactly-once per cell
+
+    batch = {
+        (r.user_id, r.cohort_start, r.offset_n)
+        for r in retention_cohorts(
+            spark.createDataFrame(b1 + b2 + b3, cols),
+            activity_filter=F.col("event_type") == "buy",
+            return_users=True,
+        ).collect()
+    }
+    assert set(got) == batch
+    # triangle sanity: u1 has offsets 1 and 3, u2 offsets 0 and 2
+    offs = {(u, o) for u, _, o in got}
+    assert offs == {("u1", 1), ("u1", 3), ("u2", 0), ("u2", 2)}

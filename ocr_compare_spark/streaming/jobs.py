@@ -398,6 +398,31 @@ def rollup_stream(
     )
 
 
+def _sorted_group(pdfs, ts_col: str, extra_sort=None, keep_null_ts: bool = False):
+    """The stateful-walk preamble shared by asof_log_enrich_stream /
+    funnel_stream / retention_stream: concatenate a group's Arrow
+    chunks and sort ONCE — chunk-local sorts replay in-batch disorder
+    across record-batch boundaries (the chunk-straddle bug class
+    fixed twice in session 12; the ordering contract now lives here).
+    Returns (sorted_frame_without_null_ts, null_ts_frame_or_None);
+    the NULL-ts split is returned (not dropped) so callers can apply
+    their operator's own NULL contract."""
+    import pandas as pd
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return None, None
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+    nat = pdf[ts_col].isna()
+    nulls = pdf[nat] if (keep_null_ts and nat.any()) else None
+    pdf = pdf[~nat]
+    cols, asc = [ts_col], [True]
+    for c, a in extra_sort or []:
+        cols.append(c)
+        asc.append(a)
+    return pdf.sort_values(cols, ascending=asc, kind="mergesort"), nulls
+
+
 def asof_log_enrich_stream(
     tagged: DataFrame,
     on: str,
@@ -441,17 +466,24 @@ def asof_log_enrich_stream(
     def fn(key, pdfs, state: GroupState):
         cur = state.get if state.exists else None  # (r_ts_epoch, *payload)
         outs = []
-        # concatenate the group's Arrow chunks and sort ONCE — chunk-
-        # local sorts would replay in-batch disorder across chunk
-        # boundaries (the funnel_stream chunk-straddle bug class);
-        # NULL-ts rows are dropped like the batch asof_join's rule.
-        # R before L at equal ts == the batch carry-forward order
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-            pdf = pdf[pdf[ts_col].notna()].sort_values(
-                [ts_col, side_col], ascending=[True, False], kind="mergesort"
-            )
+        # R before L at equal ts == the batch carry-forward order.
+        # NULL-ts rows follow the batch asof_join's contract exactly:
+        # a NULL-ts R row is dropped (temporal.py right-side filter),
+        # a NULL-ts L row is KEPT and emitted with NULL payload (the
+        # batch is a LEFT-OUTER join; a NULL sort key precedes every
+        # right row there, so no match is possible)
+        pdf, nulls = _sorted_group(
+            pdfs, ts_col, extra_sort=[(side_col, False)], keep_null_ts=True
+        )
+        if nulls is not None:
+            for row in nulls.itertuples(index=False):
+                d = row._asdict()
+                if d[side_col] != "R":
+                    outs.append(
+                        (key[0], d[ts_col], *(d[c] for c in left_cols),
+                         *((None,) * n_pay))
+                    )
+        if pdf is not None:
             for row in pdf.itertuples(index=False):
                 d = row._asdict()
                 if d[side_col] == "R":
@@ -515,7 +547,11 @@ def funnel_stream(
 
     ``state_ttl_ms`` bounds the standing state on an infinite stream
     (processing-time TTL): a key that sees NO events for that long is
-    dropped and cannot advance later — the standard streaming-funnel
+    dropped, so its in-flight chain cannot advance later — and a
+    later ``steps[0]`` event RE-ENTERS it as a fresh key (a restarted
+    chain whose upsert rows a batch funnel over the full log would
+    not produce; latest-row-per-key consumers see the restarted
+    funnel, not the expired one).  The standard streaming-funnel
     trade; size the TTL at (funnel window + max expected event lag).
     The TTL refreshes on any activity for the key.  Default None
     keeps state forever (exact, O(all keys ever)).  CAVEAT
@@ -524,7 +560,6 @@ def funnel_stream(
     pending timers never fire and the query spins empty micro-batches
     forever waiting for them.
     """
-    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -553,17 +588,10 @@ def funnel_stream(
         else:
             depth, ts = 0, [None] * k_steps
         changed = False
-        # the group may arrive as SEVERAL Arrow chunks: concatenate
-        # and sort ONCE — sorting chunks independently breaks the
-        # "in-batch disorder is sorted away" contract whenever a
-        # key's rows straddle a record-batch boundary
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks and depth < k_steps:
-            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-            pdf = pdf.sort_values([ts_col], kind="mergesort")
+        pdf, _ = _sorted_group(pdfs, ts_col)
+        if pdf is not None and depth < k_steps:
             # local arrays, no per-row dict/closure lookups (the
             # repo's per-row-Python doctrine)
-            nat = pd.isna(pdf[ts_col]).to_numpy()
             ts_us = (
                 pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")
                 // 1000
@@ -573,7 +601,7 @@ def funnel_stream(
             for j in range(len(step_arr)):
                 if depth >= k_steps:
                     break
-                if nat[j] or step_arr[j] != _steps[depth]:
+                if step_arr[j] != _steps[depth]:
                     continue
                 t_us = int(ts_us[j])
                 if depth > 0:
@@ -584,14 +612,12 @@ def funnel_stream(
                 ts[depth] = t_us
                 depth += 1
                 changed = True
-        if state_ttl_ms is not None and (changed or state.exists):
-            # refresh the TTL on any activity (set AFTER update so a
-            # first-advance key has state to attach the timer to)
-            if changed:
-                state.update((depth, *ts))
-            state.setTimeoutDuration(state_ttl_ms)
-        elif changed:
+        if changed:
             state.update((depth, *ts))
+        if state_ttl_ms is not None and (changed or state.exists):
+            # refresh the TTL on any activity (after the update so a
+            # first-advance key has state to attach the timer to)
+            state.setTimeoutDuration(state_ttl_ms)
         if changed:
             yield pd.DataFrame(
                 [
@@ -666,10 +692,9 @@ def retention_stream(
         else:
             cohort_start, seen = None, set()
         outs = []
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-            pdf = pdf[pdf[ts_col].notna()].sort_values([ts_col], kind="mergesort")
+        changed = False
+        pdf, _ = _sorted_group(pdfs, ts_col)
+        if pdf is not None:
             ts_us = (
                 pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")
                 // 1000
@@ -689,15 +714,20 @@ def retention_stream(
                 if cohort_start is None:
                     cohort_start = (t_us // cb_us) * int(cohort_bucket_s)
                     cohort_ab = cohort_start // int(activity_bucket_s)
+                    changed = True
                 if act is not None and not act[j]:
                     continue
                 b = (t_us // ab_us) * int(activity_bucket_s)
                 if b not in seen:
                     seen.add(b)
+                    changed = True
                     outs.append(
                         (key[0], cohort_start, b // int(activity_bucket_s) - cohort_ab)
                     )
-        if cohort_start is not None:
+        # update only on change: an idle-in-cell key must not pay a
+        # state rewrite + O(n log n) sort of its bucket history every
+        # micro-batch (the funnel_stream convention)
+        if changed:
             state.update((cohort_start, sorted(seen)))
         if outs:
             yield pd.DataFrame(outs, columns=[on, "cohort_start", "offset_n"])

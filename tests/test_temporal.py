@@ -833,7 +833,8 @@ def test_asof_log_stream_chunked_group(spark, tmp_path):
         ("k1", _ts(40), "L", "e2", None, None),
         ("k1", _ts(10), "R", None, "r1", "v1"),
         ("k1", _ts(50), "L", "e3", None, None),
-        ("k1", None, "R", None, "rbad", "vbad"),  # NULL ts — dropped
+        ("k1", None, "R", None, "rbad", "vbad"),  # NULL-ts R — dropped
+        ("k1", None, "L", "e4", None, None),  # NULL-ts L — NULL payload
     ]
     cols = ["key", "ts", "side", "event_id", "r_id", "r_value"]
     inp = str(tmp_path / "in")
@@ -864,7 +865,12 @@ def test_asof_log_stream_chunked_group(spark, tmp_path):
         r.event_id: (r.r_id, r.r_value)
         for r in spark.read.parquet(out_path).collect()
     }
-    assert got == {"e1": ("r1", "v1"), "e2": ("r1", "v1"), "e3": ("r1", "v1")}
+    assert got == {
+        "e1": ("r1", "v1"),
+        "e2": ("r1", "v1"),
+        "e3": ("r1", "v1"),
+        "e4": (None, None),  # batch left-outer contract: kept, unmatched
+    }
 
 
 def test_funnel_stream_state_ttl(spark, tmp_path):
@@ -878,6 +884,25 @@ def test_funnel_stream_state_ttl(spark, tmp_path):
     from ocr_compare_spark.streaming.jobs import funnel_stream
 
     cols = ["user_id", "ts", "event_type", "eid"]
+
+    def read_depths(name):
+        try:
+            return [
+                r.step_reached
+                for r in spark.read.parquet(str(tmp_path / f"out_{name}")).collect()
+            ]
+        except Exception:  # sink dir not created yet
+            return []
+
+    def wait_for(pred, deadline_s=120):
+        # barrier instead of bare sleeps: this host stalls 10-70s,
+        # so fixed sleeps race the micro-batch clock
+        t0 = _time.time()
+        while _time.time() - t0 < deadline_s:
+            if pred():
+                return True
+            _time.sleep(0.3)
+        return False
 
     def drive(ttl, name):
         inp = str(tmp_path / f"in_{name}")
@@ -897,17 +922,24 @@ def test_funnel_stream_state_ttl(spark, tmp_path):
             .start()
         )
         try:
-            _time.sleep(5)  # >> TTL; several batches pass, timer fires
+            # barrier 1: the A event is processed (depth-1 row landed)
+            assert wait_for(lambda: 1 in read_depths(name))
+            # TTL run: wait well past the TTL so the idle timer fires
+            # in one of the intervening micro-batches
+            _time.sleep(3)
             spark.createDataFrame(
                 [("u1", _ts(20), "B", 2)], cols
             ).coalesce(1).write.mode("append").parquet(inp)
-            _time.sleep(5)
+            if ttl is None:
+                # barrier 2: control run must process B to depth 2
+                assert wait_for(lambda: 2 in read_depths(name))
+            else:
+                # expired run: give B ample time to be processed; the
+                # assertion below is that depth 2 NEVER appears
+                _time.sleep(6)
         finally:
             q.stop()
-        return [
-            r.step_reached
-            for r in spark.read.parquet(str(tmp_path / f"out_{name}")).collect()
-        ]
+        return read_depths(name)
 
     assert max(drive(500, "ttl")) == 1  # expired: B cannot advance
     assert max(drive(None, "exact")) == 2  # NoTimeout control completes

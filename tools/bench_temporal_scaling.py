@@ -196,34 +196,41 @@ def main():
     c1, c2 = args.cores
 
     materialize_input(args.replicate, args.sf_dir)
-    times = {c1: [], c2: []}
-    hashes = {}
-    n = None
-    for rep in range(args.reps):
-        for cores in args.cores:
-            with_hash = rep == 0
-            n, t, h = run_once(cores, with_hash)
-            times[cores].append(t)
-            if with_hash:
-                hashes[cores] = h
-    pair_effs = [
-        round((n / t2) / (n / t1) / (c2 / c1), 3)
-        for t1, t2 in zip(times[c1], times[c2])
-    ]
-    best = {c: min(ts) for c, ts in times.items()}
-    eff_best = round((n / best[c2]) / (n / best[c1]) / (c2 / c1), 3)
-    srt = sorted(pair_effs)
-    median = srt[len(srt) // 2]
-    print(json.dumps({
-        "workload": "temporal family (asof + range + rollup)",
-        "rows": n,
-        "times": {str(c): ts for c, ts in times.items()},
-        "rows_per_sec_best": {str(c): round(n / b, 1) for c, b in best.items()},
-        "pair_efficiencies": pair_effs,
-        "median_pair_efficiency": median,
-        "best_of_efficiency": eff_best,
-        "deterministic_across_levels": hashes[c1] == hashes[c2],
-    }))
+    try:
+        times = {c1: [], c2: []}
+        hashes = {}
+        n = None
+        for rep in range(args.reps):
+            for cores in args.cores:
+                with_hash = rep == 0
+                n, t, h = run_once(cores, with_hash)
+                times[cores].append(t)
+                if with_hash:
+                    hashes[cores] = h
+        pair_effs = [
+            round((n / t2) / (n / t1) / (c2 / c1), 3)
+            for t1, t2 in zip(times[c1], times[c2])
+        ]
+        best = {c: min(ts) for c, ts in times.items()}
+        eff_best = round((n / best[c2]) / (n / best[c1]) / (c2 / c1), 3)
+        srt = sorted(pair_effs)
+        median = srt[len(srt) // 2]
+        print(json.dumps({
+            "workload": "temporal family (asof + range + rollup)",
+            "rows": n,
+            "times": {str(c): ts for c, ts in times.items()},
+            "rows_per_sec_best": {str(c): round(n / b, 1) for c, b in best.items()},
+            "pair_efficiencies": pair_effs,
+            "median_pair_efficiency": median,
+            "best_of_efficiency": eff_best,
+            "deterministic_across_levels": hashes[c1] == hashes[c2],
+        }))
+    finally:
+        # the x200 input is hundreds of MB of RAM-backed tmpfs — do
+        # not leave it resident after the run
+        import shutil
+
+        shutil.rmtree(INPUT_DIR, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -1,6 +1,9 @@
 """Temporal join family — the classic "operators Spark lacks":
-as-of join, point-in-interval (range) join, and hypertable-style
-multi-resolution rollup.  Every serious event/metrics pipeline needs
+as-of join, point-in-interval (range) join, hypertable-style
+multi-resolution rollup, and the product-analytics set built on the
+same events shape (``funnel`` / ``retention_cohorts`` /
+``transitions`` — see their docstrings; live counterparts in
+streaming/jobs.py).  Every serious event/metrics pipeline needs
 these (kdb ``aj``, pandas ``merge_asof``, DuckDB ``ASOF JOIN``,
 TimescaleDB continuous aggregates); Spark has no built-in for any of
 them, so each is re-expressed here as a composition of shuffle-minimal

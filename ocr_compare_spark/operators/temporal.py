@@ -728,3 +728,45 @@ def transitions(
     return pairs.groupBy("from_step", "to_step").agg(
         F.count("*").alias("n"), F.sum("_gap").alias("sum_gap_us")
     )
+
+
+def funnel_counts(funnel_df: DataFrame) -> DataFrame:
+    """The step-level funnel summary derived from ``funnel``'s per-key
+    table: for each step, how many keys reached it, plus conversion
+    ratios (from the previous step and from funnel entry),
+    floor-round6'd to the repo's cross-engine contract.  ONE tiny
+    aggregate over the per-key frame (count per step_reached, then a
+    driver-free running sum via a bounded window over K rows —
+    K = funnel depth, never data-sized).
+
+    Output: ``(step, n_keys, conv_from_prev6, conv_from_first6)``
+    where ``n_keys`` counts keys whose ``step_reached >= step``.
+    """
+    k_steps = sum(1 for c in funnel_df.columns if c.startswith("ts_"))
+    per_depth = funnel_df.groupBy("step_reached").agg(F.count("*").alias("_n"))
+    steps = funnel_df.sparkSession.range(1, k_steps + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    # keys at step s = keys with step_reached >= s: suffix-sum the
+    # depth histogram over the K-row frame (bounded window, not a
+    # data-sized shuffle)
+    joined = steps.join(
+        per_depth, steps["step"] <= per_depth["step_reached"], "left"
+    ).groupBy("step").agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("n_keys"))
+    prev = F.last("n_keys").over(
+        Window.orderBy("step").rowsBetween(-1, -1)
+    )
+    first = F.first("n_keys").over(
+        Window.orderBy("step").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r6 = lambda c: (F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000)  # noqa: E731
+    return joined.select(
+        "step",
+        "n_keys",
+        F.when(
+            prev > 0, r6(F.col("n_keys") / prev)
+        ).alias("conv_from_prev6"),
+        F.when(
+            first > 0, r6(F.col("n_keys") / first)
+        ).alias("conv_from_first6"),
+    )

@@ -1013,3 +1013,22 @@ def test_retention_stream_equals_batch(spark, tmp_path):
     # triangle sanity: u1 has offsets 1 and 3, u2 offsets 0 and 2
     offs = {(u, o) for u, _, o in got}
     assert offs == {("u1", 1), ("u1", 3), ("u2", 0), ("u2", 2)}
+
+
+def test_funnel_counts(spark):
+    from ocr_compare_spark.operators.temporal import funnel, funnel_counts
+
+    rows = _funnel_fixture()
+    df = _mk_events(spark, rows, cols=("user_id", "ts", "event_type", "eid"))
+    fu = funnel(df, ["A", "B", "C"], window_us=100 * 1_000_000)
+    got = {r.step: r for r in funnel_counts(fu).collect()}
+    # mirror from the per-user depths
+    exp = _py_funnel(rows, ["A", "B", "C"], 100)
+    depth_of = {u: d for u, (d, _) in exp.items()}
+    n = [sum(1 for d in depth_of.values() if d >= s) for s in (1, 2, 3)]
+    assert [got[s].n_keys for s in (1, 2, 3)] == n
+    assert got[1].conv_from_prev6 is None and got[1].conv_from_first6 == 1.0
+    import math
+    for s in (2, 3):
+        assert got[s].conv_from_prev6 == math.floor(n[s-1] / n[s-2] * 1e6 + 0.5) / 1e6
+        assert got[s].conv_from_first6 == math.floor(n[s-1] / n[0] * 1e6 + 0.5) / 1e6

@@ -296,24 +296,23 @@ def train_logreg(
         raise ValueError("train_logreg: no non-empty documents")
     wb = [0.0] * (dim + 1)
     for _ in range(iters):
-        z = _logreg_z("vector", wb, "_n")
-        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
-        # bias slot 0 carries v = n so (e*v)/n == the error term under
-        # the one shared formula; slots 1.. are the hashed features
-        staged = feats.select(
-            err.alias("_e"),
-            "_n",
-            F.posexplode(
-                F.concat(F.array(F.col("_n")), F.col("vector"))
-            ).alias("slot", "v"),
-        )
-        g6 = F.floor(F.col("_e") * F.col("v") / F.col("_n") * 1e6 + F.lit(0.5)).cast(
-            "long"
-        )
+        # r6 optimization: the former per-iteration Spark job built
+        # an interpreted zip_with/aggregate fold per row plus a
+        # posexplode of (dim+1) slim rows per doc — ~3 s/iteration at
+        # sf1.0. This Arrow pass computes the SAME float ops in the
+        # SAME order (z fold per dimension index, err via math.exp —
+        # the libm exp the JVM shares on this box, the recrawl
+        # precedent the mirror already relies on; g6 floor-round6 per
+        # slot) and emits one (dim+1)-row int64 partial sum per
+        # partition; int64 sums are order-free, so the aggregated
+        # gradient — and every weight vector — stays bit-identical to
+        # the mirror (pytest-pinned).
         rows = (
-            staged.select("slot", g6.alias("g6"))
+            feats.mapInPandas(
+                _grad_partials(wb, dim), "slot int, s6 long"
+            )
             .groupBy("slot")
-            .agg(F.sum("g6").alias("s6"))
+            .agg(F.sum("s6").alias("s6"))
             .collect()
         )
         sums = [0] * (dim + 1)
@@ -321,6 +320,57 @@ def train_logreg(
             sums[r["slot"]] = r["s6"]
         wb = _logreg_update(wb, sums, n_docs, lr)
     return {"wb": wb, "dim": dim}
+
+
+def _grad_partials(wb: list[float], dim: int):
+    """Per-partition gradient partial sums for train_logreg — a pure
+    function factory so the closure ships only (wb, dim). Replicates
+    the former Spark expression chain bit-for-bit:
+
+        z  = b + (fold_j w_j * v_j) / n      (index-ordered fold)
+        e  = 1.0 / (1.0 + exp(-z)) - y       (scalar libm exp)
+        g6 = floor(((e * v) / n) * 1e6 + 0.5)  per slot (slot 0: v=n)
+
+    and yields (slot, partial int64 sum) rows."""
+    import numpy as np
+    import pandas as pd
+
+    b0 = float(wb[0])
+    warr = [float(x) for x in wb[1:]]
+
+    def _exp(v: float) -> float:
+        # JVM exp saturates to +Infinity; math.exp raises instead
+        try:
+            return math.exp(v)
+        except OverflowError:
+            return float("inf")
+
+    def part(batches):
+        acc = np.zeros(dim + 1, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vector"]],
+                dtype=np.float64,
+            )
+            n = pdf["_n"].to_numpy(dtype=np.float64)
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            dot = np.zeros(len(V), dtype=np.float64)
+            for j in range(dim):
+                dot = dot + warr[j] * V[:, j]
+            z = b0 + dot / n
+            e = np.array(
+                [1.0 / (1.0 + _exp(-zi)) for zi in z], dtype=np.float64
+            ) - y
+            acc[0] += np.floor((e * n) / n * 1e6 + 0.5).astype(np.int64).sum()
+            for j in range(dim):
+                acc[j + 1] += (
+                    np.floor((e * V[:, j]) / n * 1e6 + 0.5).astype(np.int64).sum()
+                )
+        yield pd.DataFrame({"slot": np.arange(dim + 1, dtype=np.int32), "s6": acc})
+
+    return part
 
 
 def logreg_scores(

@@ -1020,9 +1020,12 @@ def semdedup(
     Why clustering first: the quadratic pair step runs only WITHIN a
     cell, so total pair work is sum(|cell|^2) ≈ n^2/k — with k grown
     alongside the corpus (the paper uses 50k clusters for LAION) the
-    per-cell cost is bounded and the candidate join is a cell
-    equi-join, never a cross join (same scale shape as ivf_topk /
-    embed_near_dups).
+    per-cell cost is bounded. The pair step is ONE grouped Arrow pass
+    per cell (vectorized sim matrix in column blocks, each row
+    shipped once — never a pair-materializing join); its float ops
+    replicate cosine_native's fold order bit-for-bit, so the kept set
+    is identical to the former per-pair SQL form (same scale shape as
+    ivf_topk / embed_near_dups).
 
     method="literal" (default): centroid dots as native left-to-right
     folds over per-component literals — bit-reproducible in a DuckDB
@@ -1040,7 +1043,6 @@ def semdedup(
     """
     from ocr_compare_spark.operators.similarity import (
         _centroid_scores,
-        cosine_native,
         seeded_centroids,
     )
 
@@ -1091,39 +1093,108 @@ def semdedup(
     else:
         raise ValueError(f"semdedup: unknown method {method!r} (literal|data)")
 
-    a = keyed.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-        "cell", F.col("centsim").alias("cs_a"),
+    # Within-cell pair stage (r6 optimization): the former cell
+    # self-join + per-pair cosine_native fold materialized n^2/k pair
+    # rows through a shuffle and evaluated an interpreted
+    # zip_with/aggregate fold per pair — 47x superlinear r5->r6 at
+    # sf1.0 (65.4 s). Replaced by ONE applyInPandas pass per cell
+    # that reproduces cosine_native's float ops BIT-FOR-BIT: the dot
+    # and squared-norm folds accumulate per dimension INDEX (a j-loop
+    # of vectorized IEEE adds — identical op order to the Spark
+    # fold), sqrt/multiply/divide are correctly-rounded IEEE ops, and
+    # Spark's NaN-is-largest comparison semantics are replicated
+    # (sim >= t OR isnan(sim)). The drop rule is unchanged: sort the
+    # cell by (centsim asc, id asc) — pandas sort matches Spark's
+    # double and binary-string orderings — and a member is dropped
+    # iff ANY earlier member's sim >= threshold (the pairwise rule;
+    # column blocks bound the m x m sim matrix memory for skewed
+    # cells). Vectors never cross a join; the cell shuffle ships each
+    # row once.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
+
+    thr = float(threshold)
+    id_dt = keyed.schema["id"].dataType
+    cell_dt = keyed.schema["cell"].dataType
+    out_schema = StructType(
+        [
+            StructField("id", id_dt),
+            StructField("cell", cell_dt),
+            StructField("centsim", DoubleType()),
+            StructField("kept", BooleanType()),
+        ]
     )
-    b = keyed.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-        "cell", F.col("centsim").alias("cs_b"),
-    )
-    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
-    sim = cosine_native(F.col("v_a"), F.col("v_b"))
-    # the pair member LATER in (centsim asc, id asc) order is dropped
-    a_first = (F.col("cs_a") < F.col("cs_b")) | (
-        (F.col("cs_a") == F.col("cs_b")) & (F.col("id_a") < F.col("id_b"))
-    )
-    dropped = (
-        pairs.withColumn("_sim", sim)
-        .filter(F.col("_sim") >= threshold)
-        .select(F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("id"))
-        .distinct()
-    )
-    return (
-        keyed.join(dropped.withColumn("_drop", F.lit(True)), "id", "left")
-        .select(
-            "id",
-            F.col("cell").cast("long").alias("cell"),
-            # floor(x*1e6+0.5)/1e6, not F.round: centroid sims can be
-            # negative, and this is the repo's cross-engine rounding
-            # contract (HALF_UP on negatives differs between engines)
-            (F.floor(F.col("centsim") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
-                "centsim"
-            ),
-            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+
+    def _cell_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m <= 1:
+            return pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "cell": pdf["cell"],
+                    "centsim": pdf["centsim"],
+                    "kept": np.ones(m, dtype=bool),
+                }
+            )
+        pdf = pdf.sort_values(["centsim", "id"], kind="stable", ignore_index=True)
+        ids = pdf["id"].to_numpy()
+        ids_unique = len(pd.unique(ids)) == m
+        V = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["v"]], dtype=np.float64
         )
+        dim = V.shape[1] if V.ndim == 2 else 0
+        # squared-norm fold in index order (== cosine_native's na/nb)
+        nsq = np.zeros(m, dtype=np.float64)
+        for j in range(dim):
+            cj = V[:, j]
+            nsq = nsq + cj * cj
+        na = np.sqrt(nsq)
+        pos = na > 0
+        dropped = np.zeros(m, dtype=bool)
+        CHUNK = 4096  # bounds the m x chunk sim block for skewed cells
+        for c0 in range(0, m, CHUNK):
+            c1 = min(c0 + CHUNK, m)
+            blk = np.zeros((m, c1 - c0), dtype=np.float64)
+            for j in range(dim):
+                cj = V[:, j]
+                blk = blk + np.multiply.outer(cj, cj[c0:c1])
+            denom = np.multiply.outer(na, na[c0:c1])
+            mask = pos[:, None] & pos[None, c0:c1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(mask, blk / np.where(mask, denom, 1.0), 0.0)
+            ge = (sim >= thr) | np.isnan(sim)  # Spark: NaN sorts above all
+            tri = np.arange(m)[:, None] < np.arange(c0, c1)[None, :]
+            if not ids_unique:  # old pair filter was id_a < id_b
+                tri &= ids[:, None] != ids[None, c0:c1]
+            dropped[c0:c1] = np.any(ge & tri, axis=0)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cell": pdf["cell"],
+                "centsim": pdf["centsim"],
+                "kept": ~dropped,
+            }
+        )
+
+    n_cells = int(len(cents))
+    flagged = (
+        keyed.repartition(n_cells, "cell")  # byte-light compute-heavy:
+        # pin the partition count so AQE coalescing can't serialize
+        # the per-cell numpy work (the CLAUDE.md compare_align trap)
+        .groupBy("cell")
+        .applyInPandas(_cell_pass, out_schema)
+    )
+    return flagged.select(
+        "id",
+        F.col("cell").cast("long").alias("cell"),
+        # floor(x*1e6+0.5)/1e6, not F.round: centroid sims can be
+        # negative, and this is the repo's cross-engine rounding
+        # contract (HALF_UP on negatives differs between engines)
+        (F.floor(F.col("centsim") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "centsim"
+        ),
+        "kept",
     )
 
 

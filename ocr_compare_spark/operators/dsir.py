@@ -32,11 +32,12 @@ the bounded bucket-model fit):
    key, midpoint-shifted so u is never 0), so the selected set is
    rerun- and layout-stable like every sampler in this repo.
 
-Scale notes: the candidate gram stream is evaluated twice (once for
-the q-model counts, once for scoring) — both are one explode + one
-map-side-combined groupBy; pass ``checkpoint=True`` when the input
-is a compute-heavy derived plan. Nothing driver-side ever exceeds
-2 x n_buckets rows.
+Scale notes: the candidate gram stream (regex + md5 per gram, the
+hot compute) is materialized ONCE as slim (id, bucket) rows via
+localCheckpoint; the q-model counts and the scoring join are both
+map-side-combined aggregates over that stream. Pass
+``checkpoint=True`` when the input is a compute-heavy derived plan.
+Nothing driver-side ever exceeds 2 x n_buckets rows.
 """
 
 from __future__ import annotations
@@ -84,12 +85,10 @@ def gram_buckets(text_col: str | Column, n_buckets: int = DEFAULT_BUCKETS) -> Co
     return F.transform(grams, lambda g: _bucket_of(g, n_buckets))
 
 
-def _bucket_counts(
-    df: DataFrame, text_col: str, n_buckets: int
-) -> tuple[dict[int, int], int]:
+def _bucket_counts_of(exploded: DataFrame) -> tuple[dict[int, int], int]:
+    """Bucket-model counts from an already-exploded ``_bkt`` stream."""
     rows = (
-        df.select(F.explode(gram_buckets(text_col, n_buckets)).alias("_bkt"))
-        .groupBy("_bkt")
+        exploded.groupBy("_bkt")
         .agg(F.count("*").alias("_c"))
         .limit(MAX_BUCKETS + 1)
         .collect()
@@ -98,6 +97,14 @@ def _bucket_counts(
         raise ValueError(f"dsir: > {MAX_BUCKETS} buckets; lower n_buckets")
     counts = {r["_bkt"]: r["_c"] for r in rows}
     return counts, sum(counts.values())
+
+
+def _bucket_counts(
+    df: DataFrame, text_col: str, n_buckets: int
+) -> tuple[dict[int, int], int]:
+    return _bucket_counts_of(
+        df.select(F.explode(gram_buckets(text_col, n_buckets)).alias("_bkt"))
+    )
 
 
 def log_ratio6(
@@ -142,7 +149,17 @@ def dsir_log_weights(
         # one explicit shuffle of the slim (id, text) rows fixes it
         candidates = candidates.repartition(num_partitions)
 
-    q_counts, q_total = _bucket_counts(candidates, text_col, n_buckets)
+    # r6: the candidate gram stream (a regex tokenize + one md5 per
+    # uni+bigram — the hot compute of the whole operator) used to run
+    # TWICE, once for the q-model counts and once for scoring.
+    # Materialize the slim (id, bucket) rows once; both consumers are
+    # then map-side-combined aggregates over the checkpointed stream
+    # (2 longs per gram — bounded, and orders cheaper than a second
+    # full md5 pass).
+    grams = candidates.select(
+        F.col(id_col), F.explode(gram_buckets(text_col, n_buckets)).alias("_bkt")
+    ).localCheckpoint(eager=True)
+    q_counts, q_total = _bucket_counts_of(grams)
     p_counts, p_total = _bucket_counts(target, target_text_col, n_buckets)
 
     ratios = [
@@ -152,9 +169,6 @@ def dsir_log_weights(
     spark = candidates.sparkSession
     ratio_df = F.broadcast(
         spark.createDataFrame(ratios, "_bkt long, _ratio6 long")
-    )
-    grams = candidates.select(
-        F.col(id_col), F.explode(gram_buckets(text_col, n_buckets)).alias("_bkt")
     )
     scored = (
         grams.join(ratio_df, "_bkt")

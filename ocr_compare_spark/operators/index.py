@@ -104,13 +104,8 @@ def bm25_topk(
     would otherwise run nearly single-threaded (the dsir trap)."""
     if num_partitions:
         docs = docs.repartition(num_partitions)
-    dl = doc_lengths(docs, id_col, text_col)
     if n_docs is None or sum_dl is None:
-        # the stats collect AND the score join both read dl — without
-        # a checkpoint the second consumer re-runs the full-corpus
-        # tokenize pass (the ADVICE-r4 double-eval trap)
-        dl = dl.localCheckpoint()
-        stats = dl.agg(
+        stats = doc_lengths(docs, id_col, text_col).agg(
             F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
         ).collect()[0]
         n_docs, sum_dl = int(stats["n"]), int(stats["s"])
@@ -129,23 +124,42 @@ def bm25_topk(
     # join both read them, and a plain reuse would re-run the corpus
     # explode once per branch (the two-branches-off-one-exchange
     # trap).
+    #
+    # r6: dl RIDES the token stream — the Generate consumes one
+    # materialized word array, so size(_w) costs nothing extra and
+    # the former SEPARATE doc_lengths pass (a second full-corpus
+    # regex tokenize) plus the corpus-sized sort-merge join of the
+    # scored stream on id both disappear (2 Exchange + 1 scan fewer;
+    # identical dl values by construction). The checkpointed postings
+    # are hash-partitioned by id when num_partitions is given, so the
+    # downstream (query_id, id) aggregate needs NO exchange at all
+    # (subset-clustering satisfies the distribution) — the per-query
+    # fan-out stream never shuffles.
     qterms = qt.select("term").distinct()
-    tok = docs.select(
-        F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("term")
+    wd = docs.select(F.col(id_col).alias("id"), _words(text_col).alias("_w"))
+    tok = wd.select(
+        "id", F.size("_w").cast("long").alias("dl"), F.explode("_w").alias("term")
     )
     post = (
         tok.join(F.broadcast(qterms), "term")
         .groupBy("term", "id")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
         .localCheckpoint(eager=True)
     )
-    return _topk_from_filtered(post, dl, qt, n_docs, avgdl, k, k1, b)
+    return _topk_from_filtered(
+        post, None, qt, n_docs, avgdl, k, k1, b, num_partitions=num_partitions
+    )
 
 
-def _topk_from_filtered(post, dl, qt, n_docs, avgdl, k, k1, b) -> DataFrame:
+def _topk_from_filtered(
+    post, dl, qt, n_docs, avgdl, k, k1, b, num_partitions=None
+) -> DataFrame:
     """Score + rank from ALREADY query-term-filtered (and
     checkpointed) postings — the core both the tokenize-on-the-fly
-    and the standing-index entry points share."""
+    and the standing-index entry points share. ``dl`` is None when
+    ``post`` already carries a dl column (the bm25_topk fast path);
+    otherwise it is joined on id per (term, id) row BEFORE the query
+    fan-out."""
     dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
 
     idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
@@ -153,15 +167,34 @@ def _topk_from_filtered(post, dl, qt, n_docs, avgdl, k, k1, b) -> DataFrame:
         F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.lit(avgdl))
     )
     w = idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom)
+    # w6 is a pure function of (tf, df, dl) — computing it per
+    # (term, id) row BEFORE the query fan-out (instead of per
+    # (query, term, id) row after, as the pre-r6 shape did) evaluates
+    # the ln/divide chain |postings| times instead of |fan-out| times
+    # and ships one slim long through the fan-out. The per-row double
+    # expression tree is unchanged, so every w6 — and therefore every
+    # int64 score6 sum — is bit-identical. dfreq and qt broadcast
+    # (both are query-set-sized); without the hints Catalyst
+    # estimates them from the corpus-sized parents and picks
+    # sort-merge joins that shuffle the fan-out stream.
+    base = post if dl is None else post.join(dl, "id")
+    if num_partitions:
+        # a localCheckpoint'd LogicalRDD reports UnknownPartitioning,
+        # so without this the (query_id, id) aggregate would shuffle
+        # the whole partial-agged fan-out (plan-verified: Exchange
+        # hashpartitioning(query_id, id) over ~13M rows at sf1.0).
+        # Re-keying the postings-sized stream by id (2M slim rows)
+        # makes HashPartitioning(id) satisfy the aggregate's
+        # clustering (subset rule) — the fan-out never shuffles.
+        base = base.repartition(num_partitions, "id")
+    postw = base.join(F.broadcast(dfreq), "term").select(
+        "term",
+        "id",
+        F.floor(w * F.lit(1e6) + F.lit(0.5)).cast("long").alias("w6"),
+    )
     scored = (
-        qt.join(post, "term")  # query side broadcasts; corpus stream filtered by term
-        .join(dfreq, "term")
-        .join(dl, "id")
-        .select(
-            "query_id",
-            "id",
-            F.floor(w * F.lit(1e6) + F.lit(0.5)).cast("long").alias("w6"),
-        )
+        postw.join(F.broadcast(qt), "term")
+        .select("query_id", "id", "w6")
         .groupBy("query_id", "id")
         .agg(F.sum("w6").alias("score6"))
     )

@@ -368,8 +368,15 @@ def pages_from_documents(
     UDF — the small parquet reads as 1-2 splits, so without it the
     byte building runs nearly single-threaded (callers that repartition
     the OUTPUT put the exchange above the UDF and don't fix that).
+    r6: the default is now scale-adaptive — when ``num_partitions``
+    is None the input spreads to the session's defaultParallelism
+    (the parquet reads as 1-2 splits at every gate sf, so the payload
+    UDF used to run serially on the critical path of every consumer
+    that did not pass the hint; output VALUES are unchanged).
     """
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
     if num_partitions:
         docs = docs.repartition(num_partitions)
     base = docs.select(

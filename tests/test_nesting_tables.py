@@ -504,3 +504,37 @@ def test_block_type_from_minimal_depth_element(spark):
     assert len(got) == 1
     assert got[0].block_type == "TEXT"  # NOT the DFS-first child's HEADING
     assert got[0].block_text == "Head Line\nbody text"  # doc order intact
+
+
+def test_structural_span_emitter_matches_full_per_value():
+    """r6: the lean columnar emitter (_emit_spans_structural — the
+    fields-subset hot path of extract_spans_stream) must reproduce
+    doc_to_result's spans EXACTLY, value for value and in emission
+    order, for every structural column. Corpus slice covers flat,
+    nested (%10==2), table (%10==4), headerless-table (%20==14),
+    cell-nesting (%40==24) and PDF buckets."""
+    from ocr_compare_spark.engines.base import create_engine
+    from ocr_compare_spark.operators.extract import (
+        STRUCTURAL_SPAN_FIELDS,
+        _emit_spans_structural,
+    )
+
+    text = " ".join(f"w{i}" for i in range(120))
+    checked = 0
+    for doc_id in list(range(0, 50)) + [64, 84, 104, 114, 134]:
+        payload = (
+            synth.build_pdf(doc_id, text)
+            if synth.is_pdf_doc(doc_id)
+            else synth.build_html(doc_id, text)
+        )
+        spec = create_engine("pdf" if synth.is_pdf_doc(doc_id) else "dom")
+        parsed = spec.parse(payload)
+        assert parsed.error is None
+        full = doc_to_result(parsed, spec.confidence, with_spans=True)["spans"]
+        cols = {c: [] for c in STRUCTURAL_SPAN_FIELDS}
+        n = _emit_spans_structural(parsed, cols)
+        assert n == len(full)
+        for c in STRUCTURAL_SPAN_FIELDS:
+            assert cols[c] == [s[c] for s in full], (doc_id, c)
+        checked += 1
+    assert checked >= 50

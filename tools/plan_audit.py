@@ -119,11 +119,16 @@ def main() -> int:
     # rebuild (every groupBy key extends the partitioning prefix, so
     # all ten partial/final ObjectHashAggregate passes reuse it).
     # collect_list aggregation is object-hash — legitimately outside
-    # whole-stage codegen — so no codegen assertion here.
+    # whole-stage codegen — so no codegen assertion here. A second
+    # exchange is the r6 INPUT-spread repartition below the payload
+    # UDF (pages_from_documents' scale-adaptive default — the 1-2
+    # parquet splits would otherwise serialize payload building and
+    # the parse/emit worker pass); budget = exactly these two.
     asm = plans["spans_assemble"]
     n_exch = len(re.findall(r"\(\d+\) Exchange\b", asm))
-    check("spans_assemble", n_exch == 1,
-          f"{n_exch} exchanges in the assembly cascade — expected 1")
+    check("spans_assemble", n_exch == 2,
+          f"{n_exch} exchanges in the assembly cascade — expected 2 "
+          "(input spread + the (url, engine) cascade shuffle)")
 
     # pure-SQL aggregation: codegen-eligible HashAggregate (never the
     # object-hash fallback) with a partial/final map-side-combine pair

@@ -151,6 +151,127 @@ def bm25_topk(
     )
 
 
+#: GEMM scoring-path guards: the query matrix ships (n_queries x
+#: n_terms) doubles to every task, and each task holds one
+#: (doc-block x n_terms) postings block — both must stay broadcast-
+#: sized. Above either bound the relational path runs instead.
+GEMM_MAX_QUERIES = 65536
+GEMM_MAX_TERMS = 512
+_GEMM_DOC_BLOCK = 8192
+
+
+def _gemm_scored_topk(postw, qt, k: int):
+    """Vectorized per-partition BM25 scoring + exact top-k cut — the
+    bounded-query-set fast path of _topk_from_filtered (the repo's
+    hashed_topk broadcast-GEMM shape).
+
+    Input: ``postw`` = (term, id, w6) hash-partitioned by id (ALL of
+    a doc's matched terms in one partition — required, the caller
+    guarantees it via repartition), ``qt`` = the (query_id, term)
+    pairs. Per partition: one 0/1 query matrix GEMM gives every
+    (query, doc) score6 = sum of matched w6 — an order-free int64 sum
+    (w6 < 2^53 so float64 GEMM is exact) — plus a presence GEMM that
+    masks (query, doc) pairs with NO matched term (the relational
+    join emits no row for those; score6 == 0 real matches must not be
+    confused with them). Docs are processed in id-sorted blocks and
+    each block keeps its per-query top k ((score6 desc, id asc) —
+    stable argsort over id-ordered rows), so the emitted stream is
+    bounded by blocks x queries x k and the final per-query aggregate
+    merges exactly (selection commutes with partition/block unions).
+
+    Returns the cut (query_id, id, score6) stream, or None when the
+    query set exceeds the broadcast guards."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = qt.limit(GEMM_MAX_QUERIES * 8 + 1).collect()
+    if len(rows) > GEMM_MAX_QUERIES * 8:
+        return None
+    terms = sorted({r["term"] for r in rows})
+    qids = sorted({r["query_id"] for r in rows})
+    if len(terms) > GEMM_MAX_TERMS or len(qids) > GEMM_MAX_QUERIES:
+        return None
+    term_idx = {t: i for i, t in enumerate(terms)}
+    q_idx = {q: i for i, q in enumerate(qids)}
+    qm = np.zeros((len(qids), len(terms)), dtype=np.float64)
+    for r in rows:
+        qm[q_idx[r["query_id"]], term_idx[r["term"]]] = 1.0
+    spark = postw.sparkSession
+    bc = spark.sparkContext.broadcast((np.array(qids), qm))
+    out_schema = StructType(
+        [
+            StructField("query_id", qt.schema["query_id"].dataType),
+            StructField("id", postw.schema["id"].dataType),
+            StructField("score6", LongType()),
+        ]
+    )
+
+    def part(batches):
+        import pandas as pd
+
+        frames = [p for p in batches if len(p)]
+        if not frames:
+            return
+        qids_arr, qmat = bc.value
+        df = pd.concat(frames, ignore_index=True).sort_values("id", kind="stable")
+        codes, uniq = pd.factorize(df["id"])  # uniq ascends (sorted input)
+        tidx = df["term"].map(term_idx).to_numpy(dtype=np.int64)
+        w6v = df["w6"].to_numpy(dtype=np.float64)
+        ids_arr = np.asarray(uniq)
+        nd = len(ids_arr)
+        n_terms = qmat.shape[1]
+        cq, ci, cs = [], [], []
+        for c0 in range(0, nd, _GEMM_DOC_BLOCK):
+            c1 = min(c0 + _GEMM_DOC_BLOCK, nd)
+            sel = (codes >= c0) & (codes < c1)
+            w = np.zeros((c1 - c0, n_terms), dtype=np.float64)
+            p = np.zeros((c1 - c0, n_terms), dtype=np.float64)
+            rr, cc = codes[sel] - c0, tidx[sel]
+            w[rr, cc] = w6v[sel]
+            p[rr, cc] = 1.0
+            s = w @ qmat.T  # (docs, queries) — exact integer sums
+            m = p @ qmat.T
+            s = np.where(m > 0, s, -1.0)  # scores are >= 0; -1 = no match
+            kk = min(k, c1 - c0)
+            top = np.argsort(-s, axis=0, kind="stable")[:kk]  # id-asc ties
+            taken = np.take_along_axis(s, top, axis=0)
+            qj, ki = np.nonzero(taken.T >= 0)
+            if len(qj):
+                cq.append(qids_arr[qj])
+                ci.append(ids_arr[c0:c1][top.T[qj, ki]])
+                cs.append(taken.T[qj, ki].astype(np.int64))
+        if not cq:
+            return
+        out = pd.DataFrame(
+            {
+                "query_id": np.concatenate(cq),
+                "id": np.concatenate(ci),
+                "score6": np.concatenate(cs),
+            }
+        )
+        out = out.sort_values(["score6", "id"], ascending=[False, True], kind="stable")
+        yield out.groupby("query_id", sort=False).head(k)
+
+    return postw.mapInPandas(part, out_schema)
+
+
+def _partial_topk_cut(k: int):
+    """Partition-local exact top-k per query over (query_id, id,
+    score6) rows — the pre-shuffle cut _topk_from_filtered applies
+    (see the call-site comment for the exactness argument)."""
+    import pandas as pd
+
+    def cut(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        df = df.sort_values(["score6", "id"], ascending=[False, True], kind="stable")
+        yield df.groupby("query_id", sort=False).head(k)
+
+    return cut
+
+
 def _topk_from_filtered(
     post, dl, qt, n_docs, avgdl, k, k1, b, num_partitions=None
 ) -> DataFrame:
@@ -192,12 +313,33 @@ def _topk_from_filtered(
         "id",
         F.floor(w * F.lit(1e6) + F.lit(0.5)).cast("long").alias("w6"),
     )
-    scored = (
-        postw.join(F.broadcast(qt), "term")
-        .select("query_id", "id", "w6")
-        .groupBy("query_id", "id")
-        .agg(F.sum("w6").alias("score6"))
-    )
+    scored = None
+    if num_partitions:
+        # bounded query set + id-clustered postings (the repartition
+        # above): score every (query, doc) with one GEMM per postings
+        # block and cut to per-block top-k — replaces the (query,
+        # term, doc) fan-out join (75M rows at sf1.0), its 25M-group
+        # hash aggregate AND the 25M-struct top-k shuffle with one
+        # Arrow pass over the postings (exactness: docstring of
+        # _gemm_scored_topk)
+        scored = _gemm_scored_topk(postw, qt, k)
+    if scored is None:
+        scored = (
+            postw.join(F.broadcast(qt), "term")
+            .select("query_id", "id", "w6")
+            .groupBy("query_id", "id")
+            .agg(F.sum("w6").alias("score6"))
+        )
+        # Per-partition top-k pre-cut (r6): the final per-query cut
+        # only needs k of the ~|matches per query| scored rows
+        # (49k/query at sf1.0 — 25M struct rows through the last
+        # exchange and 49k-entry sorted arrays per query). Selection
+        # under the total order (score6 desc, id asc) commutes with
+        # partition unions and (q,id) rows are unique, so keeping
+        # each partition's per-query top k BEFORE the shuffle is
+        # exact for ANY partitioning; the final aggregate then merges
+        # <= partitions x k rows per query.
+        scored = scored.mapInPandas(_partial_topk_cut(k), scored.schema)
     top = (
         scored.groupBy("query_id")
         .agg(

@@ -182,3 +182,31 @@ def test_bm25_indexed_stats_follow_tombstones(spark):
     assert _run_indexed(spark, post, dl, queries, 5, exclude_ids=tomb) == _mirror(
         survivors, queries, 5
     )
+
+
+def test_bm25_gemm_path_matches_mirror(spark):
+    """r6: num_partitions routes scoring through the broadcast-GEMM
+    block path (_gemm_scored_topk) — same rows as the mirror and the
+    relational path, across partition counts."""
+    n = len(DOCS)
+    sum_dl = sum(len(re.findall("[a-z0-9]+", t.lower())) for _, t in DOCS)
+    for parts in (1, 3, 5):
+        assert _run(spark, DOCS, QUERIES, 3, num_partitions=parts) == _mirror(
+            DOCS, QUERIES, 3
+        )
+        assert _run(
+            spark, DOCS, QUERIES, 2, num_partitions=parts, n_docs=n, sum_dl=sum_dl
+        ) == _mirror(DOCS, QUERIES, 2)
+
+
+def test_bm25_gemm_guard_falls_back_relational(spark, monkeypatch):
+    """Query sets over the GEMM guards must take the relational path
+    (with the partial top-k pre-cut) and still match the mirror."""
+    monkeypatch.setattr(index_ops, "GEMM_MAX_TERMS", 1)
+    assert _run(spark, DOCS, QUERIES, 3, num_partitions=4) == _mirror(DOCS, QUERIES, 3)
+
+
+def test_bm25_gemm_tie_order_is_id_asc(spark):
+    docs = [(7, "apple"), (3, "apple"), (9, "apple")]
+    got = _run(spark, docs, [(0, "apple")], 3, num_partitions=2)
+    assert [(r[1], r[2]) for r in got] == [(1, 3), (2, 7), (3, 9)]

@@ -324,10 +324,16 @@ def lsh_candidates(
     # re-hash the fixed 8-byte long instead of the ~20-byte string —
     # measured ~2x on the signature stage, and it's the hot cost of
     # the whole operator at scale.
+    # THREE consumers read this stream (the 64-lane signature agg and
+    # BOTH aliased sides of the verify join's shingle-set lookup —
+    # ReuseExchange never fires across differently-aliased join
+    # sides), so without the checkpoint the regex shingle explode +
+    # xxhash pass ran 3x (r6-measured: 1.35 s/pass warm at sf1.0).
+    # The materialized rows are slim (id, h0) longs.
     exploded = reps.select(
         "id",
         F.explode(word_shingles("text", shingle_n)).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("h0"))
+    ).select("id", F.xxhash64("shingle").alias("h0")).localCheckpoint(eager=True)
     sig_wide = exploded.groupBy("id").agg(
         *[F.min(F.xxhash64("h0", F.lit(s))).alias(f"h{s}") for s in range(num_hashes)]
     )
@@ -354,7 +360,11 @@ def lsh_candidates(
     # instead of ~20-byte shingle strings — at 60k docs x 12-way dups
     # that is the difference between ~3 GB and ~8 GB through the
     # verify shuffle (measured 1.5x on the whole operator).
-    sh = exploded.groupBy("id").agg(F.collect_set("h0").alias("sh"))
+    # the two aliased verify-join sides would otherwise run the
+    # collect_set aggregate (and its upstream) once each
+    sh = exploded.groupBy("id").agg(F.collect_set("h0").alias("sh")).localCheckpoint(
+        eager=True
+    )
     verified = (
         pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

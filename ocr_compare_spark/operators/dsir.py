@@ -144,10 +144,14 @@ def dsir_log_weights(
         candidates = candidates.localCheckpoint()
     if num_partitions:
         # the gram stream is byte-light but compute-heavy (md5 per
-        # uni+bigram, three passes) — a narrow parquet input leaves
-        # most cores idle, the CLAUDE.md decontam/compare_align trap;
-        # one explicit shuffle of the slim (id, text) rows fixes it
+        # uni+bigram) — a narrow parquet input leaves most cores
+        # idle, the CLAUDE.md decontam/compare_align trap; one
+        # explicit shuffle of the slim (id, text) rows fixes it.
+        # r6: the TARGET pass pays the same trap (its filter reads
+        # the same 1-2 parquet splits; measured 1.4 s of the 3.8 s
+        # warm total at sf1.0) — spread it too.
         candidates = candidates.repartition(num_partitions)
+        target = target.repartition(num_partitions)
 
     # r6: the candidate gram stream (a regex tokenize + one md5 per
     # uni+bigram — the hot compute of the whole operator) used to run

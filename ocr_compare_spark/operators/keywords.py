@@ -79,8 +79,13 @@ def tfidf_topk(
     """Top-k keywords per document: (id, rank, term, tf, score6)
     with rank 1..k by (score6 desc, term asc). Documents with no
     tokens produce no rows. score6 = tf * idf6 — exact int64."""
+    from ocr_compare_spark.operators.spread import spread_small_input
+
     if n_docs is None:
         n_docs = df.count()
+    # the tf and df tokenize passes are byte-light compute-heavy —
+    # spread a few-split source first (r6; adaptive no-op otherwise)
+    df = spread_small_input(df)
     tf = term_frequencies(df, id_col, text_col)
     idf = document_frequencies(df, text_col).select(
         "term", idf6_column(n_docs).alias("idf6")

@@ -86,6 +86,13 @@ def train_unigram_lm(
     attach), and the vocab cap is a distributed top-K ordered by
     (cnt DESC, token ASC) — deterministic under ties.
     """
+    from ocr_compare_spark.operators.spread import spread_small_input
+
+    # byte-light compute-heavy tokenize — spread a few-split source
+    # (r6; adaptive no-op on adequately-split inputs). Doc rows move
+    # BEFORE the explode, so a doc's tokens stay contiguous in one
+    # partition (the data-path summation-order contract).
+    df = spread_small_input(df)
     counts = (
         df.select(F.explode(_tokens(text_col)).alias("token"))
         .groupBy("token")
@@ -125,6 +132,12 @@ def perplexity_scores(
     row, zero shuffle. method="data": broadcast join + one
     map-side-combined groupBy — the 100 TB path.
     """
+    from ocr_compare_spark.operators.spread import spread_small_input
+
+    # spread BEFORE the tokenize/fold (r6): doc rows move whole, so
+    # per-doc token order — the round6-before-sum contract's
+    # summation order — is untouched
+    df = spread_small_input(df)
     if method == "literal":
         rows = lm.collect()
         if len(rows) > MAX_VOCAB_COLLECT:

@@ -73,46 +73,73 @@ def hashed_tf(
     ``num_partitions`` spreads the input BEFORE the md5 explode —
     the byte-light compute-heavy repartition trap (dsir/decontam/
     sketches precedent)."""
+    import re as _re
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
     if num_partitions:
         df = df.repartition(num_partitions)
+    else:
+        from ocr_compare_spark.operators.spread import spread_small_input
+
+        df = spread_small_input(df)
     c = F.col(text_col)
     if lowercase:
+        # lowercasing stays JVM-side: the Arrow pass below then hashes
+        # byte-identical strings to the old relational path (Python
+        # str.lower and UTF8String.toLowerCase differ on locale edge
+        # cases; tokenization does not — Java regex \s and Python
+        # re.ASCII \s are the same ASCII class, the py_hashed_tf
+        # mirror-parity rule)
         c = F.lower(c)
-    toks = (
-        df.select(id_col, F.explode(F.split(c, r"\s+")).alias("tok"))
-        # split(limit=-1) keeps the empty token a trailing newline
-        # produces (the whitespace-class family) — drop it, it is a
-        # separator artifact, not a feature
-        .filter(F.col("tok") != "")
+    src = df.select(F.col(id_col), c.alias("_t"))
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField(vec_col, ArrayType(DoubleType())),
+        ]
     )
-    md5 = F.md5("tok")
-    j = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long") % dim
-    if signed:
-        s = F.when(
-            F.conv(F.substring(md5, 9, 1), 16, 10).cast("long") % 2 == 0,
-            F.lit(1),
-        ).otherwise(F.lit(-1))
-    else:
-        s = F.lit(1)
-    entries = (
-        toks.select(id_col, j.alias("j"), s.cast("long").alias("s"))
-        .groupBy(id_col, "j")
-        .agg(F.sum("s").alias("v"))
-    )
-    # densify: bucket map -> fixed-length array. _m is a groupBy
-    # OUTPUT attribute, so the transform lambda reads an attribute
-    # reference (no re-inlining — the CLAUDE.md array-lambda rule);
-    # try_element_at because ANSI element_at throws on absent keys.
-    dense = entries.groupBy(id_col).agg(
-        F.map_from_entries(F.collect_list(F.struct("j", "v"))).alias("_m")
-    )
-    vec = F.transform(
-        F.sequence(F.lit(0).cast("long"), F.lit(dim - 1).cast("long")),
-        lambda i: F.coalesce(F.try_element_at("_m", i), F.lit(0).cast("long")).cast(
-            "double"
-        ),
-    )
-    return dense.select(id_col, vec.alias(vec_col))
+
+    # r6: one zero-shuffle Arrow pass replaces the explode + two
+    # map-side groupBys + dense-map build — at 10^12 docs the
+    # exploded (id, bucket, sign) stream was the dominant shuffle of
+    # every hashed-vector consumer, and per-doc accumulation needs no
+    # cross-row state at all. Components stay exact small integers
+    # (md5-prefix bucket, 9th-hex-digit sign — the same bytes the
+    # relational path hashed), so outputs are bit-identical
+    # (mirror-pinned; the ann_suite 'hashedtf' arm gates the SQL twin
+    # end to end).
+    def gen(batches):
+        split = _re.compile(r"\s+", _re.ASCII).split
+        _md5 = hashlib.md5
+        memo: dict = {}  # per-batch token -> (bucket, sign)
+        for pdf in batches:
+            memo.clear()
+            ids_out, vecs = [], []
+            for i, t in zip(pdf[id_col], pdf["_t"]):
+                toks = [x for x in split(t)] if t else []
+                v = None
+                for tok in toks:
+                    if not tok:
+                        continue  # separator artifact, not a feature
+                    e = memo.get(tok)
+                    if e is None:
+                        d = _md5(tok.encode("utf-8")).hexdigest()
+                        e = (
+                            int(d[:8], 16) % dim,
+                            1 if (not signed or int(d[8], 16) % 2 == 0) else -1,
+                        )
+                        memo[tok] = e
+                    if v is None:
+                        v = [0.0] * dim
+                    v[e[0]] += e[1]
+                if v is not None:
+                    ids_out.append(i)
+                    vecs.append(v)
+            if ids_out:
+                yield pd.DataFrame({id_col: ids_out, vec_col: vecs})
+
+    return src.mapInPandas(gen, out_schema)
 
 
 def py_hashed_tf(text: str, dim: int, signed: bool = True, lowercase: bool = True):

@@ -41,7 +41,7 @@ production crawl loop needs around the extractor core.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 #: rank 1.0 in microunits — every node's starting mass.
 RANK_ONE6 = 1_000_000
@@ -77,19 +77,22 @@ def pagerank(
         raise ValueError("iters must be >= 0")
     teleport6 = RANK_ONE6 - (RANK_ONE6 * d_num) // d_den
 
-    # materialize the RAW edge list first: the outdeg self-join below
-    # would otherwise evaluate the upstream plan (html scan + link
-    # regex) once per join side — the two exchanges project different
-    # columns, so ReuseExchange never fires (measured 2x at bench)
-    edges = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("node")
-    ).localCheckpoint(eager=True)
-    # one edge row per contribution, outdeg pre-attached; checkpointed
-    # so every round joins a materialized table (and the loop's
-    # lineage never nests the upstream plan)
+    # one edge row per contribution, outdeg pre-attached. r6: outdeg
+    # rides a window count over the src partitioning instead of the
+    # former raw-edge checkpoint + outdeg self-join — the upstream
+    # (html scan + link regex) is still evaluated exactly once (under
+    # this one checkpoint), with one checkpoint write and one join
+    # fewer; rows are slim (src, dst, outdeg), so the window shuffle
+    # is the same bytes the join's exchange moved
     keyed = (
-        edges.join(
-            edges.groupBy("_src").agg(F.count("*").alias("outdeg")), "_src"
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("node"))
+        .withColumn(
+            "outdeg",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("_src").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
         )
         .localCheckpoint(eager=True)
     )

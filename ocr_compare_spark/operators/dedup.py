@@ -805,6 +805,10 @@ def ngram_decontaminate(
     bench_text_col = bench_text_col or text_col
     if num_partitions:
         docs = docs.repartition(num_partitions, id_col)
+        # the BENCH gram pass pays the same few-split serialization
+        # (r6 — the dsir target-side finding); eval suites are small,
+        # so the spread shuffle is noise next to its md5 pass
+        bench = bench.repartition(num_partitions)
     d_grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(_word_ngram_hashes(F.col(text_col), n)).alias("g"),

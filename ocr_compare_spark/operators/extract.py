@@ -522,6 +522,26 @@ def make_fused_udf(engine_names: tuple[str, ...], with_spans: bool = True):
     return fused
 
 
+def _spread_pages(pages: DataFrame, num_partitions: int | None) -> DataFrame:
+    """The extractors' parallelism guard, made shuffle-avoiding (r6):
+    ``num_partitions`` exists to spread a few-split source below the
+    per-row engine work, but when the input ALREADY has that much
+    (balanced) parallelism — pages_from_documents' default input
+    spread — the keyed repartition only re-shuffles the built payload
+    bytes (~hundreds of MB per run at sf1.0) for a per-row operation
+    that is partitioning-indifferent. Skip it when the plan already
+    runs wide enough; extraction output is identical either way."""
+    if not num_partitions:
+        return pages
+    try:
+        n = pages.rdd.getNumPartitions()
+    except Exception:
+        n = 0
+    if n >= num_partitions:
+        return pages
+    return pages.repartition(num_partitions, "url")
+
+
 def run_engines_fused(
     pages: DataFrame,
     engines: tuple[str, ...] = ("dom", "density", "pdf"),
@@ -530,8 +550,7 @@ def run_engines_fused(
 ) -> DataFrame:
     """Hot-path variant of run_engines: one source scan, one Arrow
     boundary, engines exploded to long format. Identical output."""
-    if num_partitions:
-        pages = pages.repartition(num_partitions, "url")
+    pages = _spread_pages(pages, num_partitions)
     fused = make_fused_udf(engines, with_spans)
     return (
         pages.select(
@@ -763,8 +782,7 @@ def extract_spans_stream(
     if lean:
         gen = gen_lean
 
-    if num_partitions:
-        pages = pages.repartition(num_partitions, "url")
+    pages = _spread_pages(pages, num_partitions)
     return pages.mapInPandas(gen, schema)
 
 

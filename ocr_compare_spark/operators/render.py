@@ -113,6 +113,15 @@ def render_pdf_pages(
         src = src.filter(F.expr(f"substring({payload_col}, 1, 4) = X'25504446'"))
     if num_partitions:
         # CPU-bound-per-byte stage: pin width so AQE's size-based
-        # coalescing can't starve it (same rule as run_engines_fused)
-        src = src.repartition(num_partitions)
+        # coalescing can't starve it (same rule as run_engines_fused).
+        # r6: skip the payload shuffle when the input already runs at
+        # least that wide (pages_from_documents' default spread keeps
+        # PDFs evenly distributed) — per-row work is partitioning-
+        # indifferent, so output is identical.
+        try:
+            n = src.rdd.getNumPartitions()
+        except Exception:
+            n = 0
+        if n < num_partitions:
+            src = src.repartition(num_partitions)
     return src.mapInPandas(run, RENDER_SCHEMA)

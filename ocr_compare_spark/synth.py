@@ -379,10 +379,16 @@ def pages_from_documents(
         num_partitions = spark.sparkContext.defaultParallelism
     if num_partitions:
         docs = docs.repartition(num_partitions)
+    # payload bytes depend only on (doc_id, text) — build them BELOW
+    # the replicate explode so each doc's payload is computed once and
+    # the Generate duplicates the bytes (r6: at replicate=k the UDF
+    # used to run k times per doc; values byte-identical, the Project
+    # under the Generate evaluates once per input row)
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("text"),
         F.col("lang"),
+        _build_payload_udf(F.col("doc_id"), F.col("text")).alias("html"),
     )
     if replicate > 1:
         base = base.withColumn(
@@ -398,7 +404,7 @@ def pages_from_documents(
     return base.select(
         url.alias("url"),
         warc_ts.alias("warc_ts"),
-        _build_payload_udf(F.col("doc_id"), F.col("text")).alias("html"),
+        F.col("html"),
         F.col("text"),
         F.col("lang"),
     )

@@ -118,8 +118,15 @@ def pagerank(
     zero_seed = nodes.select("node", F.lit(0).cast("long").alias("c"))
     prev_ranks = ranks
     for _ in range(iters):
+        # broadcast the NODE-sized ranks explicitly: both sides are
+        # checkpointed LogicalRDDs whose frozen sizeInBytes descends
+        # from a row-multiplying lineage (the CLAUDE.md STATS trap) —
+        # without the hint Catalyst picked BuildLeft and broadcast
+        # the EDGE table (with both url strings) once per round,
+        # streaming the small side (plan-verified)
         contrib = keyed.join(
-            ranks.select(F.col("node").alias("_src"), "rank6"), "_src"
+            F.broadcast(ranks.select(F.col("node").alias("_src"), "rank6")),
+            "_src",
         ).select("node", F.expr("rank6 div outdeg").alias("c"))
         summed = contrib.unionByName(zero_seed).groupBy("node").agg(
             F.sum("c").alias("s")
@@ -131,7 +138,9 @@ def pagerank(
             ).cast("long").alias("rank6"),
         )
         # cut lineage per round — persist is NOT enough (plan-string
-        # doubling; see connected_components)
+        # doubling; see connected_components). The LAST round stays
+        # checkpointed too: callers (frontier.py) consume the result
+        # more than once and rely on it being materialized.
         new_ranks = ranks.localCheckpoint(eager=True)
         if tol6 is not None:
             delta = (
@@ -216,8 +225,12 @@ def hits(
         )
 
     def _half_round(scores: DataFrame, from_col: str, to_col: str) -> DataFrame:
+        # broadcast the NODE-sized scores (same frozen-stats trap as
+        # pagerank's round join: without the hint the EDGE checkpoint
+        # can be elected as the build side)
         contrib = edges.join(
-            scores.select(F.col("node").alias(from_col), "score6"), from_col
+            F.broadcast(scores.select(F.col("node").alias(from_col), "score6")),
+            from_col,
         ).select(F.col(to_col).alias("node"), F.col("score6").alias("c"))
         # checkpoint the RAW aggregate BEFORE _normalize reads it
         # twice (crossJoin side + the max subplan) — the two are

@@ -34,7 +34,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ocr_compare_spark.functions.url import canonical_url, host_of
+from ocr_compare_spark.functions.url import (
+    TRACKING_PARAM_PATTERN,
+    canonical_url,
+    host_of,
+)
 
 # One pattern, two groups: group 1 = href value, group 2 = inner
 # text. Extracting both groups from the SAME pattern keeps the two
@@ -121,34 +125,66 @@ def extract_links(
         _norm_text(F.col("a.txt")).alias("anchor_text"),
     )
 
-    origin = F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"))
+    # r6 perf: the constructed-dst branches below are CANONICAL BY
+    # CONSTRUCTION except for the query part and one userinfo corner,
+    # so they skip the ~9-regex canonical_url re-parse that used to
+    # run per edge (A/B at 800k edges: resolution pass ~2x faster,
+    # byte-identical output — pinned by the equivalence pytest):
+    # - scheme is already lowercase (F.lower above);
+    # - host comes from host_of (lowercase, no port; the one re-parse
+    #   effect canonical_url would still have — stripping a leading
+    #   'userinfo@' layer when a pathological source url smuggled an
+    #   '@' into the host token — is replicated with the identical
+    #   anchored one-strip regex);
+    # - paths are '?'/'#'-free and start with '/' by construction, so
+    #   canonical_url's authority/path/fragment handling is identity;
+    # - the query part gets the same drop-tracking/sort/'?'-drop
+    #   treatment canonical_url applies (same expressions).
+    # Absolute and protocol-relative hrefs still take full
+    # canonical_url (arbitrary authority: case, ports, userinfo).
+    clean_host = F.regexp_replace(F.col("_host"), r"^[^/@?#]*@", "")
+    origin = F.concat(F.col("_scheme"), F.lit("://"), clean_host)
     # fragment never reaches the server; strip it before classifying
     # so '#top' is fragment-only (dropped) and 'a#top' is relative
     href = F.regexp_replace(F.col("href"), r"#.*$", "")
     href_path = F.regexp_extract(href, r"^([^?]*)", 1)
-    href_query = F.regexp_extract(href, r"^[^?]*(\?.*)$", 1)  # keeps the '?'
+    query = F.regexp_extract(href, r"^[^?]*\?(.*)$", 1)  # after the '?'
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+        )
+    )
+    query_part = F.when(
+        (query == "") | (F.size(kept) == 0), F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(kept, "&")))
+    # scheme-less (junk) source urls never passed canonical_url's
+    # scheme gate, so their constructed dsts kept the raw query
+    # verbatim — preserve that passthrough byte-for-byte
+    raw_query = F.regexp_extract(href, r"^[^?]*(\?.*)$", 1)  # keeps the '?'
+    query_part = F.when(F.col("_scheme") == "", raw_query).otherwise(query_part)
     base_dir = F.regexp_replace(F.col("_path"), r"[^/]*$", "")  # up to last '/'
     merged = remove_dot_segments(F.concat(base_dir, href_path))
 
-    dst_raw = (
+    dst = (
         F.when(href == "", F.lit(None))
-        .when(href.rlike(r"(?i)^https?://"), href)
+        .when(href.rlike(r"(?i)^https?://"), canonical_url(href))
         # any OTHER scheme (mailto:, javascript:, ftp:, data:...) drops
         .when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), F.lit(None))
-        .when(href.startswith("//"), F.concat(F.col("_scheme"), F.lit(":"), href))
+        .when(
+            href.startswith("//"),
+            canonical_url(F.concat(F.col("_scheme"), F.lit(":"), href)),
+        )
         .when(
             href.startswith("/"),
-            F.concat(origin, remove_dot_segments(href_path), href_query),
+            F.concat(origin, remove_dot_segments(href_path), query_part),
         )
         # query-only href: same path, new query (RFC 3986 §5.3)
-        .when(href_path == "", F.concat(origin, F.col("_path"), href_query))
+        .when(href_path == "", F.concat(origin, F.col("_path"), query_part))
         # bare-relative: merge with the base directory
-        .otherwise(F.concat(origin, merged, href_query))
+        .otherwise(F.concat(origin, merged, query_part))
     )
-    out = (
-        exploded.withColumn("dst", canonical_url(dst_raw))
-        .filter(F.col("dst").isNotNull())
-    )
+    out = exploded.withColumn("dst", dst).filter(F.col("dst").isNotNull())
     if not with_anchor_text:
         return out.select("src", "dst")
     return out.select("src", "dst", "anchor_text")

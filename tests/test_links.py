@@ -182,3 +182,96 @@ def test_anchor_documents_bm25_site_finding(spark):
         for r in links.anchor_documents(ldf.repartition(7)).collect()
     }
     assert got2 == {u: d for u, (_, d) in got.items()}
+
+
+def test_extract_links_fastpath_equals_full_canonicalization(spark):
+    """r6: the constructed-dst branches skip canonical_url (canonical
+    by construction). This pins the optimized resolution against the
+    pre-r6 reference — canonical_url over the raw constructed dst —
+    on an adversarial source/href matrix: userinfo (single and
+    double '@'), uppercase scheme/host, ports, bracketed IPv6,
+    scheme-less junk urls, tracking params and degenerate queries in
+    every relative form."""
+    from ocr_compare_spark.functions.url import canonical_url, host_of
+    from ocr_compare_spark.operators.links import (
+        ANCHOR_PATTERN,
+        remove_dot_segments,
+    )
+
+    hrefs = [
+        "/x?utm_source=t&b=2&a=1",
+        "/x?",
+        "/x?&&",
+        "?y=2&utm_campaign=z",
+        "?utm_medium=m",
+        "rel/path?b=2&a=1#frag",
+        "../up/./here?gclid=1&k=v",
+        "//CDN.Example.org:443/y?b=1&a=2",
+        "https://Other.COM:80/t?utm_term=q&z=1",
+        "HTTPS://X.Y/p",
+        "mailto:a@b.c",
+        "#onlyfrag",
+        "",
+        "/plain",
+        "sub",
+    ]
+    html = "".join(f'<a href="{h}">t</a>' for h in hrefs).encode()
+    srcs = [
+        "http://Host.Example.com/a/b/c?q=1",
+        "https://user:pw@h2.example.com:8443/d/e",
+        "http://a@b@weird.example.com/f",
+        "https://[2001:DB8::1]/v6/path",
+        "http://plain.example.com",
+        "not a url at all",
+        "ftp://files.example.com/dir/",
+    ]
+    df = spark.createDataFrame([(s, html) for s in srcs], ["url", "html"])
+
+    # reference = the pre-r6 shape: construct raw dst, then full
+    # canonical_url over it (copied verbatim from the old code)
+    src = F.col("url")
+    html_str = F.col("html").cast("string")
+    raw_hrefs = F.regexp_extract_all(html_str, F.lit(ANCHOR_PATTERN), 1)
+    src_path_raw = F.regexp_extract(
+        src, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    src_path = F.when(src_path_raw == "", F.lit("/")).otherwise(src_path_raw)
+    exploded = df.select(
+        canonical_url(src).alias("src"),
+        F.lower(
+            F.regexp_extract(src, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+        ).alias("_scheme"),
+        host_of(src).alias("_host"),
+        src_path.alias("_path"),
+        F.explode(raw_hrefs).alias("href"),
+    )
+    origin = F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"))
+    href = F.regexp_replace(F.col("href"), r"#.*$", "")
+    href_path = F.regexp_extract(href, r"^([^?]*)", 1)
+    href_query = F.regexp_extract(href, r"^[^?]*(\?.*)$", 1)
+    base_dir = F.regexp_replace(F.col("_path"), r"[^/]*$", "")
+    merged = remove_dot_segments(F.concat(base_dir, href_path))
+    dst_raw = (
+        F.when(href == "", F.lit(None))
+        .when(href.rlike(r"(?i)^https?://"), href)
+        .when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), F.lit(None))
+        .when(
+            href.startswith("//"),
+            F.concat(F.col("_scheme"), F.lit(":"), href),
+        )
+        .when(
+            href.startswith("/"),
+            F.concat(origin, remove_dot_segments(href_path), href_query),
+        )
+        .when(href_path == "", F.concat(origin, F.col("_path"), href_query))
+        .otherwise(F.concat(origin, merged, href_query))
+    )
+    ref = (
+        exploded.withColumn("dst", canonical_url(dst_raw))
+        .filter(F.col("dst").isNotNull())
+        .select("src", "dst")
+    )
+
+    got = sorted((r.src, r.dst) for r in extract_links(df, with_anchor_text=False).collect())
+    want = sorted((r.src, r.dst) for r in ref.collect())
+    assert got == want

@@ -186,9 +186,21 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    # both round-join inputs are checkpointed LogicalRDDs with frozen
+    # stats (the localCheckpoint STATS trap) — Catalyst cannot pick
+    # the build side, and electing the EDGE table would broadcast it
+    # every round (pagerank's plan-verified failure mode). Decide
+    # once from the real materialized label table: broadcast when it
+    # fits, shuffled-hash build on it when it does not.
+    from ocr_compare_spark.operators.graph import (
+        NODE_BROADCAST_MAX_BYTES,
+        _node_side_hint,
+    )
+
+    side = _node_side_hint(labels, "id", NODE_BROADCAST_MAX_BYTES)
     for _ in range(max_iters):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(side(labels), edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )

@@ -46,6 +46,36 @@ from pyspark.sql import DataFrame, Window, functions as F
 #: rank 1.0 in microunits — every node's starting mass.
 RANK_ONE6 = 1_000_000
 
+#: Broadcast cap for the node-sized side of the iterative round
+#: joins (pagerank ranks / hits scores / cc labels). Both round-join
+#: inputs are checkpointed LogicalRDDs whose frozen sizeInBytes
+#: descends from a row-multiplying lineage (the localCheckpoint
+#: STATS trap), so Catalyst cannot pick the build side — measured at
+#: 720k edges it broadcast the EDGE table every round. The operators
+#: therefore decide ONCE per call from the REAL materialized node
+#: table: broadcast when the estimate fits this cap, else a
+#: shuffled-hash join building on the node side (never a driver
+#: collect of a web-scale node table). Local default comfortably
+#: covers bench-scale node tables; production callers with
+#: billion-node graphs pass a smaller cap or rely on the
+#: shuffled-hash path kicking in automatically.
+NODE_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _node_side_hint(size_df: DataFrame, key: str, max_bytes: int):
+    """Return a join-side wrapper for the node-sized table: broadcast
+    iff the MATERIALIZED size estimate (exact key bytes + fixed
+    per-row overhead, ONE tiny job over the eager checkpoint) fits
+    ``max_bytes``; otherwise a shuffled-hash build on it, so a
+    misestimated plan can never broadcast (or sort) the edge side.
+    The decision is made once per operator call, not per round."""
+    est = size_df.agg(
+        F.sum(F.octet_length(F.col(key).cast("string")) + F.lit(24))
+    ).collect()[0][0]
+    if (est or 0) <= max_bytes:
+        return F.broadcast
+    return lambda df: df.hint("shuffle_hash")
+
 
 def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
     """(src, outdeg) — out-EDGE counts (multi-edges count)."""
@@ -116,16 +146,14 @@ def pagerank(
     # shuffle per round instead of two, and the union only adds
     # node-sized rows to the edge-sized aggregate
     zero_seed = nodes.select("node", F.lit(0).cast("long").alias("c"))
+    # decide the round-join strategy ONCE from the real node table
+    # (see NODE_BROADCAST_MAX_BYTES: frozen checkpoint stats had
+    # Catalyst broadcasting the EDGE table every round, plan-verified)
+    side = _node_side_hint(nodes, "node", NODE_BROADCAST_MAX_BYTES)
     prev_ranks = ranks
     for _ in range(iters):
-        # broadcast the NODE-sized ranks explicitly: both sides are
-        # checkpointed LogicalRDDs whose frozen sizeInBytes descends
-        # from a row-multiplying lineage (the CLAUDE.md STATS trap) —
-        # without the hint Catalyst picked BuildLeft and broadcast
-        # the EDGE table (with both url strings) once per round,
-        # streaming the small side (plan-verified)
         contrib = keyed.join(
-            F.broadcast(ranks.select(F.col("node").alias("_src"), "rank6")),
+            side(ranks.select(F.col("node").alias("_src"), "rank6")),
             "_src",
         ).select("node", F.expr("rank6 div outdeg").alias("c"))
         summed = contrib.unionByName(zero_seed).groupBy("node").agg(
@@ -224,12 +252,14 @@ def hits(
             ).alias("score6"),
         )
 
+    # node-sized scores are the build side (same frozen-stats trap as
+    # pagerank's round join: the EDGE checkpoint could be elected);
+    # broadcast vs shuffled-hash decided once from the real node table
+    side = _node_side_hint(nodes, "node", NODE_BROADCAST_MAX_BYTES)
+
     def _half_round(scores: DataFrame, from_col: str, to_col: str) -> DataFrame:
-        # broadcast the NODE-sized scores (same frozen-stats trap as
-        # pagerank's round join: without the hint the EDGE checkpoint
-        # can be elected as the build side)
         contrib = edges.join(
-            F.broadcast(scores.select(F.col("node").alias(from_col), "score6")),
+            side(scores.select(F.col("node").alias(from_col), "score6")),
             from_col,
         ).select(F.col(to_col).alias("node"), F.col("score6").alias("c"))
         # checkpoint the RAW aggregate BEFORE _normalize reads it

@@ -170,3 +170,39 @@ def test_hits_over_domain_graph_composition(spark):
     assert got["dir.example"][1] == 1_000_000      # the directory is THE hub
     assert got["dir.example"][0] == 0              # nothing links to it
     assert max(got[f"site{i}.com"][0] for i in range(4)) == 1_000_000
+
+
+def test_node_side_hint_paths_identical(spark):
+    """r6: the iterative round joins decide broadcast vs
+    shuffled-hash from the real node-table size (frozen checkpoint
+    stats are garbage). Both paths must be bit-identical — integer
+    math is partition-invariant by construction; this pins it for
+    pagerank, hits and connected_components."""
+    from ocr_compare_spark.operators import dedup, graph
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7) % 50}") for i in range(200)], ["src", "dst"]
+    ).localCheckpoint()
+    pairs = spark.createDataFrame(
+        [(i, (i + 1) % 40) for i in range(40)], ["id_a", "id_b"]
+    )
+    def run():
+        pr = sorted((r.node, r.rank6) for r in graph.pagerank(edges, iters=2).collect())
+        ht = sorted(
+            (r.node, r.auth6, r.hub6) for r in graph.hits(edges, iters=2).collect()
+        )
+        cc = sorted(
+            (r.id, r.component)
+            for r in dedup.connected_components(pairs).collect()
+        )
+        return pr, ht, cc
+
+    base = run()
+    orig = graph.NODE_BROADCAST_MAX_BYTES
+    graph.NODE_BROADCAST_MAX_BYTES = 1  # force the shuffled-hash path
+    try:
+        forced = run()
+    finally:
+        graph.NODE_BROADCAST_MAX_BYTES = orig
+    assert base == forced
+    assert len(base[0]) == 200

@@ -28,6 +28,14 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 # release_lsh_cache() after materializing their result).
 _LSH_CACHED: list[DataFrame] = []
 
+#: Broadcast cap for the verify join's shingle-set table (see the
+#: r6 comment at the join): below this REAL measured size the
+#: checkpointed sh table is broadcast (the plan Catalyst picked off
+#: frozen stats, and the right one at bench scale — tens of MB);
+#: above it the verify join becomes sort-merge so a corpus-sized
+#: shingle-set table is never collected to the driver.
+SH_BROADCAST_MAX_BYTES = 256 << 20
+
 
 def _track_persist(df: DataFrame) -> DataFrame:
     release_lsh_cache()
@@ -377,9 +385,31 @@ def lsh_candidates(
     sh = exploded.groupBy("id").agg(F.collect_set("h0").alias("sh")).localCheckpoint(
         eager=True
     )
+    # r6: the verify join's build side must be chosen from REAL sizes
+    # — sh is a checkpointed LogicalRDD whose frozen stats descend
+    # from the tiny source estimate (the localCheckpoint STATS trap),
+    # so Catalyst elects it for broadcast REGARDLESS of its actual
+    # size. At bench scale that is also the right call (tens of MB,
+    # local-mode broadcast is a memcpy; plan-verified at sf1.0), so
+    # the cap is set where broadcasting genuinely stops making sense;
+    # beyond it the join falls back to sort-merge — never a
+    # driver-side collect of a corpus-sized shingle-set table.
+    # Measured from the materialized checkpoint: exact array bytes +
+    # per-row overhead, one node-sized job.
+    sh_bytes = sh.agg(
+        F.sum(
+            F.size("sh") * 8
+            + F.octet_length(F.col("id").cast("string"))
+            + F.lit(48)
+        )
+    ).collect()[0][0]
+    if (sh_bytes or 0) <= SH_BROADCAST_MAX_BYTES:
+        _sh_side = F.broadcast
+    else:
+        _sh_side = lambda df: df.hint("merge")  # noqa: E731
     verified = (
-        pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        pairs.join(_sh_side(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))), "id_a")
+        .join(_sh_side(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))), "id_b")
         .select("id_a", "id_b", F.round(jaccard_arrays(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= verify_threshold)
     )

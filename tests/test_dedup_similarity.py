@@ -1284,3 +1284,30 @@ def test_rbo_matches_mirror_and_edges(spark):
     # identical rankings: sum of round6'd terms ~= 1e6*(1 - p^k)
     assert abs(got[0][1] - 1e6 * (1 - P ** K)) <= K
     assert got[1] == (0, 0) and got[3] == (0, 0) and got[4] == (0, 0)
+
+
+def test_lsh_verify_join_paths_identical(spark):
+    """r6: the verify join picks broadcast vs sort-merge for the
+    shingle-set table from its REAL materialized size (frozen
+    checkpoint stats are garbage). Both paths must produce the same
+    pair set bit-for-bit."""
+    from ocr_compare_spark.operators import dedup
+
+    rows = [(i, f"w{i % 7} common text body shared tokens run {i % 3} tail") for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+
+    def run():
+        return sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.lsh_candidates(df, "id", "text").collect()
+        )
+
+    base = run()
+    orig = dedup.SH_BROADCAST_MAX_BYTES
+    dedup.SH_BROADCAST_MAX_BYTES = 1  # force the sort-merge path
+    try:
+        forced = run()
+    finally:
+        dedup.SH_BROADCAST_MAX_BYTES = orig
+    assert base == forced
+    assert base  # non-trivial: the repeated texts must produce pairs
